@@ -16,11 +16,25 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bronze_ingest" -> (etl.EtlQueries.bronzeIngest _),
+    "dq_report" -> (etl.EtlQueries.dqReport _),
+    "medians_modes" -> (etl.EtlQueries.mediansModes _),
+    "silver_dedup" -> (etl.EtlQueries.silverDedup _),
+    "silver_pipeline" -> (etl.EtlQueries.silverPipeline _),
+    "incremental_upsert" -> (etl.EtlQueries.incrementalUpsert _),
+    "load_report" -> (etl.EtlQueries.loadReport _),
     "q1_agg" -> (analytics.Queries.q1Agg _)
   )
 
   /** DuckDB oracle SQL, same column aliases as the Spark queries. */
   def oracleSql: Map[String, String] = Map(
+    "bronze_ingest" -> etl.EtlQueries.bronzeIngestSql,
+    "dq_report" -> etl.EtlQueries.dqReportSql,
+    "medians_modes" -> etl.EtlQueries.mediansModesSql,
+    "silver_dedup" -> etl.EtlQueries.silverDedupSql,
+    "silver_pipeline" -> etl.EtlQueries.silverPipelineSql,
+    "incremental_upsert" -> etl.EtlQueries.incrementalUpsertSql,
+    "load_report" -> etl.EtlQueries.loadReportSql,
     "q1_agg" -> analytics.Queries.q1AggSql
   )
 }

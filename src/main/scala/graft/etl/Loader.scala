@@ -1,0 +1,53 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Load semantics: full vs batch/incremental, latest-wins upsert, report.
+  *
+  * Re-expresses the reference's `load_data_to_mysql` full/batch modes
+  * (/root/reference/dags/de_spotify_to_bronze.py:166-199: full =
+  * TRUNCATE+insert, batch = append) and `generate_load_report`
+  * (:337-366) as Spark-native writes and aggregations.
+  */
+object Loader {
+
+  /** Full load = overwrite; batch load = append. */
+  def write(df: DataFrame, path: String, loadType: String): Unit = {
+    val mode = loadType match {
+      case "full"  => SaveMode.Overwrite
+      case "batch" => SaveMode.Append
+      case other   => throw new IllegalArgumentException(s"loadType $other")
+    }
+    df.write.mode(mode).parquet(path)
+  }
+
+  /** Latest-record-wins upsert of `updates` into `base` by `keys`,
+    * using `version` (e.g. batch sequence / ingestion ts) to pick the
+    * winner. One partial-agg'd shuffle via max_by — no sort, no window.
+    * Ties on `version` break toward the update (it carries the higher
+    * `_src` marker in the max_by ordering struct). */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+             version: String): DataFrame = {
+    require(base.columns.sameElements(updates.columns),
+      "base/updates schema mismatch")
+    val tagged = base.withColumn("_src", lit(0))
+      .unionByName(updates.withColumn("_src", lit(1)))
+    val all = struct(base.columns.map(col): _*)
+    tagged.groupBy(keys.map(col): _*)
+      .agg(max_by(all, struct(col(version), col("_src"))).as("_row"))
+      .select(base.columns.map(c => col(s"_row.$c")): _*)
+  }
+
+  /** Per-batch load report: row counts + basic stats, grouped by the
+    * lineage columns added at bronze ingest. */
+  def report(df: DataFrame, groupCols: Seq[String], keyCol: String,
+             tsCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("rows_loaded"),
+        countDistinct(col(keyCol)).as("distinct_keys"),
+        min(col(tsCol)).as("min_ts"),
+        max(col(tsCol)).as("max_ts"))
+      .orderBy(groupCols.map(col): _*)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl._
+import graft.dq._
+
+class EtlSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  test("bronze ingest adds lineage metadata") {
+    val df = EtlQueries.bronzeIngest(spark, sf)
+    assert(df.columns.takeRight(3).sameElements(
+      Array("ingestion_timestamp", "source_identifier", "batch_identifier")))
+    val r = df.select("source_identifier", "batch_identifier").distinct().collect()
+    assert(r.length == 1 && r(0).getString(0) == "PARQUET")
+  }
+
+  test("bronze CSV roundtrip") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graftcsv").toFile
+    val p = new java.io.File(d, "in.csv")
+    Files.writeString(p.toPath, "id,name\n1,a\n2,b\n")
+    val df = Bronze.readCsvInferred(spark, p.getAbsolutePath)
+    assert(df.count() == 2 && df.columns.sameElements(Array("id", "name")))
+  }
+
+  test("expectations engine: one pass, correct verdicts") {
+    import spark.implicits._
+    val df = Seq((1, Some(10), "a"), (2, None, "b"), (2, Some(30), "zz"))
+      .toDF("k", "v", "s")
+    val m = Expectations.run(df, Seq(
+      NotNull("v"), Unique("k"), Between("v", 0, 15),
+      InSet("s", Seq("a", "b")), RowCountAtLeast(10)))
+      .collect().map(r => (r.getString(0) + "/" + r.getString(1), r.getLong(2))).toMap
+    assert(m("not_null/v") == 1)       // one null
+    assert(m("unique/k") == 1)         // k=2 twice
+    assert(m("between/v") == 1)        // 30 > 15
+    assert(m("in_set/s") == 1)         // "zz"
+    assert(m("row_count_at_least/*") == 1) // 3 < 10
+  }
+
+  test("dedup keep-first is deterministic under ties") {
+    import spark.implicits._
+    val df = Seq((1, 1, "b"), (1, 1, "a"), (1, 2, "c"), (2, 5, "x"))
+      .toDF("k", "ord", "v")
+    val out = Silver.dedupKeepFirst(df, Seq("k"), Seq("ord", "v"))
+      .orderBy("k").collect()
+    assert(out.map(_.getString(2)).sameElements(Array("a", "x")))
+  }
+
+  test("impute + clamp") {
+    import spark.implicits._
+    val df = Seq((Some(5.0)), (None), (Some(99.0))).toDF("x")
+    val out = Silver.impute(df, Map("x" -> 7.0))
+      .select(Silver.clamp(col("x"), 0.0, 10.0).as("x"))
+      .collect().map(_.getDouble(0)).sorted
+    assert(out.sameElements(Array(5.0, 7.0, 10.0)))
+  }
+
+  test("upsert latest-wins by version") {
+    import spark.implicits._
+    val base = Seq((1, "old", 1), (2, "keep", 1)).toDF("k", "v", "_version")
+    val upd  = Seq((1, "new", 2)).toDF("k", "v", "_version")
+    val out = Loader.upsert(base, upd, Seq("k"), "_version")
+      .orderBy("k").collect().map(_.getString(1))
+    assert(out.sameElements(Array("new", "keep")))
+  }
+
+  test("medians and modes match known values") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    assert(Silver.medians(df, Seq("x"))("x") == 2.5)
+    val s = Seq("b", "a", "b", "a", "c").toDF("s")
+    assert(Silver.mode(s, "s") == "a") // tie a/b → min wins
+  }
+}
