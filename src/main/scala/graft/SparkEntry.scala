@@ -23,7 +23,19 @@ object SparkEntry {
     "silver_pipeline" -> (etl.EtlQueries.silverPipeline _),
     "incremental_upsert" -> (etl.EtlQueries.incrementalUpsert _),
     "load_report" -> (etl.EtlQueries.loadReport _),
-    "q1_agg" -> (analytics.Queries.q1Agg _)
+    "q1_agg" -> (analytics.Queries.q1Agg _),
+    "q3_join" -> (analytics.Queries.q3Join _),
+    "top_k" -> (analytics.Queries.topK _),
+    "distinct_count" -> (analytics.Queries.distinctCount _),
+    "conditional_pivot" -> (analytics.Queries.conditionalPivot _),
+    "time_series" -> (analytics.Queries.timeSeries _),
+    "window_running" -> (analytics.Queries.windowRunning _),
+    "percentiles" -> (analytics.Queries.percentiles _),
+    "corr_stats" -> (analytics.Queries.corrStats _),
+    "histogram" -> (analytics.Queries.histogram _),
+    "semi_anti_join" -> (analytics.Queries.semiAntiJoin _),
+    "set_ops" -> (analytics.Queries.setOps _),
+    "rollup_agg" -> (analytics.Queries.rollupAgg _)
   )
 
   /** DuckDB oracle SQL, same column aliases as the Spark queries. */
@@ -35,6 +47,18 @@ object SparkEntry {
     "silver_pipeline" -> etl.EtlQueries.silverPipelineSql,
     "incremental_upsert" -> etl.EtlQueries.incrementalUpsertSql,
     "load_report" -> etl.EtlQueries.loadReportSql,
-    "q1_agg" -> analytics.Queries.q1AggSql
+    "q1_agg" -> analytics.Queries.q1AggSql,
+    "q3_join" -> analytics.Queries.q3JoinSql,
+    "top_k" -> analytics.Queries.topKSql,
+    "distinct_count" -> analytics.Queries.distinctCountSql,
+    "conditional_pivot" -> analytics.Queries.conditionalPivotSql,
+    "time_series" -> analytics.Queries.timeSeriesSql,
+    "window_running" -> analytics.Queries.windowRunningSql,
+    "percentiles" -> analytics.Queries.percentilesSql,
+    "corr_stats" -> analytics.Queries.corrStatsSql,
+    "histogram" -> analytics.Queries.histogramSql,
+    "semi_anti_join" -> analytics.Queries.semiAntiJoinSql,
+    "set_ops" -> analytics.Queries.setOpsSql,
+    "rollup_agg" -> analytics.Queries.rollupAggSql
   )
 }

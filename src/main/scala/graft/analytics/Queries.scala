@@ -42,4 +42,215 @@ object Queries {
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** §2.9 fact⋈fact⋈dim join with broadcast dim + pushdown (TPC-H Q3
+    * shape): revenue of BUILDING-segment orders not yet shipped. */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "1997-01-01"
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < lit(cut))
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit(cut))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinSql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** §2.10 top-K per group via window rank (K=3 orders per priority). */
+  def topK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  val topKSql: String =
+    """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin
+
+  /** §2.11 exact distinct aggregation (approx variant spec-tested). */
+  def distinctCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("user_id"), to_date(col("ts"))).as("n_user_days"))
+      .orderBy("event_type")
+
+  val distinctCountSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT (user_id, CAST(ts AS DATE))) AS n_user_days
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** §2.12 pivot via Spark's pivot API (oracle: conditional agg). */
+  def conditionalPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  val conditionalPivotSql: String =
+    """SELECT o_orderpriority,
+      |  coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS "F",
+      |  coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS "O",
+      |  coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** §2.13 time-series rollup: events per day per type. */
+  def timeSeries(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("day", "event_type")
+
+  val timeSeriesSql: String =
+    """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** §2.14 running-sum + rank window over a keyed sequence. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4).as("running_total"),
+        rank().over(w).as("rk"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowRunningSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk
+      |FROM orders WHERE o_custkey <= 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** §2.15 exact percentiles (linear interpolation) per group. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .orderBy("l_returnflag")
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** §2.16 correlation / covariance / stddev statistics per group. */
+  def corrStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+        round(stddev_samp(col("l_discount")), 6).as("stddev_disc"))
+      .orderBy("l_linestatus")
+
+  val corrStatsSql: String =
+    """SELECT l_linestatus,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+      |  round(stddev_samp(l_discount), 6) AS stddev_disc
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** §2.17 numeric histogram via fixed-width bucketing. */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 4).as("avg_price"))
+      .orderBy("bucket")
+
+  val histogramSql: String =
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+      |  count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** §2.18 left-semi + left-anti joins, tagged and unioned. */
+  def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val bigOrders = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0)
+    val semi = cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(lit("has_big_order").as("tag"), col("c_custkey"), col("c_name"))
+    val anti = cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(lit("no_big_order").as("tag"), col("c_custkey"), col("c_name"))
+    semi.unionByName(anti).orderBy("tag", "c_custkey")
+  }
+
+  val semiAntiJoinSql: String =
+    """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+      |SELECT 'has_big_order' AS tag, c_custkey, c_name FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT 'no_big_order' AS tag, c_custkey, c_name FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+      |ORDER BY tag, c_custkey""".stripMargin
+
+  /** §2.19 set operations: union / intersect / except over key sets. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val f = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+    val o = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+    val both = f.intersect(o).select(lit("both").as("tag"), col("o_custkey"))
+    val fOnly = f.except(o).select(lit("f_only").as("tag"), col("o_custkey"))
+    val either = f.union(o).distinct().select(lit("either").as("tag"), col("o_custkey"))
+    both.unionByName(fOnly).unionByName(either).orderBy("tag", "o_custkey")
+  }
+
+  val setOpsSql: String =
+    """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      |o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+      |UNION ALL
+      |SELECT 'f_only' AS tag, o_custkey FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+      |UNION ALL
+      |SELECT 'either' AS tag, o_custkey FROM (SELECT o_custkey FROM f UNION SELECT o_custkey FROM o)
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  /** §2.20 ROLLUP hierarchical aggregation. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val rollupAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 }

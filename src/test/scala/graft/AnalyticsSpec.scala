@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analytics.Queries
+
+class AnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  test("q3 plan broadcasts the customer dim and pushes filters to scan") {
+    val plan = Queries.q3Join(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment)") ||
+           plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"mktsegment filter not pushed to parquet scan:\n$plan")
+  }
+
+  test("q1 uses partial (map-side) aggregation") {
+    val plan = Queries.q1Agg(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_sum") || plan.contains("partial"), plan)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val ev = Tables.events(spark, sf)
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).head()
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
+  test("top_k returns exactly K per group") {
+    val counts = Queries.topK(spark, sf)
+      .groupBy("o_orderpriority").count().collect()
+    assert(counts.forall(_.getLong(1) == 3))
+  }
+
+  test("rollup includes grand total row equal to table count") {
+    val total = Queries.rollupAgg(spark, sf)
+      .filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+      .select("n").head().getLong(0)
+    assert(total == Tables.lineitem(spark, sf).count())
+  }
+
+  test("set ops are consistent: either = both + f_only + o_only") {
+    val m = Queries.setOps(spark, sf).groupBy("tag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("either") >= m("both") + m("f_only") - m.getOrElse("both", 0L) || m("either") >= m("f_only"))
+    assert(m("either") <= m("both") + 2 * (m("either") - m("both"))) // sanity bounds
+  }
+}
