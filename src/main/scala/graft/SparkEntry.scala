@@ -35,7 +35,11 @@ object SparkEntry {
     "histogram" -> (analytics.Queries.histogram _),
     "semi_anti_join" -> (analytics.Queries.semiAntiJoin _),
     "set_ops" -> (analytics.Queries.setOps _),
-    "rollup_agg" -> (analytics.Queries.rollupAgg _)
+    "rollup_agg" -> (analytics.Queries.rollupAgg _),
+    "text_tokens" -> (text.TextQueries.textTokens _),
+    "text_quality" -> (text.TextQueries.textQuality _),
+    "text_langid" -> (text.TextQueries.textLangid _),
+    "text_fingerprint" -> (text.TextQueries.textFingerprint _)
   )
 
   /** DuckDB oracle SQL, same column aliases as the Spark queries. */
@@ -59,6 +63,10 @@ object SparkEntry {
     "histogram" -> analytics.Queries.histogramSql,
     "semi_anti_join" -> analytics.Queries.semiAntiJoinSql,
     "set_ops" -> analytics.Queries.setOpsSql,
-    "rollup_agg" -> analytics.Queries.rollupAggSql
+    "rollup_agg" -> analytics.Queries.rollupAggSql,
+    "text_tokens" -> text.TextQueries.textTokensSql,
+    "text_quality" -> text.TextQueries.textQualitySql,
+    "text_langid" -> text.TextQueries.textLangidSql,
+    "text_fingerprint" -> text.TextQueries.textFingerprintSql
   )
 }

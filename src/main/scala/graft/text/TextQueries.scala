@@ -1,0 +1,137 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextFunctions._
+
+/** SURVEY.md §2 items 28–31: text analysis over `documents`.
+  * Pure per-row Column pipelines — embarrassingly parallel, no shuffle
+  * except the oracle-determinism orderBy; at 100 TB these run as a
+  * single codegen'd scan stage. */
+object TextQueries {
+
+  /** §2.30 token counting: whitespace tokens + BPE-ish regex tokens. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).as("n_re_tokens"),
+      length(col("text")).as("n_chars_obs"))
+      .orderBy("doc_id")
+
+  val textTokensSql: String =
+    s"""SELECT doc_id,
+       |  len(${tokensSql("text")}) AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_re_tokens,
+       |  length(text) AS n_chars_obs
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** §2.29 quality scoring: alpha ratio, stopword ratio, token stats,
+    * composite score — the reference's validity checks generalized into
+    * trainable-corpus quality signals. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("_toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("_toks")))
+      .withColumn("_alpha",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text")))
+      .withColumn("_stop",
+        expr(s"size(filter(_toks, t -> t IN ($stopList)))").cast("double") /
+          col("n_tokens"))
+      .withColumn("_atl",
+        length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          col("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("_alpha"), 6).as("alpha_ratio"),
+        round(col("_stop"), 6).as("stop_ratio"),
+        round(col("_atl"), 6).as("avg_token_len"),
+        round(lit(0.4) * col("_alpha")
+          + lit(0.4) * (lit(1.0) - abs(col("_stop") - lit(0.3)))
+          + lit(0.2) * least(lit(1.0), col("n_tokens").cast("double") / 100.0), 6)
+          .as("quality_score"))
+      .orderBy("doc_id")
+
+  val textQualitySql: String =
+    s"""SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  round(length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text), 6) AS alpha_ratio,
+       |  round(len(list_filter(_toks, t -> t IN ($stopList))) / n_tokens, 6) AS stop_ratio,
+       |  round(length(regexp_replace(text, '\\s', '', 'g')) / n_tokens, 6) AS avg_token_len,
+       |  round(0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text))
+       |    + 0.4 * (1.0 - abs(len(list_filter(_toks, t -> t IN ($stopList))) / n_tokens - 0.3))
+       |    + 0.2 * least(1.0, n_tokens / 100.0), 6) AS quality_score
+       |FROM (SELECT doc_id, text, ${tokensSql("text")} AS _toks,
+       |        CAST(len(${tokensSql("text")}) AS DOUBLE) AS n_tokens
+       |      FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "nicht"),
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** §2.28 language ID: stopword-marker scores per language + CJK char
+    * count, argmax with deterministic alphabetical tie-break. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("_toks", tokens(lower(col("text"))))
+    val scored = langMarkers.foldLeft(base) { case (df, (lang, marks)) =>
+      val list = marks.map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"s_$lang", expr(s"size(filter(_toks, t -> t IN ($list)))").cast("long"))
+    }.withColumn("s_zh",
+      length(regexp_replace(col("text"), "[^一-鿿]", "")).cast("long"))
+    scored.withColumn("pred_lang",
+      when(col("s_zh") > 0, "zh")
+        .when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr"))
+      .withColumn("label_match", col("pred_lang") === col("lang"))
+      .select("doc_id", "lang", "s_de", "s_en", "s_es", "s_fr", "s_zh", "pred_lang", "label_match")
+      .orderBy("doc_id")
+  }
+
+  val textLangidSql: String = {
+    val scoreCols = langMarkers.map { case (lang, marks) =>
+      val list = marks.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(_toks, t -> t IN ($list))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n       |  ")
+    s"""SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+       |  CASE WHEN s_zh > 0 THEN 'zh'
+       |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS pred_lang,
+       |  (CASE WHEN s_zh > 0 THEN 'zh'
+       |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END) = lang AS label_match
+       |FROM (SELECT doc_id, lang, text,
+       |  $scoreCols,
+       |  CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS s_zh
+       |  FROM (SELECT doc_id, lang, text, ${tokensSql("lower(text)")} AS _toks FROM documents) t0) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** §2.31 document fingerprints: md5-derived 60-bit id + polynomial
+    * rolling hash over the normalized character stream. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      hash64(normalize(col("text"))).as("fp_md5"),
+      polyHash(normalize(col("text"))).as("fp_poly"))
+      .orderBy("doc_id")
+
+  val textFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  ${hash64Sql(normalizeSql("text"))} AS fp_md5,
+       |  ${polyHashSql(normalizeSql("text"))} AS fp_poly
+       |FROM documents ORDER BY doc_id""".stripMargin
+}
