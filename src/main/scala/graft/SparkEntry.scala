@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Tables => T}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
@@ -39,7 +40,14 @@ object SparkEntry {
     "text_tokens" -> (text.TextQueries.textTokens _),
     "text_quality" -> (text.TextQueries.textQuality _),
     "text_langid" -> (text.TextQueries.textLangid _),
-    "text_fingerprint" -> (text.TextQueries.textFingerprint _)
+    "text_fingerprint" -> (text.TextQueries.textFingerprint _),
+    "dedup_exact" -> ((s, d) => dedup.Dedup.exactDedup(T.documents(s, d))),
+    "dedup_minhash" -> ((s, d) => dedup.Dedup.minhashPairs(T.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => dedup.Dedup.simhashPairs(T.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => dedup.Dedup.ngramJaccardPairs(T.documents(s, d))),
+    "dedup_embed_cosine" -> ((s, d) => ann.Ann.embedCosinePairs(T.embeddings(s, d))),
+    "ann_topk" -> ((s, d) => ann.Ann.bruteForceTopK(T.embeddings(s, d))),
+    "ann_lsh" -> ((s, d) => ann.Ann.lshTopK(T.embeddings(s, d)))
   )
 
   /** DuckDB oracle SQL, same column aliases as the Spark queries. */
@@ -67,6 +75,13 @@ object SparkEntry {
     "text_tokens" -> text.TextQueries.textTokensSql,
     "text_quality" -> text.TextQueries.textQualitySql,
     "text_langid" -> text.TextQueries.textLangidSql,
-    "text_fingerprint" -> text.TextQueries.textFingerprintSql
+    "text_fingerprint" -> text.TextQueries.textFingerprintSql,
+    "dedup_exact" -> dedup.Dedup.exactDedupSql,
+    "dedup_minhash" -> dedup.Dedup.minhashPairsSql(),
+    "dedup_simhash" -> dedup.Dedup.simhashPairsSql(),
+    "dedup_ngram_jaccard" -> dedup.Dedup.ngramJaccardPairsSql(),
+    "dedup_embed_cosine" -> ann.Ann.embedCosinePairsSql(),
+    "ann_topk" -> ann.Ann.bruteForceTopKSql(),
+    "ann_lsh" -> ann.Ann.lshTopKSql()
   )
 }

@@ -1,0 +1,150 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity — SURVEY.md §2 items 25–27.
+  *
+  * Cosine arithmetic is an explicit left-to-right double fold (zip_with
+  * + aggregate) so Spark and the DuckDB oracle produce bit-identical
+  * IEEE doubles — no reliance on engine-internal SIMD/pairwise sums.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set and
+  * computes per-partition — one scan, no shuffle until the per-query
+  * window (k rows per query). The LSH path buckets every vector once
+  * (codegen'd projection against deterministic hyperplanes), then joins
+  * within buckets — candidate counts drop from O(n·q) to O(q·bucket).
+  * Embedding-cosine dedup blocks on the `label` column (at 100 TB:
+  * block on an LSH bucket instead — same join shape).
+  */
+object Ann {
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+
+  def normCol(a: Column): Column = sqrt(dotCol(a, a))
+
+  def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  /** vec table with precomputed norm. */
+  private def vecs(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      normCol(col("embedding")).as("nrm"))
+
+  private val vecsSql: String =
+    s"SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings"
+
+  /** §2.25 embedding-cosine near-dup pairs, blocked by label. */
+  def embedCosinePairs(embeddings: DataFrame, minCos: Double = 0.25): DataFrame = {
+    val v = vecs(embeddings)
+    val a = v.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= minCos)
+      .select("label", "id_a", "id_b", "cosine")
+      .orderBy("label", "id_a", "id_b")
+  }
+
+  def embedCosinePairsSql(minCos: Double = 0.25): String =
+    s"""WITH v AS ($vecsSql)
+       |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
+       |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $minCos
+       |ORDER BY a.label, id_a, id_b""".stripMargin
+
+  /** §2.26 brute-force cosine top-k for query vectors (vec_id < nq). */
+  def bruteForceTopK(embeddings: DataFrame, nq: Int = 5, k: Int = 10): DataFrame = {
+    val v = vecs(embeddings)
+    val q = v.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+    v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(dotCol(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "vec_id", "cosine")
+      .orderBy("q_id", "rk")
+  }
+
+  def bruteForceTopKSql(nq: Int = 5, k: Int = 10): String =
+    s"""WITH v AS ($vecsSql),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM v WHERE vec_id < $nq),
+       |scored AS (SELECT q.q_id, v.vec_id,
+       |    round(${dotSql("q.qe", "v.embedding")} / (q.qn * v.nrm), 6) AS cosine
+       |  FROM v JOIN q ON v.vec_id != q.q_id)
+       |SELECT q_id, rk, vec_id, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM scored) t
+       |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+
+  // ---- deterministic random-hyperplane LSH ----
+  val Planes = 8
+  val Dim = 64
+
+  /** Pseudo-random plane coefficient c(p,d) in [-0.5, 0.5), identical
+    * in SQL: LCG on index p*Dim+d. CASTs keep the multiply in 64-bit on
+    * BOTH engines (Spark int math silently wraps at 32 bits). */
+  private def coefExpr(p: String, d: String): String =
+    s"(((CAST(1103515245 AS BIGINT) * ($p * $Dim + $d) + 12345) % 2147483647) / 2147483647.0 - 0.5)"
+
+  /** Bucket id: sign bits of the 8 hyperplane projections. */
+  def bucketCol: Column =
+    expr(s"""aggregate(sequence(0, ${Planes - 1}), 0L, (acc, p) -> acc +
+      CASE WHEN aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE),
+        (s, d) -> s + ${coefExpr("p", "(d - 1)")} * CAST(embedding[d - 1] AS DOUBLE)) > 0
+      THEN shiftleft(1L, p) ELSE 0L END)""")
+
+  val bucketSql: String =
+    s"""CAST(list_sum(list_transform(generate_series(0, ${Planes - 1}), p ->
+      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(generate_series(1, $Dim),
+          d -> ${coefExpr("p", "(d - 1)")} * CAST(embedding[d] AS DOUBLE))), (x, y) -> x + y) > 0
+      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)"""
+
+  /** §2.27 LSH-bucketed ANN: bucket every vector once, search within
+    * the query's bucket only. */
+  def lshTopK(embeddings: DataFrame, nq: Int = 5, k: Int = 5): DataFrame = {
+    val v = vecs(embeddings).withColumn("bucket", bucketCol)
+    val q = v.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+    v.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(dotCol(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "bucket", "rk", "vec_id", "cosine")
+      .orderBy("q_id", "rk")
+  }
+
+  def lshTopKSql(nq: Int = 5, k: Int = 5): String =
+    s"""WITH v AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket
+       |  FROM ($vecsSql) t0),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, bucket
+       |  FROM v WHERE vec_id < $nq),
+       |scored AS (SELECT q.q_id, v.bucket, v.vec_id,
+       |    round(${dotSql("q.qe", "v.embedding")} / (q.qn * v.nrm), 6) AS cosine
+       |  FROM v JOIN q ON v.bucket = q.bucket AND v.vec_id != q.q_id)
+       |SELECT q_id, bucket, rk, vec_id, cosine FROM (
+       |  SELECT q_id, bucket, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM scored) t
+       |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+}

@@ -1,0 +1,231 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions._
+
+/** Dedup operators — SURVEY.md §2 items 21–25.
+  *
+  * Generalizes the reference's track_id dedup
+  * (/root/reference/dags/sql/de_spotify_silver.sql row_number dedup) to
+  * the near-duplicate family a training-data pipeline needs.
+  *
+  * Scale design: every pair-producing operator goes through *candidate
+  * blocking* (LSH band join, sig-chunk join, (lang,length) blocks,
+  * label blocks) so pair counts stay O(n·bucket) instead of O(n²); the
+  * only shuffles are hash joins on block keys. Signatures are computed
+  * in a single codegen'd projection (higher-order functions on arrays,
+  * no UDFs). All arithmetic stays below 2^63 so the DuckDB oracle can
+  * replay it exactly (its BIGINT ops are overflow-checked).
+  */
+object Dedup {
+
+  // ---- MinHash constants (shared with oracle SQL) ----
+  val P: Long = 2147483647L
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  def hashA(i: Int): Long = 1103515245L + 997L * i
+  def hashB(i: Int): Long = 12345L + 7919L * i
+
+  /** doc_id + 3-token shingle-hash array (empty-filtered). */
+  def shingleHashes(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+        shingles(tokens(normalize(col("text"))), k).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(col("doc_id"),
+        transform(col("_sh"), s => hash64(s)).as("sh"))
+
+  def shingleHashesSql(k: Int = 3): String =
+    s"""SELECT doc_id, list_transform(_sh, s -> ${hash64Sql("s")}) AS sh
+       |FROM (SELECT doc_id, ${shinglesSql(tokensSql(normalizeSql("text")), k)} AS _sh
+       |      FROM documents) t
+       |WHERE len(_sh) > 0""".stripMargin
+
+  /** MinHash signature columns s0..s15 + band hashes b0..b3. */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val withSigs = (0 until NumHashes).foldLeft(sh) { (df, i) =>
+      df.withColumn(s"s$i",
+        array_min(transform(col("sh"),
+          h => (lit(hashA(i)) * (h % P) + lit(hashB(i))) % P)))
+    }
+    (0 until Bands).foldLeft(withSigs) { (df, b) =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"s$i"))
+      df.withColumn(s"b$b", hash64(concat_ws(":", cols: _*)))
+    }.withColumn("sigs", array((0 until NumHashes).map(i => col(s"s$i")): _*))
+  }
+
+  /** §2.22 MinHash+LSH near-dup pairs: band-bucket join → estimated
+    * jaccard from signature agreement. */
+  def minhashPairs(docs: DataFrame, minEstJaccard: Double = 0.25): DataFrame = {
+    val sig = minhashSignatures(shingleHashes(docs))
+      .select((Seq(col("doc_id"), col("sigs")) ++
+        (0 until Bands).map(b => col(s"b$b"))): _*)
+    val bands = sig.select(col("doc_id"), col("sigs"),
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band"), col(s"b$b").as("bh"))): _*)).as("e"))
+      .select(col("doc_id"), col("sigs"), col("e.band"), col("e.bh"))
+    val a = bands.select(col("doc_id").as("id_a"), col("sigs").as("sa"),
+      col("band"), col("bh"))
+    val b = bands.select(col("doc_id").as("id_b"), col("sigs").as("sb"),
+      col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, v) => acc + v).cast("double") / NumHashes, 6).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .orderBy("id_a", "id_b")
+  }
+
+  def minhashPairsSql(minEstJaccard: Double = 0.25): String = {
+    val sigExprs = (0 until NumHashes).map { i =>
+      s"list_min(list_transform(sh, h -> (${hashA(i)} * (h % $P) + ${hashB(i)}) % $P)) AS s$i"
+    }.mkString(",\n    ")
+    val bandExprs = (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"s$i")
+      s"${hash64Sql(s"concat_ws(':', ${cols.mkString(", ")})")} AS b$b"
+    }.mkString(",\n    ")
+    val sigList = (0 until NumHashes).map(i => s"s$i").mkString(", ")
+    val bandUnion = (0 until Bands).map(b =>
+      s"SELECT doc_id, sigs, $b AS band, b$b AS bh FROM sig").mkString("\n  UNION ALL ")
+    s"""WITH sh AS (${shingleHashesSql()}),
+       |sigraw AS (SELECT doc_id,
+       |    $sigExprs
+       |  FROM sh),
+       |sig AS (SELECT doc_id, [$sigList] AS sigs,
+       |    $bandExprs
+       |  FROM sigraw),
+       |bands AS ($bandUnion),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  round(len(list_filter(generate_series(1, $NumHashes),
+       |    i -> sa.sigs[i] = sb.sigs[i])) / ${NumHashes}.0, 6) AS est_jaccard
+       |FROM pairs JOIN sig sa ON pairs.id_a = sa.doc_id
+       |           JOIN sig sb ON pairs.id_b = sb.doc_id
+       |WHERE round(len(list_filter(generate_series(1, $NumHashes),
+       |    i -> sa.sigs[i] = sb.sigs[i])) / ${NumHashes}.0, 6) >= $minEstJaccard
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** §2.21 exact dedup: canonical = min doc_id per content hash. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      hash64(normalize(col("text"))).as("content_hash"))
+    val canon = hashed.groupBy("content_hash")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+    hashed.join(canon, "content_hash")
+      .select(col("doc_id"), col("content_hash"), col("canonical_id"),
+        col("group_size"), (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
+      .orderBy("doc_id")
+  }
+
+  val exactDedupSql: String =
+    s"""WITH hashed AS (SELECT doc_id, ${hash64Sql(normalizeSql("text"))} AS content_hash
+       |  FROM documents),
+       |canon AS (SELECT content_hash, min(doc_id) AS canonical_id,
+       |    count(*) AS group_size FROM hashed GROUP BY content_hash)
+       |SELECT doc_id, hashed.content_hash, canonical_id, group_size,
+       |  doc_id != canonical_id AS is_duplicate
+       |FROM hashed JOIN canon ON hashed.content_hash = canon.content_hash
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- SimHash ----
+  val SimBits = 32
+  val ChunkBits = 8
+  val Chunks = 4
+
+  /** 32-bit SimHash from unigram token hashes. */
+  def simhashCol(tokenHashes: Column): Column =
+    expr(s"""aggregate(sequence(0, ${SimBits - 1}), 0L, (acc, j) -> acc +
+      CASE WHEN aggregate(_th, 0L, (s, h) ->
+        s + CASE WHEN (shiftright(h, j) % 2) = 1 THEN 1L ELSE -1L END) > 0
+      THEN shiftleft(1L, j) ELSE 0L END)""")
+
+  /** §2.23 SimHash near-dup pairs: 8-bit chunk blocking → Hamming ≤ maxDist. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), tokens(normalize(col("text"))).as("_t"))
+      .filter(size(col("_t")) > 0)
+      .select(col("doc_id"),
+        transform(col("_t"), t => hash64(t) % P).as("_th"))
+      .select(col("doc_id"), simhashCol(col("_th")).as("sim"))
+    val chunks = sigs.select(col("doc_id"), col("sim"),
+      explode(array((0 until Chunks).map(c =>
+        struct(lit(c).as("chunk"),
+          expr(s"(shiftright(sim, ${c * ChunkBits}) % 256)").as("cv"))): _*)).as("e"))
+      .select(col("doc_id"), col("sim"), col("e.chunk"), col("e.cv"))
+    val a = chunks.select(col("doc_id").as("id_a"), col("sim").as("sim_a"),
+      col("chunk"), col("cv"))
+    val b = chunks.select(col("doc_id").as("id_b"), col("sim").as("sim_b"),
+      col("chunk"), col("cv"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= maxDist)
+      .orderBy("id_a", "id_b")
+  }
+
+  def simhashPairsSql(maxDist: Int = 3): String = {
+    val chunkUnion = (0 until Chunks).map(c =>
+      s"SELECT doc_id, sim, $c AS chunk, (sim >> ${c * ChunkBits}) % 256 AS cv FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_transform(${tokensSql(normalizeSql("text"))}, t -> ${hash64Sql("t")} % $P) AS th
+       |  FROM documents WHERE len(${tokensSql(normalizeSql("text"))}) > 0),
+       |sigs AS (SELECT doc_id,
+       |    CAST(list_sum(list_transform(generate_series(0, ${SimBits - 1}), j ->
+       |      CASE WHEN list_sum(list_transform(th, h ->
+       |        CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sim
+       |  FROM toks),
+       |chunks AS ($chunkUnion),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sim AS sim_a, b.sim AS sim_b
+       |  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, sim_a, sim_b,
+       |  CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= $maxDist
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** §2.24 n-gram Jaccard pairs within (lang, length-bucket) blocks. */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2): DataFrame = {
+    val grams = docs.select(col("doc_id"), col("lang"),
+        array_distinct(shingles(tokens(normalize(col("text"))), 3)).as("g"))
+      .filter(size(col("g")) > 0)
+      .withColumn("lb", (size(col("g")) / 10).cast("long"))
+    val a = grams.select(col("lang"), col("lb"), col("doc_id").as("id_a"), col("g").as("ga"))
+    val b = grams.select(col("lang"), col("lb"), col("doc_id").as("id_b"), col("g").as("gb"))
+    a.join(b, Seq("lang", "lb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  def ngramJaccardPairsSql(minJaccard: Double = 0.2): String =
+    s"""WITH grams AS (SELECT doc_id, lang,
+       |    list_distinct(${shinglesSql(tokensSql(normalizeSql("text")), 3)}) AS g
+       |  FROM documents),
+       |blocked AS (SELECT doc_id, lang, g, len(g) // 10 AS lb
+       |  FROM grams WHERE len(g) > 0)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(len(list_intersect(a.g, b.g)) /
+       |    CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) AS jaccard
+       |FROM blocked a JOIN blocked b
+       |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+       |WHERE round(len(list_intersect(a.g, b.g)) /
+       |    CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) >= $minJaccard
+       |ORDER BY id_a, id_b""".stripMargin
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.ann.Ann
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+  private def docs = Seq(
+    (0L, base, "en"),
+    (1L, base, "en"),                                   // exact dup of 0
+    (2L, base.replace("lazy", "sleepy"), "en"),         // near dup of 0
+    (3L, "completely different content about spark catalyst optimizer rules and physical plans here", "en"),
+    (4L, "another unrelated document talking about parquet column pruning and predicate pushdown today", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exactDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(0L) == (0L, false))
+    assert(out(1L) == (0L, true))   // dup of doc 0
+    assert(out(2L)._2 == false)     // near-dup is NOT an exact dup
+  }
+
+  test("minhash LSH finds exact and near dup pairs, not unrelated ones") {
+    val pairs = Dedup.minhashPairs(docs, 0.25).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact pair missing from $pairs")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      s"near pair missing from $pairs")
+    assert(!pairs.exists(p => p._2 == 3L && p._1 <= 2L || p._1 == 3L))
+  }
+
+  test("simhash hamming distance 0 for identical docs") {
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number]("hamming").longValue)).toMap
+    assert(pairs((0L, 1L)) == 0L)
+  }
+
+  test("ngram jaccard scores exact pair 1.0 and near pair high") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.get((0L, 2L)).exists(j => j > 0.3 && j < 1.0))
+  }
+
+  test("brute-force topk: identical vector ranks first with cosine 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),   // identical to query 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(0.9f, 0.1f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val top = Ann.bruteForceTopK(vecs, nq = 1, k = 3).collect()
+    assert(top(0).getLong(2) == 1L && top(0).getDouble(3) == 1.0)
+  }
+
+  test("lsh buckets cover the corpus and topk stays within bucket") {
+    val out = Ann.lshTopK(Tables.embeddings(spark, sf)).collect()
+    assert(out.forall(_.getInt(2) <= 5))
+    // each (q, neighbor) row shares the query bucket by construction
+    assert(out.map(_.getLong(1)).distinct.length <= 5)
+  }
+
+  test("minhash est_jaccard ~ true jaccard on near pair") {
+    val pairs = Dedup.minhashPairs(docs, 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0) // identical docs → identical signatures
+  }
+}
