@@ -20,39 +20,41 @@ import graft.text.TextFunctions._
   */
 object Dedup {
 
-  // ---- MinHash constants (shared with oracle SQL) ----
-  val P: Long = 2147483647L
+  // ---- MinHash constants (single source shared by the native
+  // expressions AND the oracle-SQL generation) ----
+  val P: Long = graft.functions.HashConstants.P
   val NumHashes = 16
   val Bands = 4
   val RowsPerBand = 4
-  def hashA(i: Int): Long = 1103515245L + 997L * i
-  def hashB(i: Int): Long = 12345L + 7919L * i
+  def hashA(i: Int): Long = graft.functions.HashConstants.hashA(i)
+  def hashB(i: Int): Long = graft.functions.HashConstants.hashB(i)
 
-  /** doc_id + 3-token shingle-hash array (empty-filtered). */
+  /** doc_id + k-shingle hash array via the native expressions
+    * ([[graft.functions.TokenPolyHashes]] / ShinglePolyHashes): one
+    * compiled pass per row — no string shingles, no per-shingle rehash,
+    * no interpreted higher-order lambdas. */
   def shingleHashes(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(col("doc_id"),
-        shingles(tokens(normalize(col("text"))), k).as("_sh"))
-      .filter(size(col("_sh")) > 0)
-      .select(col("doc_id"),
-        transform(col("_sh"), s => hash64(s)).as("sh"))
+        graft.functions.native.shingle_hashes(
+          graft.functions.native.token_poly_hashes(col("text")), k).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   def shingleHashesSql(k: Int = 3): String =
-    s"""SELECT doc_id, list_transform(_sh, s -> ${hash64Sql("s")}) AS sh
-       |FROM (SELECT doc_id, ${shinglesSql(tokensSql(normalizeSql("text")), k)} AS _sh
-       |      FROM documents) t
-       |WHERE len(_sh) > 0""".stripMargin
+    s"""SELECT doc_id, ${shingleHashCombineSql("th", k)} AS sh
+       |FROM (SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents) t
+       |WHERE len(${shingleHashCombineSql("th", k)}) > 0""".stripMargin
 
-  /** MinHash signature columns s0..s15 + band hashes b0..b3. */
+  /** MinHash signature array + band hashes b0..b3. The signature is ONE
+    * native-expression column; band hashes string-join 4-signature
+    * slices (same bytes as the oracle's concat_ws over s0..s3). */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val withSigs = (0 until NumHashes).foldLeft(sh) { (df, i) =>
-      df.withColumn(s"s$i",
-        array_min(transform(col("sh"),
-          h => (lit(hashA(i)) * (h % P) + lit(hashB(i))) % P)))
+    val withSig = sh.withColumn("sigs",
+      graft.functions.native.minhash_signature(col("sh"), NumHashes))
+    (0 until Bands).foldLeft(withSig) { (df, b) =>
+      df.withColumn(s"b$b", hash64(
+        array_join(transform(slice(col("sigs"), b * RowsPerBand + 1, RowsPerBand),
+          v => v.cast("string")), ":")))
     }
-    (0 until Bands).foldLeft(withSigs) { (df, b) =>
-      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"s$i"))
-      df.withColumn(s"b$b", hash64(concat_ws(":", cols: _*)))
-    }.withColumn("sigs", array((0 until NumHashes).map(i => col(s"s$i")): _*))
   }
 
   /** §2.22 MinHash+LSH near-dup pairs: band-bucket join → estimated
@@ -149,11 +151,9 @@ object Dedup {
   /** §2.23 SimHash near-dup pairs: 8-bit chunk blocking → Hamming ≤ maxDist. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val sigs = docs
-      .select(col("doc_id"), tokens(normalize(col("text"))).as("_t"))
-      .filter(size(col("_t")) > 0)
       .select(col("doc_id"),
-        transform(col("_t"), t => hash64(t) % P).as("_th"))
-      .select(col("doc_id"), simhashCol(col("_th")).as("sim"))
+        graft.functions.native.simhash(
+          graft.functions.native.token_poly_hashes(col("text")), SimBits).as("sim"))
     val chunks = sigs.select(col("doc_id"), col("sim"),
       explode(array((0 until Chunks).map(c =>
         struct(lit(c).as("chunk"),
@@ -176,8 +176,7 @@ object Dedup {
     val chunkUnion = (0 until Chunks).map(c =>
       s"SELECT doc_id, sim, $c AS chunk, (sim >> ${c * ChunkBits}) % 256 AS cv FROM sigs")
       .mkString("\n  UNION ALL ")
-    s"""WITH toks AS (SELECT doc_id,
-       |    list_transform(${tokensSql(normalizeSql("text"))}, t -> ${hash64Sql("t")} % $P) AS th
+    s"""WITH toks AS (SELECT doc_id, ${tokenHashesSql("text")} AS th
        |  FROM documents WHERE len(${tokensSql(normalizeSql("text"))}) > 0),
        |sigs AS (SELECT doc_id,
        |    CAST(list_sum(list_transform(generate_series(0, ${SimBits - 1}), j ->
@@ -198,34 +197,41 @@ object Dedup {
 
   /** §2.24 n-gram Jaccard pairs within (lang, length-bucket) blocks. */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2): DataFrame = {
+    val nPart = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
     val grams = docs.select(col("doc_id"), col("lang"),
-        array_distinct(shingles(tokens(normalize(col("text"))), 3)).as("g"))
+        array_distinct(graft.functions.native.shingle_hashes(
+          graft.functions.native.token_poly_hashes(col("text")), 3)).as("g"))
       .filter(size(col("g")) > 0)
       .withColumn("lb", (size(col("g")) / 10).cast("long"))
+      .repartition(nPart)
     val a = grams.select(col("lang"), col("lb"), col("doc_id").as("id_a"), col("g").as("ga"))
     val b = grams.select(col("lang"), col("lb"), col("doc_id").as("id_b"), col("g").as("gb"))
     a.join(b, Seq("lang", "lb"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))), 6))
+      // |A∪B| = |A|+|B|-|A∩B| on already-distinct arrays: one set op
+      // per pair instead of two
+      .withColumn("_inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jaccard", round(col("_inter").cast("double") /
+        (size(col("ga")) + size(col("gb")) - col("_inter")), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
 
   def ngramJaccardPairsSql(minJaccard: Double = 0.2): String =
-    s"""WITH grams AS (SELECT doc_id, lang,
-       |    list_distinct(${shinglesSql(tokensSql(normalizeSql("text")), 3)}) AS g
-       |  FROM documents),
+    s"""WITH toks AS (SELECT doc_id, lang, ${tokenHashesSql("text")} AS th FROM documents),
+       |grams AS (SELECT doc_id, lang,
+       |    list_distinct(${shingleHashCombineSql("th", 3)}) AS g
+       |  FROM toks),
        |blocked AS (SELECT doc_id, lang, g, len(g) // 10 AS lb
        |  FROM grams WHERE len(g) > 0)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  round(len(list_intersect(a.g, b.g)) /
-       |    CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) AS jaccard
+       |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE), 6) AS jaccard
        |FROM blocked a JOIN blocked b
        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
        |WHERE round(len(list_intersect(a.g, b.g)) /
-       |    CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) >= $minJaccard
+       |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE), 6) >= $minJaccard
        |ORDER BY id_a, id_b""".stripMargin
 }

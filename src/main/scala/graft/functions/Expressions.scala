@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-hashing hot path.
+  *
+  * The dedup/similarity pipeline originally composed Spark's
+  * higher-order array functions (transform/aggregate). Those are
+  * CodegenFallback AND interpreted per element; worse, CollapseProject
+  * inlines an upstream expression into every element-level reference,
+  * turning O(tokens) work into O(tokens × refs) (measured: 66 s vs
+  * ~1 s at sf0.1 for shingle hashing — and a repartition is NOT a
+  * barrier, the optimizer folds projections straight through it).
+  * These expressions run the same arithmetic as tight compiled loops:
+  * one virtual call per ROW instead of per element.
+  *
+  * Semantics are bit-identical to the DuckDB oracle SQL in
+  * [[graft.text.TextFunctions]] / [[graft.dedup.Dedup]]:
+  *   normalize  = regexp_replace(lower(s), '[^a-z0-9 ]', '', 'g')
+  *   tokens     = string_split_regex(trim(n), '\s+')
+  *   tokenHash  = fold (h*131 + code) % 1e9+7 over chars (empty → [0])
+  *   shingle    = fold (acc*131 + th[i+j]) % 1e9+7 over k-window
+  *   minhash_i  = min over shingles of (A_i*h + B_i) % 2147483647
+  *   simhash    = bit j set iff Σ tokens (±1 on bit j of hash) > 0
+  */
+object HashConstants {
+  val M: Long = 1000000007L
+  val P: Long = 2147483647L
+  def hashA(i: Int): Long = 1103515245L + 997L * i
+  def hashB(i: Int): Long = 12345L + 7919L * i
+}
+
+/** text → array<long> of per-token polynomial hashes of the normalized
+  * text (single pass, no intermediate strings). */
+case class TokenPolyHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import HashConstants.M
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        h = (h * 131 + c.toInt) % M
+        inTok = true
+      } else if (c == ' ') {
+        if (inTok) { out += h; h = 0L; inTok = false }
+      } // any other char: dropped by normalize (tokens glue together)
+      i += 1
+    }
+    if (inTok) out += h
+    if (out.isEmpty) out += 0L // split of empty text yields [''] → hash 0
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): TokenPolyHashes = copy(c)
+}
+
+/** array<long> token hashes → array<long> k-shingle hashes. */
+case class ShinglePolyHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  import HashConstants.M
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val th = input.asInstanceOf[ArrayData].toLongArray()
+    val n = th.length - (k - 1)
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = (acc * 131 + th(i + j)) % M; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): ShinglePolyHashes = copy(c)
+}
+
+/** array<long> shingle hashes → array<long> MinHash signature. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  import HashConstants._
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val sh = input.asInstanceOf[ArrayData].toLongArray()
+    if (sh.isEmpty) return null // matches array_min over empty
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < sh.length) {
+      val h = sh(s)
+      var i = 0
+      while (i < numHashes) {
+        val v = (hashA(i) * h + hashB(i)) % P
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(c)
+}
+
+/** array<long> token hashes → long SimHash (bits-wide). */
+case class SimHash(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val th = input.asInstanceOf[ArrayData].toLongArray()
+    val counts = new Array[Int](bits)
+    var t = 0
+    while (t < th.length) {
+      val h = th(t)
+      var j = 0
+      while (j < bits) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < bits) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(sim)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash = copy(c)
+}
+
+/** Column-level wrappers (Spark 4: Columns wrap ColumnNodes, so
+  * Expression-backed Columns go through classic.ExpressionUtils). */
+object native {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  def token_poly_hashes(c: Column): Column = column(TokenPolyHashes(expression(c)))
+  def shingle_hashes(c: Column, k: Int): Column = column(ShinglePolyHashes(expression(c), k))
+  def minhash_signature(c: Column, n: Int): Column = column(MinHashSignature(expression(c), n))
+  def simhash(c: Column, bits: Int): Column = column(SimHash(expression(c), bits))
+}

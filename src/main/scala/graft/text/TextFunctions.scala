@@ -61,4 +61,36 @@ object TextFunctions {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, b) -> (a * 131 + b) % 1000000007)"
+
+  val M: Long = 1000000007L
+
+  /** Per-token polynomial hashes of normalized text — the shared cheap
+    * arithmetic base for minhash/simhash/ngram ops (the md5-based
+    * hash64 chain is ~15× slower per element when interpreted). */
+  def tokenHashes(c: Column): Column =
+    transform(tokens(normalize(c)), t => polyHash(t))
+
+  def tokenHashesSql(e: String): String =
+    s"list_transform(${tokensSql(normalizeSql(e))}, t -> ${polyHashSql("t")})"
+
+  /** k-shingle hashes combined arithmetically from token hashes:
+    * s_i = fold over window of (acc*131 + th) % M — no string shingles,
+    * no per-shingle rehash. */
+  def shingleHashCombine(th: Column, k: Int): Column = {
+    val cnt = size(th) - lit(k - 1)
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i =>
+        (0 until k).foldLeft(lit(0L)) { (acc, j) =>
+          (acc * 131 + element_at(th, i + lit(j))) % M
+        }))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  def shingleHashCombineSql(thE: String, k: Int): String = {
+    val body = (0 until k).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      val idx = if (j == 0) "i" else s"i + $j"
+      s"($acc * 131 + $thE[$idx]) % $M"
+    }
+    s"list_transform(generate_series(1, greatest(len($thE) - ${k - 1}, 0)), i -> $body)"
+  }
 }
