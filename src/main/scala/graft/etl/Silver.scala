@@ -42,8 +42,21 @@ object Silver {
       .orderBy(desc("cnt"), asc(c))
       .limit(1).head().getString(0)
 
-  def modes(df: DataFrame, cols: Seq[String]): Map[String, String] =
-    cols.map(c => c -> mode(df, c)).toMap
+  /** Modes for ALL columns in one scan: unpivot to (col, value), count,
+    * keep min value among max-count rows per col. Shuffles touch only
+    * distinct (col, value) pairs — tiny — vs one full job per column in
+    * the naive variant (the reference computes each in pandas). */
+  def modes(df: DataFrame, cols: Seq[String]): Map[String, String] = {
+    val counts = df.select(
+      expr(s"stack(${cols.size}, ${cols.map(c => s"'$c', $c").mkString(", ")}) AS (_c, _v)"))
+      .filter(col("_v").isNotNull)
+      .groupBy("_c", "_v").agg(count(lit(1)).as("cnt"))
+    val maxes = counts.groupBy("_c").agg(max("cnt").as("mx"))
+      .withColumnRenamed("_c", "_mc")
+    counts.join(maxes, col("_c") === col("_mc") && col("cnt") === col("mx"))
+      .groupBy("_c").agg(min("_v").as("mode"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
 
   /** LEAST(GREATEST(x, lo), hi) — the reference's clamp idiom. */
   def clamp(c: Column, lo: Double, hi: Double): Column =

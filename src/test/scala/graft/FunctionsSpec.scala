@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.native
+import graft.text.TextFunctions
+
+class FunctionsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("TokenPolyHashes matches the higher-order-function formulation") {
+    val df = Seq("The Quick  brown fox!  123 it's", "", "   ", "a.b c")
+      .toDF("text")
+    val a = df.select(native.token_poly_hashes(col("text"))).collect()
+      .map(_.getSeq[Long](0))
+    val b = df.select(TextFunctions.tokenHashes(col("text"))).collect()
+      .map(_.getSeq[Long](0))
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+  }
+
+  test("ShinglePolyHashes matches the HOF combine") {
+    val df = Seq("one two three four five", "a b", "x").toDF("text")
+    val a = df.select(native.shingle_hashes(native.token_poly_hashes(col("text")), 3))
+      .collect().map(_.getSeq[Long](0))
+    val b = df.select(TextFunctions.shingleHashCombine(
+        TextFunctions.tokenHashes(col("text")), 3))
+      .collect().map(_.getSeq[Long](0))
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+  }
+
+  test("MinHashSignature equals per-permutation array_min") {
+    import graft.dedup.Dedup
+    val df = Seq("one two three four five six seven").toDF("text")
+    val sh = df.select(native.shingle_hashes(native.token_poly_hashes(col("text")), 3).as("sh"))
+    val fast = sh.select(native.minhash_signature(col("sh"), Dedup.NumHashes))
+      .head().getSeq[Long](0)
+    val slow = (0 until Dedup.NumHashes).map { i =>
+      sh.select(array_min(transform(col("sh"),
+        h => (lit(Dedup.hashA(i)) * (h % Dedup.P) + lit(Dedup.hashB(i))) % Dedup.P)))
+        .head().getLong(0)
+    }
+    assert(fast == slow)
+  }
+
+  test("SimHash bit semantics: single token yields its low bits") {
+    val sim = Seq("abc").toDF("text")
+      .select(native.simhash(native.token_poly_hashes(col("text")), 32))
+      .head().getLong(0)
+    val th = Seq("abc").toDF("text")
+      .select(native.token_poly_hashes(col("text"))).head().getSeq[Long](0).head
+    assert(sim == (th & 0xffffffffL)) // one token: each set bit wins its vote
+  }
+
+  test("functions are SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_simhash(graft_token_hashes('hello world'), 32) AS s").head().getLong(0)
+    assert(r != 0L)
+    val sig = spark.sql(
+      "SELECT graft_minhash(graft_shingle_hashes(graft_token_hashes('one two three four'), 3), 16) AS m")
+      .head().getSeq[Long](0)
+    assert(sig.length == 16)
+  }
+}
