@@ -50,7 +50,10 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => ann.Ann.lshTopK(T.embeddings(s, d))),
     "mm_features" -> (multimodal.Multimodal.mmFeatures _),
     "events_window_agg" -> (streaming.Streaming.eventsWindowAgg _),
-    "sessionize" -> (streaming.Streaming.sessionize _)
+    "sessionize" -> (streaming.Streaming.sessionize _),
+    "sample_stratified" -> (pipeline.Pipeline.sampleStratified _),
+    "pack_sequences" -> (pipeline.Pipeline.packSequences _),
+    "dedup_clusters" -> ((s, d) => pipeline.Pipeline.dedupClusters(s, d))
   )
 
   /** DuckDB oracle SQL, same column aliases as the Spark queries. */
@@ -88,6 +91,9 @@ object SparkEntry {
     "ann_lsh" -> ann.Ann.lshTopKSql(),
     "mm_features" -> multimodal.Multimodal.mmFeaturesSql,
     "events_window_agg" -> streaming.Streaming.eventsWindowAggSql,
-    "sessionize" -> streaming.Streaming.sessionizeSql
+    "sessionize" -> streaming.Streaming.sessionizeSql,
+    "sample_stratified" -> pipeline.Pipeline.sampleStratifiedSql,
+    "pack_sequences" -> pipeline.Pipeline.packSequencesSql,
+    "dedup_clusters" -> pipeline.Pipeline.dedupClustersSql
   )
 }

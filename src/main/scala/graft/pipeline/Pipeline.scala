@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.text.TextFunctions._
+
+/** Training-data pipeline operators beyond dedup/similarity —
+  * SURVEY.md §2 items 37–39: deterministic stratified sampling,
+  * context-window sequence packing, and duplicate-cluster resolution
+  * via distributed connected components.
+  */
+object Pipeline {
+
+  /** §2.37 deterministic hash-based stratified sampling: keep a row iff
+    * hash(stratum:key) mod 100 < rate(stratum). Reproducible across
+    * runs/engines (no RNG), embarrassingly parallel, and the sampling
+    * decision colocates with the row — no shuffle at all.
+    * Rates: downsample the dominant language, keep the tail. */
+  val strataRates: Map[String, Int] = Map(
+    "en" -> 20, "de" -> 80, "es" -> 80, "fr" -> 80, "zh" -> 80)
+
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rate = strataRates.foldLeft(lit(50)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("_bucket", pmod(hash64(concat_ws(":", col("lang"), col("doc_id"))), lit(100)))
+      .filter(col("_bucket") < rate)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val sampleStratifiedSql: String = {
+    val rateCase = strataRates.toSeq.sortBy(_._1).map { case (l, r) =>
+      s"WHEN lang = '$l' THEN $r"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE ${hash64Sql("concat_ws(':', lang, doc_id)")} % 100 <
+       |  (CASE $rateCase ELSE 50 END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** §2.38 sequence packing for a context window: assign docs (in
+    * deterministic stream order per language) to bins by cumulative
+    * token count div capacity — the shuffle-light approximation of
+    * first-fit packing (one window shuffle on the stream key; at 100 TB
+    * the stream key is (worker, file-split) so packing stays local). */
+  val PackCapacity = 2048
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens",
+        size(graft.functions.native.token_poly_hashes(col("text"))).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", (col("cum_before") / PackCapacity).cast("long"))
+      .select("lang", "doc_id", "n_tokens", "bin")
+      .orderBy("lang", "doc_id")
+  }
+
+  val packSequencesSql: String =
+    s"""SELECT lang, doc_id, n_tokens,
+       |  CAST(floor(cum_before / $PackCapacity) AS BIGINT) AS bin
+       |FROM (
+       |  SELECT lang, doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS cum_before
+       |  FROM (SELECT lang, doc_id,
+       |          CAST(len(${tokenHashesSql("text")}) AS BIGINT) AS n_tokens
+       |        FROM documents) t0) t1
+       |ORDER BY lang, doc_id""".stripMargin
+
+  /** §2.39 duplicate-cluster resolution: connected components over the
+    * MinHash near-dup pair graph by iterative min-label propagation —
+    * each iteration is one join + one partial-agg'd shuffle, and the
+    * loop runs O(component diameter) rounds (near-dup clusters are
+    * near-cliques, so 2–3 in practice).
+    * cluster_id = min doc_id in the component. */
+  def dedupClusters(spark: SparkSession, dir: String,
+      maxIter: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val pairs = graft.dedup.Dedup.minhashPairs(Tables.documents(spark, dir))
+      .select("id_a", "id_b")
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaEdges = edges.join(labels, col("dst") === col("doc_id"))
+        .select(col("src").as("doc_id"), col("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .cache()
+      next.count() // materialize before comparing
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${graft.dedup.Dedup.minhashPairsSql()}) p),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM documents
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, min(dst) AS cluster_id,
+       |  src = min(dst) AS is_canonical
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.Pipeline
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  test("stratified sampling downsamples the dominant stratum") {
+    val full = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Pipeline.sampleStratified(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = sampled.getOrElse("en", 0L).toDouble / full("en")
+    val deRate = sampled.getOrElse("de", 0L).toDouble / full("de")
+    assert(enRate < 0.5, s"en rate $enRate should be ~0.2")
+    assert(deRate > 0.5, s"de rate $deRate should be ~0.8")
+  }
+
+  test("sampling is deterministic across invocations") {
+    val a = Pipeline.sampleStratified(spark, sf).collect().map(_.getLong(0))
+    val b = Pipeline.sampleStratified(spark, sf).collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+  }
+
+  test("packed bins never exceed capacity by more than one document") {
+    val over = Pipeline.packSequences(spark, sf)
+      .groupBy("lang", "bin").agg(sum("n_tokens").as("fill"), count(lit(1)).as("n"))
+      // cumsum-div packing: a bin overflows by at most its last doc
+      .filter(col("fill") >= Pipeline.PackCapacity * 2)
+    assert(over.count() == 0)
+    val binsPerLang = Pipeline.packSequences(spark, sf)
+      .groupBy("lang").agg(countDistinct("bin").as("nb")).collect()
+    assert(binsPerLang.forall(_.getLong(1) >= 1))
+  }
+
+  test("connected components merge chained near-duplicates") {
+    import spark.implicits._
+    // build a corpus where 0~1 and 1~2 are near-dups but 0 and 2 are
+    // linked only through 1 (chain), plus an isolated doc
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (0L, base, "en"),
+      (1L, base + " nu", "en"),
+      (2L, base + " nu xi", "en"),
+      (3L, "totally different words entirely unrelated content goes here now", "en"))
+      .toDF("doc_id", "text", "lang")
+    // run the same label propagation as dedupClusters but on local docs
+    val pairs = graft.dedup.Dedup.minhashPairs(docs, 0.25).select("id_a", "id_b")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)) && got.contains((1L, 2L)))
+    // full operator on corpus: every doc labeled, canonical = min of cluster
+    val clusters = Pipeline.dedupClusters(spark, sf)
+    assert(clusters.count() == Tables.documents(spark, sf).count())
+    assert(clusters.filter(col("cluster_id") > col("doc_id")).count() == 0)
+  }
+}
