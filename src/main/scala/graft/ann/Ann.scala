@@ -102,12 +102,11 @@ object Ann {
   private def coefExpr(p: String, d: String): String =
     s"(((CAST(1103515245 AS BIGINT) * ($p * $Dim + $d) + 12345) % 2147483647) / 2147483647.0 - 0.5)"
 
-  /** Bucket id: sign bits of the 8 hyperplane projections. */
+  /** Bucket id: sign bits of the 8 hyperplane projections (native
+    * expression — the HOF formulation interprets ~planes×dim steps per
+    * row; see graft.functions.HyperplaneBucket). */
   def bucketCol: Column =
-    expr(s"""aggregate(sequence(0, ${Planes - 1}), 0L, (acc, p) -> acc +
-      CASE WHEN aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE),
-        (s, d) -> s + ${coefExpr("p", "(d - 1)")} * CAST(embedding[d - 1] AS DOUBLE)) > 0
-      THEN shiftleft(1L, p) ELSE 0L END)""")
+    graft.functions.native.hyperplane_bucket(col("embedding"), Planes, Dim)
 
   val bucketSql: String =
     s"""CAST(list_sum(list_transform(generate_series(0, ${Planes - 1}), p ->

@@ -138,6 +138,33 @@ case class SimHash(child: Expression, bits: Int)
   override protected def withNewChildInternal(c: Expression): SimHash = copy(c)
 }
 
+/** array<float> embedding → long LSH bucket id: sign bits of `planes`
+  * deterministic pseudo-random hyperplane projections. Same arithmetic
+  * as the DuckDB rendering in [[graft.ann.Ann.bucketSql]]: coefficient
+  * c(p,d) from an LCG on p*dim+d, sequential double accumulation. */
+case class HyperplaneBucket(child: Expression, planes: Int, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toFloatArray()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var d = 0
+      while (d < dim) {
+        val c = ((1103515245L * (p * dim + d) + 12345L) % 2147483647L) / 2147483647.0 - 0.5
+        s += c * v(d).toDouble
+        d += 1
+      }
+      if (s > 0) bucket |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucket = copy(c)
+}
+
 /** Column-level wrappers (Spark 4: Columns wrap ColumnNodes, so
   * Expression-backed Columns go through classic.ExpressionUtils). */
 object native {
@@ -146,4 +173,6 @@ object native {
   def shingle_hashes(c: Column, k: Int): Column = column(ShinglePolyHashes(expression(c), k))
   def minhash_signature(c: Column, n: Int): Column = column(MinHashSignature(expression(c), n))
   def simhash(c: Column, bits: Int): Column = column(SimHash(expression(c), bits))
+  def hyperplane_bucket(c: Column, planes: Int, dim: Int): Column =
+    column(HyperplaneBucket(expression(c), planes, dim))
 }
