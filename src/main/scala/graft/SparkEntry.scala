@@ -53,7 +53,8 @@ object SparkEntry {
     "sessionize" -> (streaming.Streaming.sessionize _),
     "sample_stratified" -> (pipeline.Pipeline.sampleStratified _),
     "pack_sequences" -> (pipeline.Pipeline.packSequences _),
-    "dedup_clusters" -> ((s, d) => pipeline.Pipeline.dedupClusters(s, d))
+    "dedup_clusters" -> ((s, d) => pipeline.Pipeline.dedupClusters(s, d)),
+    "asof_join" -> (analytics.Queries.asofJoin _)
   )
 
   /** DuckDB oracle SQL, same column aliases as the Spark queries. */
@@ -94,6 +95,7 @@ object SparkEntry {
     "sessionize" -> streaming.Streaming.sessionizeSql,
     "sample_stratified" -> pipeline.Pipeline.sampleStratifiedSql,
     "pack_sequences" -> pipeline.Pipeline.packSequencesSql,
-    "dedup_clusters" -> pipeline.Pipeline.dedupClustersSql
+    "dedup_clusters" -> pipeline.Pipeline.dedupClustersSql,
+    "asof_join" -> analytics.Queries.asofJoinSql
   )
 }

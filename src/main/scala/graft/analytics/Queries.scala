@@ -241,6 +241,43 @@ object Queries {
       |SELECT 'either' AS tag, o_custkey FROM (SELECT o_custkey FROM f UNION SELECT o_custkey FROM o)
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** §2.40 as-of join, composed Spark-first (no custom physical
+    * operator needed): tag both streams, one window per key carries the
+    * latest click timestamp forward, purchases read it — a single sort
+    * shuffle on user_id, vs the naive time-range self-join's O(n²)
+    * candidate blowup. Oracle uses DuckDB's native ASOF JOIN, which
+    * pins the exact semantics: latest click with click_ts <= event ts. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("event_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast("timestamp").as("click_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_click_ts"),
+        (col("ts").cast("long") - col("last_click_ts").cast("long")).as("gap_s"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+      |  CAST(c.ts AS TIMESTAMP) AS last_click_ts,
+      |  CASE WHEN c.ts IS NULL THEN NULL
+      |       ELSE date_diff('second', CAST(c.ts AS TIMESTAMP), CAST(p.ts AS TIMESTAMP))
+      |  END AS gap_s
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
   /** §2.20 ROLLUP hierarchical aggregation. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

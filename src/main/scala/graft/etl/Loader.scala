@@ -39,6 +39,18 @@ object Loader {
       .select(base.columns.map(c => col(s"_row.$c")): _*)
   }
 
+  /** Bucketed + sorted table write: co-locates future joins/aggs on
+    * `keys` (joins between two tables bucketed the same way need NO
+    * shuffle — the 100 TB answer to repeated fact⋈fact joins). Requires
+    * a catalog table (bucketing metadata lives in the metastore). */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Per-batch load report: row counts + basic stats, grouped by the
     * lineage columns added at bronze ingest. */
   def report(df: DataFrame, groupCols: Seq[String], keyCol: String,

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.Loader
+import graft.analytics.Queries
+
+class LoaderSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  test("bucketed tables join without a shuffle") {
+    Loader.writeBucketed(Tables.orders(spark, sf), "orders_b", Seq("o_orderkey"), 4)
+    Loader.writeBucketed(Tables.lineitem(spark, sf)
+      .withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", Seq("o_orderkey"), 4)
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"), "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("full vs batch write semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-load").toString + "/t"
+    val df = Tables.region(spark, sf)
+    Loader.write(df, dir, "full")
+    Loader.write(df, dir, "batch")
+    assert(spark.read.parquet(dir).count() == df.count() * 2)
+    Loader.write(df, dir, "full")
+    assert(spark.read.parquet(dir).count() == df.count())
+    intercept[IllegalArgumentException](Loader.write(df, dir, "nope"))
+  }
+
+  test("asof join: every purchase gets the latest prior click") {
+    val out = Queries.asofJoin(spark, sf)
+    assert(out.count() > 0)
+    // gap is never negative when a click exists
+    assert(out.filter(col("gap_s") < 0).count() == 0)
+    // spot-check one user against a direct computation
+    val row = out.filter(col("last_click_ts").isNotNull).head()
+    val uid = row.getLong(1)
+    val pts = row.getTimestamp(2)
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") === "click" && col("user_id") === uid &&
+        col("ts") <= lit(pts))
+      .agg(max("ts")).head().getTimestamp(0)
+    assert(row.getTimestamp(3) == expected)
+  }
+}
