@@ -54,7 +54,10 @@ object SparkEntry {
     "sample_stratified" -> (pipeline.Pipeline.sampleStratified _),
     "pack_sequences" -> (pipeline.Pipeline.packSequences _),
     "dedup_clusters" -> ((s, d) => pipeline.Pipeline.dedupClusters(s, d)),
-    "asof_join" -> (analytics.Queries.asofJoin _)
+    "asof_join" -> (analytics.Queries.asofJoin _),
+    "q5_join" -> (analytics.Queries.q5Join _),
+    "above_customer_avg" -> (analytics.Queries.aboveCustomerAvg _),
+    "scalar_funcs" -> (analytics.Queries.scalarFuncs _)
   )
 
   /** DuckDB oracle SQL, same column aliases as the Spark queries. */
@@ -96,6 +99,9 @@ object SparkEntry {
     "sample_stratified" -> pipeline.Pipeline.sampleStratifiedSql,
     "pack_sequences" -> pipeline.Pipeline.packSequencesSql,
     "dedup_clusters" -> pipeline.Pipeline.dedupClustersSql,
-    "asof_join" -> analytics.Queries.asofJoinSql
+    "asof_join" -> analytics.Queries.asofJoinSql,
+    "q5_join" -> analytics.Queries.q5JoinSql,
+    "above_customer_avg" -> analytics.Queries.aboveCustomerAvgSql,
+    "scalar_funcs" -> analytics.Queries.scalarFuncsSql
   )
 }

@@ -241,6 +241,103 @@ object Queries {
       |SELECT 'either' AS tag, o_custkey FROM (SELECT o_custkey FROM f UNION SELECT o_custkey FROM o)
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** §2.42 five-way star join (TPC-H Q5 shape): revenue per nation,
+    * dims broadcast down the chain, fact filters pushed to the scan. */
+  def q5Join(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q5JoinSql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** §2.43 correlated-style scalar comparison: orders priced above
+    * their customer's average (decorrelated to a join against a
+    * pre-aggregated per-customer average — the plan Spark/Catalyst
+    * produces for the correlated subquery form too). */
+  def aboveCustomerAvg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    // exact decimal sum then ONE double division: engine-order-proof
+    // (plain avg() accumulates doubles in engine-dependent order, which
+    // flips rows sitting exactly on the filter/rounding boundary)
+    val avgs = ord.groupBy(col("o_custkey").as("ck"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("cust_avg"))
+    ord.join(avgs, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      // floor-of-cents instead of round(…, 4): the decimal-sum/count
+      // average lands on exact half-way points, where Spark (HALF_UP on
+      // the shortest decimal repr) and DuckDB (binary rounding) differ
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        floor(col("cust_avg") * 100).cast("long").as("cust_avg_c"))
+      .orderBy("o_orderkey")
+  }
+
+  val aboveCustomerAvgSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(floor(cust_avg * 100) AS BIGINT) AS cust_avg_c
+      |FROM orders JOIN (SELECT o_custkey AS ck,
+      |                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |                      / count(*) AS cust_avg
+      |                  FROM orders GROUP BY o_custkey) a ON o_custkey = ck
+      |WHERE o_totalprice > cust_avg * 1.5
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** §2.44 scalar-function batch: dates, strings, conditionals —
+    * engine-parity over the everyday SQL surface. */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+        length(col("o_orderstatus")).as("st_len"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        when(col("o_totalprice") > 250000.0, "high")
+          .when(col("o_totalprice") > 100000.0, "mid")
+          .otherwise("low").as("price_band"),
+        round(col("o_totalprice") / 1000.0, 2).as("price_k"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"))
+      .orderBy("o_orderkey")
+
+  val scalarFuncsSql: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |  day(o_orderdate) AS dom,
+      |  upper(substr(o_orderpriority, 1, 3)) AS pri3,
+      |  length(o_orderstatus) AS st_len,
+      |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+      |  CASE WHEN o_totalprice > 250000.0 THEN 'high'
+      |       WHEN o_totalprice > 100000.0 THEN 'mid' ELSE 'low' END AS price_band,
+      |  round(o_totalprice / 1000.0, 2) AS price_k,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open
+      |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
+
   /** §2.40 as-of join, composed Spark-first (no custom physical
     * operator needed): tag both streams, one window per key carries the
     * latest click timestamp forward, purchases read it — a single sort

@@ -35,6 +35,19 @@ object Silver {
     cols.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
   }
 
+  /** Approximate medians via a mergeable quantile sketch
+    * (percentile_approx): the 100 TB path. Exact `median` buffers every
+    * value per group during aggregation; the sketch is O(accuracy)
+    * memory per partition and one partial-agg'd pass. Use exact for
+    * oracle parity at test SF, approx in production imputation. */
+  def mediansApprox(df: DataFrame, cols: Seq[String],
+      accuracy: Int = 10000): Map[String, Double] = {
+    val aggs = cols.map(c =>
+      percentile_approx(col(c), lit(0.5), lit(accuracy)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
+  }
+
   /** Deterministic mode (most frequent; ties → smallest value). */
   def mode(df: DataFrame, c: String): String =
     df.filter(col(c).isNotNull)

@@ -67,6 +67,17 @@ class EtlSpec extends AnyFunSuite {
     assert(out.sameElements(Array("new", "keep")))
   }
 
+  test("approx medians track exact medians on the corpus") {
+    val li = Tables.lineitem(spark, sf)
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val exact = Silver.medians(li, cols)
+    val approx = Silver.mediansApprox(li, cols)
+    cols.foreach { c =>
+      val rel = math.abs(approx(c) - exact(c)) / math.max(math.abs(exact(c)), 1e-9)
+      assert(rel < 0.05, s"$c: approx ${approx(c)} vs exact ${exact(c)}")
+    }
+  }
+
   test("medians and modes match known values") {
     import spark.implicits._
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
