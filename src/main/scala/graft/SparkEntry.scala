@@ -57,7 +57,8 @@ object SparkEntry {
     "asof_join" -> (analytics.Queries.asofJoin _),
     "q5_join" -> (analytics.Queries.q5Join _),
     "above_customer_avg" -> (analytics.Queries.aboveCustomerAvg _),
-    "scalar_funcs" -> (analytics.Queries.scalarFuncs _)
+    "scalar_funcs" -> (analytics.Queries.scalarFuncs _),
+    "kmv_distinct" -> (analytics.Queries.kmvDistinct _)
   )
 
   /** DuckDB oracle SQL, same column aliases as the Spark queries. */
@@ -102,6 +103,7 @@ object SparkEntry {
     "asof_join" -> analytics.Queries.asofJoinSql,
     "q5_join" -> analytics.Queries.q5JoinSql,
     "above_customer_avg" -> analytics.Queries.aboveCustomerAvgSql,
-    "scalar_funcs" -> analytics.Queries.scalarFuncsSql
+    "scalar_funcs" -> analytics.Queries.scalarFuncsSql,
+    "kmv_distinct" -> analytics.Queries.kmvDistinctSql
   )
 }

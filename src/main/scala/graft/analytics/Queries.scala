@@ -241,6 +241,49 @@ object Queries {
       |SELECT 'either' AS tag, o_custkey FROM (SELECT o_custkey FROM f UNION SELECT o_custkey FROM o)
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** §2.46 KMV distinct sketch (custom TypedImperativeAggregate):
+    * k smallest distinct hashes per group → mergeable distinct-count
+    * estimate; oracle replays the sketch with DuckDB's min(x, k). */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KMinValues.kmin_values
+    import graft.text.TextFunctions.hash64
+    val k = 64
+    val norm = 1152921504606846976.0 // 2^60: hash64 values are 60-bit
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        kmin_values(hash64(col("user_id").cast("string")), k).as("kmv"),
+        countDistinct(col("user_id")).as("n_users_exact"))
+      .select(
+        col("event_type"),
+        size(col("kmv")).as("n_sketch"),
+        element_at(col("kmv"), k).as("kth"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+          .otherwise(round(lit(k - 1) / (element_at(col("kmv"), k) / norm), 4))
+          .as("est_distinct"),
+        col("n_users_exact"))
+      .orderBy("event_type")
+  }
+
+  val kmvDistinctSql: String = {
+    import graft.text.TextFunctions.hash64Sql
+    val k = 64
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |    ${hash64Sql("CAST(user_id AS VARCHAR)")} AS hv FROM events),
+       |s AS (SELECT event_type, list_slice(list_sort(list(hv)), 1, $k) AS kmv,
+       |    count(*) AS n_distinct FROM h GROUP BY event_type),
+       |e AS (SELECT event_type, count(DISTINCT user_id) AS n_users_exact
+       |    FROM events GROUP BY event_type)
+       |SELECT s.event_type, CAST(len(kmv) AS INT) AS n_sketch,
+       |  kmv[$k] AS kth,
+       |  CASE WHEN len(kmv) < $k THEN CAST(len(kmv) AS DOUBLE)
+       |       ELSE round(${k - 1} / (kmv[$k] / 1152921504606846976.0), 4)
+       |  END AS est_distinct,
+       |  n_users_exact
+       |FROM s JOIN e ON s.event_type = e.event_type
+       |ORDER BY s.event_type""".stripMargin
+  }
+
   /** §2.42 five-way star join (TPC-H Q5 shape): revenue per nation,
     * dims broadcast down the chain, fact filters pushed to the scan. */
   def q5Join(spark: SparkSession, dir: String): DataFrame = {

@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
 sealed trait Expectation {
   /** Aggregate expression counting violating rows. */
   def violations: Column
+  /** Schema-aware variant (default: schema-independent). */
+  def violationsFor(df: DataFrame): Column = violations
   def name: String
   def column: String
   /** DuckDB-SQL rendering of `violations` (for the oracle). */
@@ -63,6 +65,30 @@ final case class InSet(column: String, values: Seq[String]) extends Expectation 
   }
 }
 
+/** Schema-level type expectation (the reference's
+  * ExpectColumnValuesToBeOfType): resolved against the DataFrame schema
+  * at plan time on the Spark side, against typeof() in the oracle.
+  * `typeName` is canonical: bigint|int|double|string|timestamp. */
+final case class TypeIs(column: String, typeName: String) extends Expectation {
+  import org.apache.spark.sql.types._
+  val name = "type_is"
+  private val sparkTypes: Map[String, Seq[DataType]] = Map(
+    "bigint" -> Seq(LongType), "int" -> Seq(IntegerType),
+    "double" -> Seq(DoubleType), "string" -> Seq(StringType),
+    // parquet stores both adjusted and non-adjusted timestamps; DuckDB
+    // calls both TIMESTAMP, Spark splits them into LTZ/NTZ
+    "timestamp" -> Seq(TimestampType, TimestampNTZType))
+  private val duckTypes: Map[String, String] = Map(
+    "bigint" -> "BIGINT", "int" -> "INTEGER", "double" -> "DOUBLE",
+    "string" -> "VARCHAR", "timestamp" -> "TIMESTAMP")
+  def violations: Column = lit(0L) // overridden via violationsFor
+  override def violationsFor(df: DataFrame): Column =
+    if (sparkTypes(typeName).contains(df.schema(column).dataType)) lit(0L)
+    else count(lit(1))
+  def sql =
+    s"CASE WHEN typeof(any_value($column)) = '${duckTypes(typeName)}' THEN 0 ELSE count(*) END"
+}
+
 final case class RowCountAtLeast(minRows: Long) extends Expectation {
   val name = "row_count_at_least"
   val column = "*"
@@ -76,7 +102,7 @@ object Expectations {
     * DataFrame (expectation, column, violations, passed). */
   def run(df: DataFrame, suite: Seq[Expectation]): DataFrame = {
     val aggs = suite.zipWithIndex.map { case (e, i) =>
-      e.violations.cast("long").as(s"v$i")
+      e.violationsFor(df).cast("long").as(s"v$i")
     }
     val oneRow = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the 1-row agg into the report via stack()

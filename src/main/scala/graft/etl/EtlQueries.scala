@@ -29,6 +29,9 @@ object EtlQueries {
     Between("l_discount", 0.0, 0.1), Between("l_quantity", 0.0, 60.0),
     InSet("l_returnflag", Seq("A", "N", "R")),
     InSet("l_linestatus", Seq("O", "F")),
+    TypeIs("l_orderkey", "bigint"), TypeIs("l_quantity", "double"),
+    TypeIs("l_returnflag", "string"), TypeIs("l_shipdate", "timestamp"),
+    TypeIs("l_linenumber", "bigint"), // actually int32 → flags all rows
     RowCountAtLeast(1))
 
   def dqReport(spark: SparkSession, dir: String): DataFrame =
