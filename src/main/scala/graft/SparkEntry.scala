@@ -58,7 +58,12 @@ object SparkEntry {
     "q5_join" -> (analytics.Queries.q5Join _),
     "above_customer_avg" -> (analytics.Queries.aboveCustomerAvg _),
     "scalar_funcs" -> (analytics.Queries.scalarFuncs _),
-    "kmv_distinct" -> (analytics.Queries.kmvDistinct _)
+    "kmv_distinct" -> (analytics.Queries.kmvDistinct _),
+    "json_extract" -> (analytics.Queries.jsonExtract _),
+    "word_count" -> (analytics.Queries.wordCount _),
+    "outer_join_nulls" -> (analytics.Queries.outerJoinNulls _),
+    "grouping_sets" -> (analytics.Queries.groupingSets _),
+    "sliding_window" -> (analytics.Queries.slidingWindow _)
   )
 
   /** DuckDB oracle SQL, same column aliases as the Spark queries. */
@@ -104,6 +109,11 @@ object SparkEntry {
     "q5_join" -> analytics.Queries.q5JoinSql,
     "above_customer_avg" -> analytics.Queries.aboveCustomerAvgSql,
     "scalar_funcs" -> analytics.Queries.scalarFuncsSql,
-    "kmv_distinct" -> analytics.Queries.kmvDistinctSql
+    "kmv_distinct" -> analytics.Queries.kmvDistinctSql,
+    "json_extract" -> analytics.Queries.jsonExtractSql,
+    "word_count" -> analytics.Queries.wordCountSql,
+    "outer_join_nulls" -> analytics.Queries.outerJoinNullsSql,
+    "grouping_sets" -> analytics.Queries.groupingSetsSql,
+    "sliding_window" -> analytics.Queries.slidingWindowSql
   )
 }

@@ -241,6 +241,110 @@ object Queries {
       |SELECT 'either' AS tag, o_custkey FROM (SELECT o_custkey FROM f UNION SELECT o_custkey FROM o)
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** §2.49 JSON column extraction: schema-on-read over the events
+    * `props` payload (from_json with an explicit schema — codegen'd,
+    * unlike repeated get_json_object calls which re-parse per field). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_k"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """SELECT event_type, count(k) AS n_k, sum(k) AS sum_k,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |      FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** §2.50 word count via explode (lateral view): the canonical
+    * map-side-heavy aggregation; top-20 with deterministic tie-break. */
+  def wordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(graft.text.TextFunctions.tokens(lower(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(20)
+
+  val wordCountSql: String =
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      |      FROM documents) t
+      |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+
+  /** §2.51 full outer join with null sides: customer subset vs
+    * per-customer order rollup. */
+  def outerJoinNulls(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 700)
+      .select(col("c_custkey"), col("c_name"))
+    val ords = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .filter(col("o_custkey") > 300)
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_name"), lit("<no-customer>")).as("name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("custkey")
+  }
+
+  val outerJoinNullsSql: String =
+    """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+      |  coalesce(c_name, '<no-customer>') AS name,
+      |  coalesce(n_orders, 0) AS n_orders
+      |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 700) c
+      |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+      |                 GROUP BY o_custkey HAVING o_custkey > 300) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** §2.52 GROUPING SETS through the engine's SQL front-end (temp view
+    * + spark.sql — same Catalyst plan as the DataFrame API). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n,
+        |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n,
+      |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS INT) AS g_ls
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** §2.53 sliding-window aggregation: 2 h windows every 1 h (each
+    * event lands in two windows — Spark's window() expands in place;
+    * the oracle unions the two shifted hour buckets). */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+
+  val slidingWindowSql: String =
+    """SELECT win_start, event_type, count(*) AS n
+      |FROM (
+      |  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start,
+      |         event_type FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
+      |         event_type FROM events) t
+      |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin
+
   /** §2.46 KMV distinct sketch (custom TypedImperativeAggregate):
     * k smallest distinct hashes per group → mergeable distinct-count
     * estimate; oracle replays the sketch with DuckDB's min(x, k). */
