@@ -31,6 +31,26 @@ class LoaderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Loader.write(df, dir, "nope"))
   }
 
+  test("multi-format sink/source round-trip preserves data") {
+    import graft.etl.Bronze
+    val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val src = Tables.customer(spark, sf)
+    // parquet
+    src.write.mode("overwrite").parquet(s"$base/p")
+    assert(spark.read.parquet(s"$base/p").orderBy("c_custkey").collect()
+      .sameElements(src.orderBy("c_custkey").collect()))
+    // csv (schema supplied on read; header round-trips names)
+    src.write.mode("overwrite").option("header", "true").csv(s"$base/c")
+    val csvBack = Bronze.readCsv(spark, s"$base/c", src.schema)
+    assert(csvBack.count() == src.count())
+    assert(csvBack.agg(org.apache.spark.sql.functions.sum("c_acctbal")).head() ==
+      src.agg(org.apache.spark.sql.functions.sum("c_acctbal")).head())
+    // json
+    src.write.mode("overwrite").json(s"$base/j")
+    val jsonBack = Bronze.readJson(spark, s"$base/j", src.schema)
+    assert(jsonBack.count() == src.count())
+  }
+
   test("asof join: every purchase gets the latest prior click") {
     val out = Queries.asofJoin(spark, sf)
     assert(out.count() > 0)
