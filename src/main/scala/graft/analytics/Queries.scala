@@ -361,9 +361,9 @@ object Queries {
       .select(
         col("event_type"),
         size(col("kmv")).as("n_sketch"),
-        element_at(col("kmv"), k).as("kth"),
+        expr(s"try_element_at(kmv, $k)").as("kth"), // null when sketch < k
         when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
-          .otherwise(round(lit(k - 1) / (element_at(col("kmv"), k) / norm), 4))
+          .otherwise(round(lit(k - 1) / (expr(s"try_element_at(kmv, $k)") / norm), 4))
           .as("est_distinct"),
         col("n_users_exact"))
       .orderBy("event_type")
@@ -468,7 +468,9 @@ object Queries {
         when(col("o_totalprice") > 250000.0, "high")
           .when(col("o_totalprice") > 100000.0, "mid")
           .otherwise("low").as("price_band"),
-        round(col("o_totalprice") / 1000.0, 2).as("price_k"),
+        // floor, not round: totalprice/1000 lands on exact decimal
+        // half-way points where Spark/DuckDB rounding modes diverge
+        floor(col("o_totalprice") / 1000.0).cast("long").as("price_k"),
         coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"))
       .orderBy("o_orderkey")
 
@@ -481,7 +483,7 @@ object Queries {
       |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
       |  CASE WHEN o_totalprice > 250000.0 THEN 'high'
       |       WHEN o_totalprice > 100000.0 THEN 'mid' ELSE 'low' END AS price_band,
-      |  round(o_totalprice / 1000.0, 2) AS price_k,
+      |  CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k,
       |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open
       |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
 
