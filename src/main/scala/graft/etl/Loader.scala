@@ -39,6 +39,16 @@ object Loader {
       .select(base.columns.map(c => col(s"_row.$c")): _*)
   }
 
+  /** Hive-style partitioned write: one directory per partition value.
+    * Readers filtering on the partition column scan only matching
+    * directories (partition pruning — at 100 TB, date/tenant partitions
+    * are the first-order scan reducer before any row-group pushdown). */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Bucketed + sorted table write: co-locates future joins/aggs on
     * `keys` (joins between two tables bucketed the same way need NO
     * shuffle — the 100 TB answer to repeated fact⋈fact joins). Requires

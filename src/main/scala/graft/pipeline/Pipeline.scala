@@ -90,22 +90,30 @@ object Pipeline {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    var prevCached: Option[DataFrame] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // carry the previous label through the union so convergence falls
+      // out of the same aggregation — ONE action per iteration
       val viaEdges = edges.join(labels, col("dst") === col("doc_id"))
-        .select(col("src").as("doc_id"), col("label"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy("doc_id").agg(min("label").as("label"))
+        .select(col("src").as("doc_id"), col("label"),
+          lit(null).cast("long").as("old"))
+      val prev = labels.select(col("doc_id"), col("label"),
+        col("label").as("old"))
+      val next = prev.unionByName(viaEdges)
+        .groupBy("doc_id")
+        .agg(min("label").as("label"), max("old").as("old"))
         .cache()
-      next.count() // materialize before comparing
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("label") < col("old")).limit(1).count()
+      prevCached.foreach(_.unpersist())
+      prevCached = Some(next)
+      labels = next.select("doc_id", "label")
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    prevCached = None
     labels.select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("is_canonical"))
       .orderBy("doc_id")

@@ -31,6 +31,36 @@ class LoaderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Loader.write(df, dir, "nope"))
   }
 
+  test("partitioned write enables partition pruning on read") {
+    val base = java.nio.file.Files.createTempDirectory("graft-part").toString + "/ev"
+    Loader.writePartitioned(
+      Tables.events(spark, sf).withColumn("day", to_date(col("ts"))),
+      base, Seq("event_type"))
+    val pruned = spark.read.parquet(base).filter(col("event_type") === "purchase")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition pruning in plan:\n$plan")
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("stream-static broadcast join enriches the stream") {
+    import graft.streaming.Streaming
+    val users = Tables.events(spark, sf).select("user_id").distinct()
+      .withColumn("segment",
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+    val q = Streaming.readEventsStream(spark, sf)
+      .join(broadcast(users), "user_id")
+      .groupBy("segment").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enriched").start()
+    q.processAllAvailable(); q.stop()
+    val total = spark.table("enriched")
+      .agg(sum("n")).head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
   test("multi-format sink/source round-trip preserves data") {
     import graft.etl.Bronze
     val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
