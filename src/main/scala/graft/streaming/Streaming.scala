@@ -61,6 +61,65 @@ object Streaming {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** §2.56 watermarked stream-stream join: purchases joined to clicks
+    * by the same user within [-30 min, 0]. Both sides watermarked so
+    * the join state is bounded (Spark drops buffered rows older than
+    * the watermark + interval). */
+  def streamStreamJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
+  /** Batch twin of the stream-stream join (same predicate). */
+  def streamStreamJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
+  /** §2.57 foreachBatch incremental sink: each micro-batch upserted
+    * into a parquet target by key (latest batch wins) — the streaming
+    * version of the reference's scheduled batch load. */
+  def foreachBatchUpsert(events: DataFrame, targetDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val withVer = batch.withColumn("_version", lit(batchId))
+        val merged =
+          if (new java.io.File(targetDir).exists()) {
+            val base = spark.read.parquet(targetDir)
+            graft.etl.Loader.upsert(base, withVer, Seq("event_id"), "_version")
+          } else withVer
+        // write via temp + move: the source parquet is also the target
+        val tmp = targetDir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val t = new java.io.File(targetDir)
+        if (t.exists()) org.apache.commons.io.FileUtils.deleteDirectory(t)
+        new java.io.File(tmp).renameTo(t)
+        ()
+      }
+      .start()
+
   // ---- sessionization ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,

@@ -50,6 +50,22 @@ object Profile {
       Dedup.minhashSignatures(Dedup.shingleHashes(docs).repartition(32))
         .agg(sum(col("b0") + col("b1"))).count()
     }
+    import graft.text.{TextFunctions => TF}
+    time("exact: hash only") {
+      docs.select(TF.hash64(TF.normalize(col("text"))).as("h"))
+        .agg(sum(col("h"))).count()
+    }
+    time("exact canon only") {
+      docs.select(col("doc_id"), TF.hash64(TF.normalize(col("text"))).as("content_hash"))
+        .groupBy("content_hash").agg(min("doc_id").as("canonical_id"), count(lit(1)).as("gs"))
+        .count()
+    }
+    time("exact join no sort") {
+      val hashed = docs.select(col("doc_id"), TF.hash64(TF.normalize(col("text"))).as("content_hash"))
+      val canon = hashed.groupBy("content_hash").agg(min("doc_id").as("canonical_id"), count(lit(1)).as("gs"))
+      hashed.join(canon, "content_hash").count()
+    }
+    time("exact full")(Dedup.exactDedup(docs).count())
     time("minhash full")(Dedup.minhashPairs(docs).count())
     time("simhash full")(Dedup.simhashPairs(docs).count())
     time("ngram full")(Dedup.ngramJaccardPairs(docs).count())
