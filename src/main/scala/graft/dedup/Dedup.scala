@@ -141,13 +141,6 @@ object Dedup {
   val ChunkBits = 8
   val Chunks = 4
 
-  /** 32-bit SimHash from unigram token hashes. */
-  def simhashCol(tokenHashes: Column): Column =
-    expr(s"""aggregate(sequence(0, ${SimBits - 1}), 0L, (acc, j) -> acc +
-      CASE WHEN aggregate(_th, 0L, (s, h) ->
-        s + CASE WHEN (shiftright(h, j) % 2) = 1 THEN 1L ELSE -1L END) > 0
-      THEN shiftleft(1L, j) ELSE 0L END)""")
-
   /** §2.23 SimHash near-dup pairs: 8-bit chunk blocking → Hamming ≤ maxDist. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val sigs = docs

@@ -42,8 +42,9 @@ object EtlQueries {
   /** §2.3 imputation stats: exact medians + deterministic modes. */
   def mediansModes(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val med = Silver.medians(li, Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-    val mod = Silver.modes(li, Seq("l_returnflag", "l_linestatus"))
+    val (med, mod) = Silver.stats(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      Seq("l_returnflag", "l_linestatus"))
     spark.range(1).select(
       round(lit(med("l_quantity")), 6).as("median_qty"),
       round(lit(med("l_extendedprice")), 6).as("median_price"),
@@ -91,8 +92,9 @@ object EtlQueries {
     * the full (pre-dedup) table, as in the reference. */
   def silverPipeline(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val med = Silver.medians(li, Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-    val mod = Silver.modes(li, Seq("l_returnflag", "l_linestatus"))
+    val (med, mod) = Silver.stats(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      Seq("l_returnflag", "l_linestatus"))
     val deduped = Silver.dedupKeepFirst(li, Seq("l_orderkey"), liDedupOrder)
     val imputed = Silver.impute(deduped,
       Map("l_quantity" -> med("l_quantity"), "l_extendedprice" -> med("l_extendedprice"),

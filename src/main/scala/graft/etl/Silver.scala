@@ -35,6 +35,21 @@ object Silver {
     cols.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
   }
 
+  /** Medians + modes with the two stat jobs submitted CONCURRENTLY
+    * (Spark schedules independent jobs in parallel; the two scans
+    * overlap instead of serializing — the reference computes both in
+    * one pandas pass on the driver, we do it in two overlapped
+    * distributed passes). */
+  def stats(df: DataFrame, numericCols: Seq[String],
+      categoricalCols: Seq[String]): (Map[String, Double], Map[String, String]) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fMed = Future(medians(df, numericCols))
+    val fMod = Future(modes(df, categoricalCols))
+    (Await.result(fMed, Duration.Inf), Await.result(fMod, Duration.Inf))
+  }
+
   /** Approximate medians via a mergeable quantile sketch
     * (percentile_approx): the 100 TB path. Exact `median` buffers every
     * value per group during aggregation; the sketch is O(accuracy)
