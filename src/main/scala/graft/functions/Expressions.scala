@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -35,13 +35,28 @@ object HashConstants {
   def hashB(i: Int): Long = 12345L + 7919L * i
 }
 
+/** Codegen support shared by the graft kernels: instead of
+  * CodegenFallback (which breaks whole-stage codegen for the whole
+  * containing stage and routes rows through InternalRow conversion),
+  * emit a direct call to this expression's compiled `compute` kernel —
+  * the stage stays fused, the kernel loop stays compiled Scala. */
+trait KernelCodegen { self: UnaryExpression =>
+  def compute(input: Any): Any
+  override protected def nullSafeEval(input: Any): Any = compute(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("graftKernel", this, classOf[KernelCodegen].getName)
+      s"${ev.value} = (${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)}) $ref.compute($c);"
+    })
+}
+
 /** text → array<long> of per-token polynomial hashes of the normalized
   * text (single pass, no intermediate strings). */
 case class TokenPolyHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   import HashConstants.M
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override protected def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString.toLowerCase
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var h = 0L
@@ -66,10 +81,10 @@ case class TokenPolyHashes(child: Expression)
 
 /** array<long> token hashes → array<long> k-shingle hashes. */
 case class ShinglePolyHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   import HashConstants.M
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override protected def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val th = input.asInstanceOf[ArrayData].toLongArray()
     val n = th.length - (k - 1)
     if (n <= 0) return new GenericArrayData(Array.empty[Long])
@@ -89,11 +104,11 @@ case class ShinglePolyHashes(child: Expression, k: Int)
 
 /** array<long> shingle hashes → array<long> MinHash signature. */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   import HashConstants._
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
-  override protected def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val sh = input.asInstanceOf[ArrayData].toLongArray()
     if (sh.isEmpty) return null // matches array_min over empty
     val out = Array.fill(numHashes)(Long.MaxValue)
@@ -115,9 +130,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
 /** array<long> token hashes → long SimHash (bits-wide). */
 case class SimHash(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val th = input.asInstanceOf[ArrayData].toLongArray()
     val counts = new Array[Int](bits)
     var t = 0
@@ -143,9 +158,9 @@ case class SimHash(child: Expression, bits: Int)
   * as the DuckDB rendering in [[graft.ann.Ann.bucketSql]]: coefficient
   * c(p,d) from an LCG on p*dim+d, sequential double accumulation. */
 case class HyperplaneBucket(child: Expression, planes: Int, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData].toFloatArray()
     var bucket = 0L
     var p = 0
