@@ -11,9 +11,11 @@ import graft.{Tables => T}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full silver transform — the reference's core
+    * capability: stats, keep-first dedup, imputation, clamping. */
   def entry(spark: SparkSession): DataFrame =
-    analytics.Queries.q1Agg(spark, "/root/testdata/sf0.001")
+    etl.EtlQueries.silverPipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

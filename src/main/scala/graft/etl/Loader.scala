@@ -39,6 +39,23 @@ object Loader {
       .select(base.columns.map(c => col(s"_row.$c")): _*)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetMb`-sized files (the 100 TB operational hygiene op —
+    * streaming/incremental sinks accrete small files that wreck scan
+    * parallelism and NameNode/listing costs). Uses a temp-dir + swap so
+    * the self-referencing read is safe. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetMb: Int = 128): Unit = {
+    val src = new java.io.File(dir)
+    val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(src)
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetMb * 1024L * 1024L)).toInt)
+    val tmp = dir + "_compact_tmp"
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(src)
+    new java.io.File(tmp).renameTo(src)
+  }
+
   /** Hive-style partitioned write: one directory per partition value.
     * Readers filtering on the partition column scan only matching
     * directories (partition pruning — at 100 TB, date/tenant partitions

@@ -31,6 +31,19 @@ class LoaderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Loader.write(df, dir, "nope"))
   }
 
+  test("compaction merges small files without changing data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = Tables.lineitem(spark, sf)
+    df.repartition(37).write.parquet(dir) // deliberately fragmented
+    def parts = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts >= 30)
+    val before = spark.read.parquet(dir).agg(sum("l_quantity"), count(lit(1))).head()
+    graft.etl.Loader.compact(spark, dir, targetMb = 128)
+    assert(parts <= 4, s"still $parts files after compaction")
+    val after = spark.read.parquet(dir).agg(sum("l_quantity"), count(lit(1))).head()
+    assert(before == after)
+  }
+
   test("partitioned write enables partition pruning on read") {
     val base = java.nio.file.Files.createTempDirectory("graft-part").toString + "/ev"
     Loader.writePartitioned(
