@@ -65,7 +65,9 @@ object SparkEntry {
     "word_count" -> (analytics.Queries.wordCount _),
     "outer_join_nulls" -> (analytics.Queries.outerJoinNulls _),
     "grouping_sets" -> (analytics.Queries.groupingSets _),
-    "sliding_window" -> (analytics.Queries.slidingWindow _)
+    "sliding_window" -> (analytics.Queries.slidingWindow _),
+    "corpus_filter" -> (pipeline.Pipeline.corpusFilter _),
+    "dedup_crossmodal" -> (pipeline.Pipeline.dedupCrossmodal _)
   )
 
   /** DuckDB oracle SQL, same column aliases as the Spark queries. */
@@ -116,6 +118,8 @@ object SparkEntry {
     "word_count" -> analytics.Queries.wordCountSql,
     "outer_join_nulls" -> analytics.Queries.outerJoinNullsSql,
     "grouping_sets" -> analytics.Queries.groupingSetsSql,
-    "sliding_window" -> analytics.Queries.slidingWindowSql
+    "sliding_window" -> analytics.Queries.slidingWindowSql,
+    "corpus_filter" -> pipeline.Pipeline.corpusFilterSql,
+    "dedup_crossmodal" -> pipeline.Pipeline.dedupCrossmodalSql
   )
 }

@@ -74,6 +74,91 @@ object Pipeline {
        |        FROM documents) t0) t1
        |ORDER BY lang, doc_id""".stripMargin
 
+  /** §2.60 the corpus-construction flagship: one composed pass that a
+    * training-data pipeline actually runs — language-consistency
+    * filter × quality threshold × exact-dedup-canonical × deterministic
+    * sampling. Every stage is a Column predicate over one scan except
+    * the dedup window (one hash shuffle). */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextQueries
+    val enriched = TextQueries.langidFrame(
+      TextQueries.qualityFrame(Tables.documents(spark, dir)))
+      .withColumn("_chash", hash64(normalize(col("text"))))
+      .withColumn("_canon", min("doc_id").over(Window.partitionBy(col("_chash"))))
+      .withColumn("_bucket",
+        pmod(hash64(concat_ws(":", col("lang"), col("doc_id"))), lit(100)))
+    enriched
+      .filter(col("pred_lang") === col("lang"))
+      .filter(col("quality_score") >= 0.7)
+      .filter(col("doc_id") === col("_canon"))
+      .filter(col("_bucket") < 80)
+      .select(col("doc_id"), col("lang"),
+        col("n_tokens").cast("long").as("n_tokens"), col("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val corpusFilterSql: String = {
+    val toks = tokensSql("text")
+    s"""WITH base AS (SELECT doc_id, lang, text, $toks AS _toks,
+       |    CAST(len($toks) AS DOUBLE) AS n_tokens FROM documents),
+       |q AS (SELECT doc_id, lang, text, n_tokens,
+       |    round(0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text))
+       |      + 0.4 * (1.0 - abs(len(list_filter(_toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) / n_tokens - 0.3))
+       |      + 0.2 * least(1.0, n_tokens / 100.0), 6) AS quality_score
+       |  FROM base),
+       |lt AS (SELECT doc_id, lang, text, ${tokensSql("lower(text)")} AS _ltoks FROM documents),
+       |scores AS (SELECT doc_id,
+       |    CAST(len(list_filter(_ltoks, t -> t IN ('der', 'die', 'und', 'das', 'nicht'))) AS BIGINT) AS s_de,
+       |    CAST(len(list_filter(_ltoks, t -> t IN ('the', 'a', 'is', 'of', 'and'))) AS BIGINT) AS s_en,
+       |    CAST(len(list_filter(_ltoks, t -> t IN ('el', 'la', 'de', 'y', 'que'))) AS BIGINT) AS s_es,
+       |    CAST(len(list_filter(_ltoks, t -> t IN ('le', 'la', 'et', 'les', 'des'))) AS BIGINT) AS s_fr,
+       |    CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS s_zh
+       |  FROM lt),
+       |lng AS (SELECT doc_id,
+       |    CASE WHEN s_zh > 0 THEN 'zh'
+       |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+       |  FROM scores),
+       |dup AS (SELECT doc_id,
+       |    min(doc_id) OVER (PARTITION BY ${hash64Sql(normalizeSql("text"))}) AS canon
+       |  FROM documents)
+       |SELECT q.doc_id, q.lang, CAST(q.n_tokens AS BIGINT) AS n_tokens, q.quality_score
+       |FROM q JOIN lng ON q.doc_id = lng.doc_id JOIN dup ON q.doc_id = dup.doc_id
+       |WHERE lng.pred_lang = q.lang AND q.quality_score >= 0.7
+       |  AND q.doc_id = dup.canon
+       |  AND ${hash64Sql("concat_ws(':', q.lang, q.doc_id)")} % 100 < 80
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
+  /** §2.61 cross-modal dedup evidence: MinHash text candidates joined
+    * with the corresponding embedding cosine (doc_id ≡ vec_id in the
+    * corpus) — text-similar pairs scored on a second modality before a
+    * drop decision. */
+  def dedupCrossmodal(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ann.Ann
+    val pairs = graft.dedup.Dedup.minhashPairs(Tables.documents(spark, dir))
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Ann.normCol(col("embedding")).as("nrm"))
+    val va = v.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val vb = v.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        round(Ann.dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("emb_cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupCrossmodalSql: String = {
+    import graft.ann.Ann
+    s"""WITH pairs AS (SELECT * FROM (${graft.dedup.Dedup.minhashPairsSql()}) p),
+       |v AS (SELECT vec_id, embedding, ${Ann.normSql("embedding")} AS nrm FROM embeddings)
+       |SELECT pairs.id_a, pairs.id_b, pairs.est_jaccard,
+       |  round(${Ann.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS emb_cosine
+       |FROM pairs JOIN v a ON pairs.id_a = a.vec_id JOIN v b ON pairs.id_b = b.vec_id
+       |ORDER BY pairs.id_a, pairs.id_b""".stripMargin
+  }
+
   /** §2.39 duplicate-cluster resolution: connected components over the
     * MinHash near-dup pair graph by iterative min-label propagation —
     * each iteration is one join + one partial-agg'd shuffle, and the

@@ -30,11 +30,10 @@ object TextQueries {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
-  /** §2.29 quality scoring: alpha ratio, stopword ratio, token stats,
-    * composite score — the reference's validity checks generalized into
-    * trainable-corpus quality signals. */
-  def textQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** Quality signal columns over a documents frame (shared by the
+    * text_quality query and the corpus_filter composite). */
+  def qualityFrame(docs: DataFrame): DataFrame =
+    docs
       .withColumn("_toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("_toks")))
       .withColumn("_alpha",
@@ -46,15 +45,22 @@ object TextQueries {
       .withColumn("_atl",
         length(regexp_replace(col("text"), "\\s", "")).cast("double") /
           col("n_tokens"))
+      .withColumn("quality_score",
+        round(lit(0.4) * col("_alpha")
+          + lit(0.4) * (lit(1.0) - abs(col("_stop") - lit(0.3)))
+          + lit(0.2) * least(lit(1.0), col("n_tokens").cast("double") / 100.0), 6))
+
+  /** §2.29 quality scoring: alpha ratio, stopword ratio, token stats,
+    * composite score — the reference's validity checks generalized into
+    * trainable-corpus quality signals. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityFrame(Tables.documents(spark, dir))
       .select(
         col("doc_id"), col("n_tokens"),
         round(col("_alpha"), 6).as("alpha_ratio"),
         round(col("_stop"), 6).as("stop_ratio"),
         round(col("_atl"), 6).as("avg_token_len"),
-        round(lit(0.4) * col("_alpha")
-          + lit(0.4) * (lit(1.0) - abs(col("_stop") - lit(0.3)))
-          + lit(0.2) * least(lit(1.0), col("n_tokens").cast("double") / 100.0), 6)
-          .as("quality_score"))
+        col("quality_score"))
       .orderBy("doc_id")
 
   val textQualitySql: String =
@@ -76,14 +82,13 @@ object TextQueries {
     "es" -> Seq("el", "la", "de", "y", "que"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
-  /** §2.28 language ID: stopword-marker scores per language + CJK char
-    * count, argmax with deterministic alphabetical tie-break. */
-  def textLangid(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .withColumn("_toks", tokens(lower(col("text"))))
+  /** Language-prediction columns over a documents frame (shared by the
+    * text_langid query and the corpus_filter composite). */
+  def langidFrame(docs: DataFrame): DataFrame = {
+    val base = docs.withColumn("_ltoks", tokens(lower(col("text"))))
     val scored = langMarkers.foldLeft(base) { case (df, (lang, marks)) =>
       val list = marks.map(w => s"'$w'").mkString(", ")
-      df.withColumn(s"s_$lang", expr(s"size(filter(_toks, t -> t IN ($list)))").cast("long"))
+      df.withColumn(s"s_$lang", expr(s"size(filter(_ltoks, t -> t IN ($list)))").cast("long"))
     }.withColumn("s_zh",
       length(regexp_replace(col("text"), "[^一-鿿]", "")).cast("long"))
     scored.withColumn("pred_lang",
@@ -92,10 +97,15 @@ object TextQueries {
         .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
         .when(col("s_es") >= col("s_fr"), "es")
         .otherwise("fr"))
+  }
+
+  /** §2.28 language ID: stopword-marker scores per language + CJK char
+    * count, argmax with deterministic alphabetical tie-break. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    langidFrame(Tables.documents(spark, dir))
       .withColumn("label_match", col("pred_lang") === col("lang"))
       .select("doc_id", "lang", "s_de", "s_en", "s_es", "s_fr", "s_zh", "pred_lang", "label_match")
       .orderBy("doc_id")
-  }
 
   val textLangidSql: String = {
     val scoreCols = langMarkers.map { case (lang, marks) =>
