@@ -180,6 +180,31 @@ case class HyperplaneBucket(child: Expression, planes: Int, dim: Int)
   override protected def withNewChildInternal(c: Expression): HyperplaneBucket = copy(c)
 }
 
+/** array<string> tokens → long count of tokens contained in a fixed
+  * set (stopword/marker scoring) — replaces the interpreted
+  * size(filter(toks, t -> t IN (...))) lambda in the text hot path. */
+case class TokensInSetCount(child: Expression, set: Seq[String])
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = LongType
+  @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](set.size * 2)
+    set.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def compute(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var n = 0L
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (lookup.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    java.lang.Long.valueOf(n)
+  }
+  override protected def withNewChildInternal(c: Expression): TokensInSetCount = copy(c)
+}
+
 /** Column-level wrappers (Spark 4: Columns wrap ColumnNodes, so
   * Expression-backed Columns go through classic.ExpressionUtils). */
 object native {
@@ -190,4 +215,6 @@ object native {
   def simhash(c: Column, bits: Int): Column = column(SimHash(expression(c), bits))
   def hyperplane_bucket(c: Column, planes: Int, dim: Int): Column =
     column(HyperplaneBucket(expression(c), planes, dim))
+  def tokens_in_set_count(c: Column, set: Seq[String]): Column =
+    column(TokensInSetCount(expression(c), set))
 }

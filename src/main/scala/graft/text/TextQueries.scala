@@ -40,8 +40,8 @@ object TextQueries {
         length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
           length(col("text")))
       .withColumn("_stop",
-        expr(s"size(filter(_toks, t -> t IN ($stopList)))").cast("double") /
-          col("n_tokens"))
+        graft.functions.native.tokens_in_set_count(col("_toks"), stopwords)
+          .cast("double") / col("n_tokens"))
       .withColumn("_atl",
         length(regexp_replace(col("text"), "\\s", "")).cast("double") /
           col("n_tokens"))
@@ -87,8 +87,8 @@ object TextQueries {
   def langidFrame(docs: DataFrame): DataFrame = {
     val base = docs.withColumn("_ltoks", tokens(lower(col("text"))))
     val scored = langMarkers.foldLeft(base) { case (df, (lang, marks)) =>
-      val list = marks.map(w => s"'$w'").mkString(", ")
-      df.withColumn(s"s_$lang", expr(s"size(filter(_ltoks, t -> t IN ($list)))").cast("long"))
+      df.withColumn(s"s_$lang",
+        graft.functions.native.tokens_in_set_count(col("_ltoks"), marks))
     }.withColumn("s_zh",
       length(regexp_replace(col("text"), "[^一-鿿]", "")).cast("long"))
     scored.withColumn("pred_lang",
