@@ -66,6 +66,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).distinct.length <= 5)
   }
 
+  test("minhash recall/precision on planted near-duplicates") {
+    // 20 base docs (distinct vocabularies), each with a planted near-dup
+    // (one word changed), plus the bases themselves — detector should
+    // pair every (base, variant) and nothing across different bases
+    val words = (0 until 400).map(i => s"w${i}x")
+    val bases = (0 until 20).map { d =>
+      (d.toLong, words.slice(d * 20, d * 20 + 20).mkString(" "), "en")
+    }
+    val variants = bases.map { case (id, text, lang) =>
+      (id + 100L, text.replace(s"w${id * 20 + 10}x", "changed"), lang)
+    }
+    val docs = (bases ++ variants).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.minhashPairs(docs, 0.25).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wanted = (0 until 20).map(d => (d.toLong, d + 100L)).toSet
+    val recall = wanted.count(pairs.contains).toDouble / wanted.size
+    assert(recall >= 0.8, s"recall $recall; found ${pairs.size} pairs")
+    // no cross-base false positives (disjoint vocabularies)
+    val falsePos = pairs -- wanted
+    assert(falsePos.isEmpty, s"false positives: $falsePos")
+  }
+
   test("minhash est_jaccard ~ true jaccard on near pair") {
     val pairs = Dedup.minhashPairs(docs, 0.0).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
