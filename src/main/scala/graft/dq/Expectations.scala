@@ -96,6 +96,23 @@ final case class RowCountAtLeast(minRows: Long) extends Expectation {
   def sql = s"CASE WHEN count(*) >= $minRows THEN 0 ELSE 1 END"
 }
 
+/** The reference's ExpectTableRowCountToEqual. */
+final case class RowCountEquals(rows: Long) extends Expectation {
+  val name = "row_count_equals"
+  val column = "*"
+  def violations: Column = when(count(lit(1)) === rows, 0L).otherwise(1L)
+  def sql = s"CASE WHEN count(*) = $rows THEN 0 ELSE 1 END"
+}
+
+/** The reference's ExpectColumnValueLengthsToBeBetween. */
+final case class LengthBetween(column: String, lo: Int, hi: Int) extends Expectation {
+  val name = "length_between"
+  def violations: Column =
+    sum(when(length(col(column)) < lo || length(col(column)) > hi, 1L).otherwise(0L))
+  def sql =
+    s"coalesce(sum(CASE WHEN length($column) < $lo OR length($column) > $hi THEN 1 ELSE 0 END), 0)"
+}
+
 object Expectations {
 
   /** Evaluate a suite in one aggregation pass; returns the DQ report

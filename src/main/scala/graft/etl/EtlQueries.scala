@@ -32,6 +32,7 @@ object EtlQueries {
     TypeIs("l_orderkey", "bigint"), TypeIs("l_quantity", "double"),
     TypeIs("l_returnflag", "string"), TypeIs("l_shipdate", "timestamp"),
     TypeIs("l_linenumber", "bigint"), // actually int32 → flags all rows
+    LengthBetween("l_returnflag", 1, 1), LengthBetween("l_linestatus", 1, 1),
     RowCountAtLeast(1))
 
   def dqReport(spark: SparkSession, dir: String): DataFrame =
