@@ -67,7 +67,11 @@ object SparkEntry {
     "grouping_sets" -> (analytics.Queries.groupingSets _),
     "sliding_window" -> (analytics.Queries.slidingWindow _),
     "corpus_filter" -> (pipeline.Pipeline.corpusFilter _),
-    "dedup_crossmodal" -> (pipeline.Pipeline.dedupCrossmodal _)
+    "dedup_crossmodal" -> (pipeline.Pipeline.dedupCrossmodal _),
+    "ntile_bins" -> (analytics.Queries.ntileBins _),
+    "ts_delta" -> (analytics.Queries.tsDelta _),
+    "collect_sorted" -> (analytics.Queries.collectSorted _),
+    "regression" -> (analytics.Queries.regression _)
   )
 
   /** DuckDB oracle SQL, same column aliases as the Spark queries. */
@@ -120,6 +124,10 @@ object SparkEntry {
     "grouping_sets" -> analytics.Queries.groupingSetsSql,
     "sliding_window" -> analytics.Queries.slidingWindowSql,
     "corpus_filter" -> pipeline.Pipeline.corpusFilterSql,
-    "dedup_crossmodal" -> pipeline.Pipeline.dedupCrossmodalSql
+    "dedup_crossmodal" -> pipeline.Pipeline.dedupCrossmodalSql,
+    "ntile_bins" -> analytics.Queries.ntileBinsSql,
+    "ts_delta" -> analytics.Queries.tsDeltaSql,
+    "collect_sorted" -> analytics.Queries.collectSortedSql,
+    "regression" -> analytics.Queries.regressionSql
   )
 }

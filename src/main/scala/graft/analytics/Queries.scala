@@ -241,6 +241,89 @@ object Queries {
       |SELECT 'either' AS tag, o_custkey FROM (SELECT o_custkey FROM f UNION SELECT o_custkey FROM o)
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** §2.62 equi-depth binning via ntile per group. */
+  def ntileBins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("tile", ntile(4).over(w))
+      .groupBy("o_orderpriority", "tile")
+      .agg(count(lit(1)).as("n"), round(min("o_totalprice"), 4).as("lo"),
+        round(max("o_totalprice"), 4).as("hi"))
+      .orderBy("o_orderpriority", "tile")
+  }
+
+  val ntileBinsSql: String =
+    """SELECT o_orderpriority, tile, count(*) AS n,
+      |  round(min(o_totalprice), 4) AS lo, round(max(o_totalprice), 4) AS hi
+      |FROM (SELECT o_orderpriority, o_totalprice,
+      |        ntile(4) OVER (PARTITION BY o_orderpriority
+      |          ORDER BY o_totalprice, o_orderkey) AS tile
+      |      FROM orders) t
+      |GROUP BY o_orderpriority, tile ORDER BY o_orderpriority, tile""".stripMargin
+
+  /** §2.63 time-series deltas: per-user lag differences, rolled up. */
+  def tsDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .filter(col("delta").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("delta"), 6).as("avg_delta"),
+        round(max(abs(col("delta"))), 6).as("max_abs_delta"))
+      .orderBy("event_type")
+  }
+
+  val tsDeltaSql: String =
+    """SELECT event_type, count(*) AS n, round(avg(delta), 6) AS avg_delta,
+      |  round(max(abs(delta)), 6) AS max_abs_delta
+      |FROM (SELECT event_type,
+      |        value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      |      FROM events) t
+      |WHERE delta IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** §2.64 ordered list aggregation: top-3 order keys per priority as a
+    * sorted array (collect_list is unordered in Spark — sort_array
+    * makes it deterministic, matching DuckDB's list_sort). */
+  def collectSorted(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy("o_orderpriority")
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("top_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val collectSortedSql: String =
+    """SELECT o_orderpriority, list_sort(list(o_orderkey)) AS top_orders
+      |FROM (SELECT o_orderpriority, o_orderkey,
+      |        row_number() OVER (PARTITION BY o_orderpriority
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |      FROM orders) t
+      |WHERE rk <= 3 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** §2.65 linear-regression aggregates per group. */
+  def regression(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy("l_linestatus")
+
+  val regressionSql: String =
+    """SELECT l_linestatus,
+      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  regr_count(l_extendedprice, l_quantity) AS n
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   /** §2.49 JSON column extraction: schema-on-read over the events
     * `props` payload (from_json with an explicit schema — codegen'd,
     * unlike repeated get_json_object calls which re-parse per field). */
