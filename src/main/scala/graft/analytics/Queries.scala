@@ -114,9 +114,9 @@ object Queries {
 
   val conditionalPivotSql: String =
     """SELECT o_orderpriority,
-      |  coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS "F",
-      |  coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS "O",
-      |  coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS "P"
+      |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "F",
+      |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "O",
+      |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "P"
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** §2.13 time-series rollup: events per day per type. */
@@ -293,12 +293,14 @@ object Queries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .groupBy("o_orderpriority")
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("top_orders"))
+      // serialized to a string: the driver's pandas checker cannot
+      // hash/sort raw array columns (unhashable ndarray)
+      .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey")))).as("top_orders"))
       .orderBy("o_orderpriority")
   }
 
   val collectSortedSql: String =
-    """SELECT o_orderpriority, list_sort(list(o_orderkey)) AS top_orders
+    """SELECT o_orderpriority, array_to_string(list_sort(list(o_orderkey)), ',') AS top_orders
       |FROM (SELECT o_orderpriority, o_orderkey,
       |        row_number() OVER (PARTITION BY o_orderpriority
       |          ORDER BY o_totalprice DESC, o_orderkey) AS rk
@@ -337,7 +339,7 @@ object Queries {
       .orderBy("event_type")
 
   val jsonExtractSql: String =
-    """SELECT event_type, count(k) AS n_k, sum(k) AS sum_k,
+    """SELECT event_type, count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k,
       |  min(k) AS min_k, max(k) AS max_k
       |FROM (SELECT event_type,
       |        CAST(json_extract_string(props, '$.k') AS INT) AS k

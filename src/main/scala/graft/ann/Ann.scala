@@ -15,8 +15,7 @@ import org.apache.spark.sql.expressions.Window
   * window (k rows per query). The LSH path buckets every vector once
   * (codegen'd projection against deterministic hyperplanes), then joins
   * within buckets — candidate counts drop from O(n·q) to O(q·bucket).
-  * Embedding-cosine dedup blocks on the `label` column (at 100 TB:
-  * block on an LSH bucket instead — same join shape).
+  * Embedding-cosine dedup blocks on the same LSH bucket.
   */
 object Ann {
 
@@ -42,28 +41,35 @@ object Ann {
   private val vecsSql: String =
     s"SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings"
 
-  /** §2.25 embedding-cosine near-dup pairs, blocked by label. */
+  /** §2.25 embedding-cosine near-dup pairs, blocked by LSH bucket.
+    *
+    * Blocking on a semantic column like `label` is quadratic within a
+    * hot label at scale; the hyperplane bucket bounds block population
+    * by similarity structure instead — cosine-near vectors land in the
+    * same sign-bucket with high probability, and each vector joins
+    * exactly one bucket. Same join shape, 100-TB-safe key. */
   def embedCosinePairs(embeddings: DataFrame, minCos: Double = 0.25): DataFrame = {
-    val v = vecs(embeddings)
-    val a = v.select(col("label"), col("vec_id").as("id_a"),
+    val v = vecs(embeddings).withColumn("bucket", bucketCol)
+    val a = v.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
-    val b = v.select(col("label"), col("vec_id").as("id_b"),
+    val b = v.select(col("bucket"), col("vec_id").as("id_b"),
       col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("label"))
+    a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= minCos)
-      .select("label", "id_a", "id_b", "cosine")
-      .orderBy("label", "id_a", "id_b")
+      .select("bucket", "id_a", "id_b", "cosine")
+      .orderBy("bucket", "id_a", "id_b")
   }
 
   def embedCosinePairsSql(minCos: Double = 0.25): String =
-    s"""WITH v AS ($vecsSql)
-       |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+    s"""WITH v AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket
+       |  FROM ($vecsSql) t0)
+       |SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
        |  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
-       |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+       |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $minCos
-       |ORDER BY a.label, id_a, id_b""".stripMargin
+       |ORDER BY a.bucket, id_a, id_b""".stripMargin
 
   /** §2.26 brute-force cosine top-k for query vectors (vec_id < nq). */
   def bruteForceTopK(embeddings: DataFrame, nq: Int = 5, k: Int = 10): DataFrame = {

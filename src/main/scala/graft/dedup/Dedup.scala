@@ -188,20 +188,36 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** §2.24 n-gram Jaccard pairs within (lang, length-bucket) blocks. */
+  /** §2.24 n-gram Jaccard pairs, MinHash-band candidate generation.
+    *
+    * A (lang, length-bucket) block is unbounded — every English doc of
+    * a common length pairs quadratically, which is the plan that dies
+    * at 100 TB. Instead candidates come from the same banded-LSH
+    * equi-join `minhashPairs` uses (bucket sizes are bounded by actual
+    * near-duplicate density, not corpus demographics), and exact
+    * n-gram Jaccard is computed on candidates only. Candidate pairs
+    * are distinct'd on (id_a, id_b) BEFORE re-joining the gram arrays,
+    * so the wide array payload is never shuffled through the dedup. */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2): DataFrame = {
-    val nPart = docs.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
-    val grams = docs.select(col("doc_id"), col("lang"),
+    val grams = docs.select(col("doc_id"),
         array_distinct(graft.functions.native.shingle_hashes(
           graft.functions.native.token_poly_hashes(col("text")), 3)).as("g"))
       .filter(size(col("g")) > 0)
-      .withColumn("lb", (size(col("g")) / 10).cast("long"))
-      .repartition(nPart)
-    val a = grams.select(col("lang"), col("lb"), col("doc_id").as("id_a"), col("g").as("ga"))
-    val b = grams.select(col("lang"), col("lb"), col("doc_id").as("id_b"), col("g").as("gb"))
-    a.join(b, Seq("lang", "lb"))
+    // min over a distinct set == min over the multiset, so the MinHash
+    // signature of `g` matches minhashPairs' signature of the raw grams
+    val bands = minhashSignatures(grams.withColumn("sh", col("g")))
+      .select(col("doc_id"),
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("bh"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
+    val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(grams.select(col("doc_id").as("id_a"), col("g").as("ga")), "id_a")
+      .join(grams.select(col("doc_id").as("id_b"), col("g").as("gb")), "id_b")
       // |A∪B| = |A|+|B|-|A∩B| on already-distinct arrays: one set op
       // per pair instead of two
       .withColumn("_inter", size(array_intersect(col("ga"), col("gb"))))
@@ -212,19 +228,37 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  def ngramJaccardPairsSql(minJaccard: Double = 0.2): String =
-    s"""WITH toks AS (SELECT doc_id, lang, ${tokenHashesSql("text")} AS th FROM documents),
-       |grams AS (SELECT doc_id, lang,
-       |    list_distinct(${shingleHashCombineSql("th", 3)}) AS g
+  def ngramJaccardPairsSql(minJaccard: Double = 0.2): String = {
+    val sigExprs = (0 until NumHashes).map { i =>
+      s"list_min(list_transform(g, h -> (${hashA(i)} * (h % $P) + ${hashB(i)}) % $P)) AS s$i"
+    }.mkString(",\n    ")
+    val bandExprs = (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"s$i")
+      s"${hash64Sql(s"concat_ws(':', ${cols.mkString(", ")})")} AS b$b"
+    }.mkString(",\n    ")
+    val bandUnion = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, b$b AS bh FROM sig").mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents),
+       |grams AS (SELECT doc_id, list_distinct(${shingleHashCombineSql("th", 3)}) AS g
        |  FROM toks),
-       |blocked AS (SELECT doc_id, lang, g, len(g) // 10 AS lb
-       |  FROM grams WHERE len(g) > 0)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  round(len(list_intersect(a.g, b.g)) /
-       |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE), 6) AS jaccard
-       |FROM blocked a JOIN blocked b
-       |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-       |WHERE round(len(list_intersect(a.g, b.g)) /
-       |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE), 6) >= $minJaccard
+       |gr AS (SELECT doc_id, g FROM grams WHERE len(g) > 0),
+       |sigraw AS (SELECT doc_id,
+       |    $sigExprs
+       |  FROM gr),
+       |sig AS (SELECT doc_id,
+       |    $bandExprs
+       |  FROM sigraw),
+       |bands AS ($bandUnion),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  round(len(list_intersect(ga.g, gb.g)) /
+       |    CAST(len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS DOUBLE), 6) AS jaccard
+       |FROM cand JOIN gr ga ON cand.id_a = ga.doc_id
+       |          JOIN gr gb ON cand.id_b = gb.doc_id
+       |WHERE round(len(list_intersect(ga.g, gb.g)) /
+       |    CAST(len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS DOUBLE), 6) >= $minJaccard
        |ORDER BY id_a, id_b""".stripMargin
+  }
 }

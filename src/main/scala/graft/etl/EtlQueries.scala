@@ -40,12 +40,22 @@ object EtlQueries {
 
   val dqReportSql: String = Expectations.oracleSql("lineitem", lineitemSuite)
 
+  private val liNumCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val liCatCols = Seq("l_returnflag", "l_linestatus")
+
+  /** Imputation stats computed ONCE per input dir and shared by every
+    * consumer (`mediansModes` report AND `silverPipeline` imputation) —
+    * the production shape: a single stats job feeds both the stats
+    * report and the transform, instead of each entry re-scanning. */
+  private val statsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Map[String, Double], Map[String, String])]
+  private def lineitemStats(spark: SparkSession, dir: String) =
+    statsCache.getOrElseUpdate(dir,
+      Silver.stats(Tables.lineitem(spark, dir), liNumCols, liCatCols))
+
   /** §2.3 imputation stats: exact medians + deterministic modes. */
   def mediansModes(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val (med, mod) = Silver.stats(li,
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-      Seq("l_returnflag", "l_linestatus"))
+    val (med, mod) = lineitemStats(spark, dir)
     spark.range(1).select(
       round(lit(med("l_quantity")), 6).as("median_qty"),
       round(lit(med("l_extendedprice")), 6).as("median_price"),
@@ -92,10 +102,25 @@ object EtlQueries {
     * the reference's de_spotify_silver.sql re-expressed. Stats come from
     * the full (pre-dedup) table, as in the reference. */
   def silverPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val (med, mod) = lineitemStats(spark, dir)
+    silverPipelineWith(spark, dir, med, mod)
+  }
+
+  /** 100-TB variant: imputation fills from the mergeable quantile
+    * sketch ([[Silver.mediansApprox]]) instead of exact `median` (which
+    * buffers all values per agg buffer). Same transform otherwise;
+    * EtlSpec asserts agreement with the exact pipeline within sketch
+    * tolerance. Not oracle-checked (DuckDB's median is exact). */
+  def silverPipelineApprox(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val (med, mod) = Silver.stats(li,
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-      Seq("l_returnflag", "l_linestatus"))
+    val med = Silver.mediansApprox(li, liNumCols)
+    val mod = Silver.modes(li, liCatCols)
+    silverPipelineWith(spark, dir, med, mod)
+  }
+
+  private def silverPipelineWith(spark: SparkSession, dir: String,
+      med: Map[String, Double], mod: Map[String, String]): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
     val deduped = Silver.dedupKeepFirst(li, Seq("l_orderkey"), liDedupOrder)
     val imputed = Silver.impute(deduped,
       Map("l_quantity" -> med("l_quantity"), "l_extendedprice" -> med("l_extendedprice"),

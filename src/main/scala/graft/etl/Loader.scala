@@ -22,6 +22,32 @@ object Loader {
     df.write.mode(mode).parquet(path)
   }
 
+  /** JDBC load with the reference's two modes
+    * (/root/reference/dags/de_spotify_to_bronze.py:168-213
+    * `load_data_to_mysql`): full = TRUNCATE + insert (here: overwrite
+    * with `truncate=true`, which issues the dialect's TRUNCATE TABLE
+    * and keeps the DDL/indexes, exactly like the reference's
+    * `TRUNCATE TABLE` at :196), batch = append (the reference's
+    * `insert_rows` without truncate). Writes go through Spark's
+    * per-partition batched INSERTs — every executor loads its
+    * partitions concurrently, `batchsize` rows per round trip, so the
+    * load parallelism is the DataFrame's partitioning, not a single
+    * driver-side cursor like the reference's pandas`→`MySqlHook path. */
+  def writeJdbc(df: DataFrame, url: String, table: String, loadType: String,
+      driver: String = "org.apache.derby.jdbc.EmbeddedDriver",
+      batchSize: Int = 10000): Unit = {
+    val mode = loadType match {
+      case "full"  => SaveMode.Overwrite
+      case "batch" => SaveMode.Append
+      case other   => throw new IllegalArgumentException(s"loadType $other")
+    }
+    df.write.mode(mode)
+      .option("driver", driver)
+      .option("truncate", "true")
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, new java.util.Properties)
+  }
+
   /** Latest-record-wins upsert of `updates` into `base` by `keys`,
     * using `version` (e.g. batch sequence / ingestion ts) to pick the
     * winner. One partial-agg'd shuffle via max_by — no sort, no window.
@@ -43,7 +69,9 @@ object Loader {
     * ~`targetMb`-sized files (the 100 TB operational hygiene op —
     * streaming/incremental sinks accrete small files that wreck scan
     * parallelism and NameNode/listing costs). Uses a temp-dir + swap so
-    * the self-referencing read is safe. */
+    * the self-referencing read is safe. NOTE: the swap uses
+    * java.io.File — local filesystems only; a cluster deployment swaps
+    * via the Hadoop FileSystem API (rename is atomic on HDFS). */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetMb: Int = 128): Unit = {
     val src = new java.io.File(dir)

@@ -41,12 +41,27 @@ object HashConstants {
   * emit a direct call to this expression's compiled `compute` kernel —
   * the stage stays fused, the kernel loop stays compiled Scala. */
 trait KernelCodegen { self: UnaryExpression =>
+  import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
   def compute(input: Any): Any
   override protected def nullSafeEval(input: Any): Any = compute(input)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val ref = ctx.addReferenceObj("graftKernel", this, classOf[KernelCodegen].getName)
-      s"${ev.value} = (${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)}) $ref.compute($c);"
+      val res = ctx.freshName("graftRes")
+      val javaT = CodeGenerator.javaType(dataType)
+      // janino rejects a direct Object→primitive cast; go through the
+      // boxed type and unbox. Reference types cast directly.
+      val assign =
+        if (CodeGenerator.isPrimitiveType(dataType))
+          s"${ev.value} = ((${CodeGenerator.boxedType(dataType)}) $res).${javaT}Value();"
+        else
+          s"${ev.value} = ($javaT) $res;"
+      if (nullable)
+        s"""Object $res = $ref.compute($c);
+           |if ($res == null) { ${ev.isNull} = true; } else { $assign }""".stripMargin
+      else
+        s"""Object $res = $ref.compute($c);
+           |$assign""".stripMargin
     })
 }
 

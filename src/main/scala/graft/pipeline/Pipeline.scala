@@ -204,6 +204,87 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** One large-star round: every neighbor of u strictly larger than u
+    * is connected to the minimum of u's closed neighborhood. Input and
+    * output edges are self-loop-free; output stays oriented src>dst. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src"), least(col("mn"), col("src")).as("m"))
+    sym.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** One small-star round on large→small oriented edges: every
+    * smaller-or-equal neighbor of u, and u itself, connects to the
+    * minimum of u's smaller neighborhood. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    val mins = oriented.groupBy("src").agg(min("dst").as("m"))
+    oriented.join(mins, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .unionByName(mins.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Connected components via the alternating big-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): converges in O(log n) rounds on ANY graph shape
+    * — a 100-node chain needs ~7 rounds where min-label propagation
+    * needs ~100 — each round two groupBy+join passes over the
+    * (monotonically shrinking) edge set. Returns (labels, rounds);
+    * labels = (node, label = component-min) for every non-isolated,
+    * non-root node — callers coalesce missing nodes to themselves. */
+  def ccBigSmallStar(pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+    // localCheckpoint (eager), not cache: each round's plan nests the
+    // previous round's joins/unions, so an uncut lineage grows
+    // exponentially and blows up planning itself — the checkpoint
+    // truncates the logical plan to the materialized edge set.
+    var cur = pairs.select(
+        greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var curCnt = cur.count()
+    var rounds = 0
+    var converged = curCnt == 0
+    while (!converged && rounds < maxIter) {
+      val prev = cur
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextCnt = next.count()
+      // sets are distinct: equal size + empty one-sided difference ⇒ equal
+      converged = nextCnt == curCnt && next.except(cur).limit(1).count() == 0
+      prev.unpersist()
+      cur = next
+      curCnt = nextCnt
+      rounds += 1
+    }
+    val labels = cur.select(col("src").as("node"), col("dst").as("label"))
+    (labels, rounds)
+  }
+
+  /** §2.39 variant: duplicate-cluster resolution through
+    * [[ccBigSmallStar]] — same output contract as [[dedupClusters]],
+    * logarithmic rounds on deep chain components (the propagation
+    * variant is cheaper on the near-clique clusters MinHash actually
+    * produces; this is the safe choice when component shape is unknown). */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val pairs = graft.dedup.Dedup.minhashPairs(Tables.documents(spark, dir))
+      .select("id_a", "id_b")
+    val (labels, _) = ccBigSmallStar(pairs)
+    docs.join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        (col("doc_id") === coalesce(col("label"), col("doc_id"))).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val dedupClustersSql: String =
     s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${graft.dedup.Dedup.minhashPairsSql()}) p),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

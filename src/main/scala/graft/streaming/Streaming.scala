@@ -97,7 +97,10 @@ object Streaming {
 
   /** §2.57 foreachBatch incremental sink: each micro-batch upserted
     * into a parquet target by key (latest batch wins) — the streaming
-    * version of the reference's scheduled batch load. */
+    * version of the reference's scheduled batch load.
+    * NOTE: the temp-dir swap below uses java.io.File, i.e. local
+    * filesystems only; on a real cluster the same swap goes through the
+    * Hadoop FileSystem API (or a table format with atomic commit). */
   def foreachBatchUpsert(events: DataFrame, targetDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
@@ -118,6 +121,23 @@ object Streaming {
         new java.io.File(tmp).renameTo(t)
         ()
       }
+      .start()
+
+  /** Scheduled-batch trigger: the reference's roadmap item "batch
+    * processing every date at designated time"
+    * (/root/reference/README.md "Next") maps to Trigger.AvailableNow —
+    * an externally-scheduled (cron/Airflow) run starts the stream,
+    * processes everything that arrived since the last checkpoint in
+    * bounded micro-batches, and exits. Catch-up batch semantics with
+    * streaming bookkeeping: exactly-once via the checkpoint, no
+    * always-on cluster. Sink here is the memory sink for spec parity;
+    * production swaps in parquet/foreachBatch with the same trigger. */
+  def scheduledCatchupBatch(transformed: DataFrame, queryName: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    transformed.writeStream.outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName(queryName)
       .start()
 
   // ---- sessionization ----
@@ -196,8 +216,8 @@ object Streaming {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |sessions AS (
        |  SELECT user_id, ts,
-       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
        |  FROM flagged)
        |SELECT user_id, session_id, min(ts) AS session_start,
        |  max(ts) AS session_end, count(*) AS n_events

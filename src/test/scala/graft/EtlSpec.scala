@@ -67,6 +67,22 @@ class EtlSpec extends AnyFunSuite {
     assert(out.sameElements(Array("new", "keep")))
   }
 
+  test("approx-imputed silver pipeline agrees with the exact pipeline") {
+    val exact = EtlQueries.silverPipeline(spark, sf)
+    val approx = EtlQueries.silverPipelineApprox(spark, sf)
+    // same rows in the same order (both sort by l_orderkey, dedup is
+    // stats-independent); imputed numerics differ only by sketch error
+    val joined = exact.alias("e").join(approx.alias("a"),
+      col("e.l_orderkey") === col("a.l_orderkey") &&
+        col("e.l_linenumber") === col("a.l_linenumber"))
+    assert(joined.count() == exact.count())
+    val bad = joined.filter(
+      abs(col("e.l_quantity") - col("a.l_quantity")) >
+        abs(col("e.l_quantity")) * 0.05 + 1e-9 ||
+      col("e.l_returnflag") =!= col("a.l_returnflag")).count()
+    assert(bad == 0, s"$bad rows diverge beyond sketch tolerance")
+  }
+
   test("approx medians track exact medians on the corpus") {
     val li = Tables.lineitem(spark, sf)
     val cols = Seq("l_quantity", "l_extendedprice")

@@ -31,6 +31,24 @@ class LoaderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Loader.write(df, dir, "nope"))
   }
 
+  test("jdbc full vs batch load semantics (embedded Derby)") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-jdbc").toString
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val df = Tables.region(spark, sf)
+    def readBack = spark.read
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .jdbc(url, "region_load", new java.util.Properties)
+    Loader.writeJdbc(df, url, "region_load", "full")
+    assert(readBack.count() == df.count())
+    Loader.writeJdbc(df, url, "region_load", "batch")
+    assert(readBack.count() == df.count() * 2) // append accretes
+    Loader.writeJdbc(df, url, "region_load", "full")
+    assert(readBack.count() == df.count()) // truncate+reload resets
+    assert(readBack.orderBy("r_regionkey").collect().map(_.getAs[Number](0).longValue)
+      .sameElements(df.orderBy("r_regionkey").collect().map(_.getAs[Number](0).longValue)))
+    intercept[IllegalArgumentException](Loader.writeJdbc(df, url, "region_load", "nope"))
+  }
+
   test("compaction merges small files without changing data") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
     val df = Tables.lineitem(spark, sf)

@@ -35,6 +35,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(binsPerLang.forall(_.getLong(1) >= 1))
   }
 
+  test("big-star/small-star CC: logarithmic rounds on a 100-node chain") {
+    import spark.implicits._
+    // a 100-node chain is the adversarial shape for min-label
+    // propagation (O(diameter) ≈ 100 rounds); the alternating
+    // algorithm must resolve it in O(log n) rounds
+    val chain = (0 until 99).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val (labels, rounds) = Pipeline.ccBigSmallStar(chain)
+    assert(rounds <= 10, s"took $rounds rounds on a 100-node chain")
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 99).foreach(i => assert(m(i.toLong) == 0L, s"node $i → ${m.get(i.toLong)}"))
+  }
+
+  test("star CC matches propagation CC on the corpus") {
+    val byProp = Pipeline.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byStar = Pipeline.dedupClustersStar(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(byProp.sameElements(byStar))
+  }
+
   test("connected components merge chained near-duplicates") {
     import spark.implicits._
     // build a corpus where 0~1 and 1~2 are near-dups but 0 and 2 are

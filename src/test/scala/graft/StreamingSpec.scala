@@ -29,6 +29,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == exact)
   }
 
+  test("Trigger.AvailableNow runs a scheduled catch-up batch and stops") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = Streaming.scheduledCatchupBatch(
+      Streaming.windowAggStream(Streaming.readEventsStream(spark, sf)),
+      "sched_out", ckpt)
+    q.awaitTermination(120000)
+    assert(!q.isActive, "AvailableNow query should self-terminate")
+    val stream = spark.table("sched_out")
+      .orderBy("win_start", "event_type").collect()
+    val batch = Streaming.eventsWindowAgg(spark, sf).collect()
+    assert(stream.length == batch.length && stream.nonEmpty)
+    assert(stream.zip(batch).forall { case (a, b) => a == b })
+  }
+
   test("stateful sessionization matches the batch window twin") {
     import spark.implicits._
     val evs = Tables.events(spark, sf)
