@@ -56,6 +56,7 @@ object SparkEntry {
     "sample_stratified" -> (pipeline.Pipeline.sampleStratified _),
     "pack_sequences" -> (pipeline.Pipeline.packSequences _),
     "dedup_clusters" -> ((s, d) => pipeline.Pipeline.dedupClusters(s, d)),
+    "dedup_clusters_star" -> ((s, d) => pipeline.Pipeline.dedupClustersStar(s, d)),
     "asof_join" -> (analytics.Queries.asofJoin _),
     "q5_join" -> (analytics.Queries.q5Join _),
     "above_customer_avg" -> (analytics.Queries.aboveCustomerAvg _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "sample_stratified" -> pipeline.Pipeline.sampleStratifiedSql,
     "pack_sequences" -> pipeline.Pipeline.packSequencesSql,
     "dedup_clusters" -> pipeline.Pipeline.dedupClustersSql,
+    "dedup_clusters_star" -> pipeline.Pipeline.dedupClustersSql,
     "asof_join" -> analytics.Queries.asofJoinSql,
     "q5_join" -> analytics.Queries.q5JoinSql,
     "above_customer_avg" -> analytics.Queries.aboveCustomerAvgSql,
