@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> ((s, d) => ann.Ann.embedCosinePairs(T.embeddings(s, d))),
     "ann_topk" -> ((s, d) => ann.Ann.bruteForceTopK(T.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => ann.Ann.lshTopK(T.embeddings(s, d))),
+    "ann_ivf" -> ((s, d) => ann.Ivf.ivfTopK(T.embeddings(s, d))),
     "mm_features" -> (multimodal.Multimodal.mmFeatures _),
     "events_window_agg" -> (streaming.Streaming.eventsWindowAgg _),
     "sessionize" -> (streaming.Streaming.sessionize _),
@@ -72,7 +73,10 @@ object SparkEntry {
     "ntile_bins" -> (analytics.Queries.ntileBins _),
     "ts_delta" -> (analytics.Queries.tsDelta _),
     "collect_sorted" -> (analytics.Queries.collectSorted _),
-    "regression" -> (analytics.Queries.regression _)
+    "regression" -> (analytics.Queries.regression _),
+    "repetition_score" -> (text.TextQueries.repetitionScore _),
+    "pii_scrub" -> (text.TextQueries.piiScrub _),
+    "decontaminate" -> ((s, d) => pipeline.Contamination.decontaminate(T.documents(s, d)))
   )
 
   /** DuckDB oracle SQL, same column aliases as the Spark queries. */
@@ -108,6 +112,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> ann.Ann.embedCosinePairsSql(),
     "ann_topk" -> ann.Ann.bruteForceTopKSql(),
     "ann_lsh" -> ann.Ann.lshTopKSql(),
+    "ann_ivf" -> ann.Ivf.ivfTopKSql(),
     "mm_features" -> multimodal.Multimodal.mmFeaturesSql,
     "events_window_agg" -> streaming.Streaming.eventsWindowAggSql,
     "sessionize" -> streaming.Streaming.sessionizeSql,
@@ -130,6 +135,9 @@ object SparkEntry {
     "ntile_bins" -> analytics.Queries.ntileBinsSql,
     "ts_delta" -> analytics.Queries.tsDeltaSql,
     "collect_sorted" -> analytics.Queries.collectSortedSql,
-    "regression" -> analytics.Queries.regressionSql
+    "regression" -> analytics.Queries.regressionSql,
+    "repetition_score" -> text.TextQueries.repetitionScoreSql,
+    "pii_scrub" -> text.TextQueries.piiScrubSql,
+    "decontaminate" -> pipeline.Contamination.decontaminateSql
   )
 }

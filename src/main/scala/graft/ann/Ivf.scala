@@ -1,0 +1,162 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Ann.{dotCol, dotSql, normCol, normSql}
+
+/** IVF (inverted-file) ANN — SURVEY.md §2 item 73.
+  *
+  * The second classic ANN scale path next to hyperplane LSH
+  * ([[Ann.lshTopK]]): k-means-cluster the corpus once (the "coarse
+  * quantizer"), store vectors in per-centroid inverted lists, and at
+  * query time search only the `nprobe` lists whose centroids are
+  * nearest the query — candidates drop from O(n) to O(n·nprobe/k).
+  *
+  * Everything is deterministic so the DuckDB oracle can replay it:
+  * centroids initialize from the first K vectors by `vec_id`, Lloyd
+  * iterations are fixed-count, assignment ties break to the lowest
+  * centroid id, and each updated centroid component is rounded to 6 dp
+  * — the rounding also squashes the ~1e-13 cross-engine noise from
+  * different float-summation orders in the mean, so all downstream
+  * cosines are bit-identical IEEE doubles in both engines.
+  *
+  * Scale design: one crossJoin-with-broadcast-centroids scan per Lloyd
+  * iteration (K rows broadcast, linear in corpus size; the K×dim
+  * centroid table is collected driver-side per iteration — O(K·dim)
+  * doubles, the same tiny-stat shape as Silver's medians). Probing
+  * joins the (tiny, broadcast) query×probe table against the
+  * hash-partitioned assignment — no shuffle of the vector side beyond
+  * the final per-query top-k window over candidate rows.
+  */
+object Ivf {
+
+  val K = 8
+  val Iters = 2
+  val NProbe = 2
+  val Dim = 64
+
+  /** vectors with double-cast embedding + norm (shared shape). */
+  private def vecsD(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", normCol(col("e")))
+
+  /** One Lloyd round: assign every vector to its nearest centroid by
+    * cosine (ties → lowest cid), then mean each cluster element-wise,
+    * rounding components to 6 dp. `cent` is (cid, ce, cn) — small,
+    * broadcast. Returns the updated centroid rows, collected. */
+  private def lloydRound(v: DataFrame, cent: DataFrame): Array[(Long, Seq[Double])] = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("cos", dotCol(col("e"), col("ce")) / (col("nrm") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("e"))
+    assigned
+      .select(col("cid"), posexplode(col("e")))
+      .toDF("cid", "pos", "v")
+      .groupBy("cid", "pos").agg(avg("v").as("m"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => round(s.getField("m"), 6)).as("ce"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+  }
+
+  private def centFrame(spark: SparkSession, rows: Array[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("cid", "ce").withColumn("cn", normCol(col("ce")))
+  }
+
+  /** Train the coarse quantizer: init = first K vectors, `Iters` fixed
+    * Lloyd rounds. Returns the final centroid frame (cid, ce, cn). */
+  def trainCentroids(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    val v = vecsD(embeddings)
+    var cent = v.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    for (_ <- 0 until Iters)
+      cent = centFrame(spark, lloydRound(v, cent))
+    cent
+  }
+
+  /** §2.73 IVF top-k: probe the `NProbe` nearest inverted lists per
+    * query vector (vec_id < nq), exact cosine within candidates. */
+  def ivfTopK(embeddings: DataFrame, nq: Int = 5, k: Int = 10): DataFrame = {
+    val v = vecsD(embeddings)
+    val cent = trainCentroids(embeddings)
+    // final assignment: every vector into exactly one inverted list
+    val aw = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("cos", dotCol(col("e"), col("ce")) / (col("nrm") * col("cn")))
+      .withColumn("rk", row_number().over(aw))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"), col("e"), col("nrm"))
+    // probe lists: nprobe nearest centroids per query
+    val pw = Window.partitionBy("q_id").orderBy(desc("qcos"), asc("cid"))
+    val probes = v.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cent))
+      .withColumn("qcos", dotCol(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("prk", row_number().over(pw))
+      .filter(col("prk") <= NProbe)
+      .select(col("q_id"), col("qe"), col("qn"), col("cid"))
+    // search only the probed lists
+    val sw = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(dotCol(col("qe"), col("e")) / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(sw))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "vec_id", "cosine")
+      .orderBy("q_id", "rk")
+  }
+
+  def ivfTopKSql(nq: Int = 5, k: Int = 10): String = {
+    val vSql =
+      s"""SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |    ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nrm
+         |  FROM embeddings""".stripMargin
+    // one Lloyd round: previous centroid CTE `cPrev` -> assignment -> mean
+    def roundSql(cPrev: String, aName: String, cName: String): String =
+      s"""$aName AS (SELECT vec_id, cid, e FROM (
+         |  SELECT v.vec_id, c.cid, v.e,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC, c.cid) AS rk
+         |  FROM v CROSS JOIN $cPrev c) t WHERE rk = 1),
+         |$cName AS (SELECT cid,
+         |    list_transform(generate_series(1, $Dim),
+         |      j -> round(list_sum(list_transform(es, x -> x[j])) / n, 6)) AS ce
+         |  FROM (SELECT cid, list(e ORDER BY vec_id) AS es, count(*) AS n
+         |        FROM $aName GROUP BY cid) g),
+         |${cName}n AS (SELECT cid, ce, ${normSql("ce")} AS cn FROM $cName)""".stripMargin
+    val rounds = (0 until Iters).map { i =>
+      roundSql(if (i == 0) "c0n" else s"c${i}n", s"a$i", s"c${i + 1}")
+    }.mkString(",\n")
+    val fin = s"c${Iters}n"
+    s"""WITH v AS ($vSql),
+       |c0n AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < $K),
+       |$rounds,
+       |assigned AS (SELECT vec_id, cid, e, nrm FROM (
+       |  SELECT v.vec_id, c.cid, v.e, v.nrm,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC, c.cid) AS rk
+       |  FROM v CROSS JOIN $fin c) t WHERE rk = 1),
+       |probes AS (SELECT q_id, qe, qn, cid FROM (
+       |  SELECT v.vec_id AS q_id, v.e AS qe, v.nrm AS qn, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC, c.cid) AS prk
+       |  FROM v CROSS JOIN $fin c WHERE v.vec_id < $nq) t WHERE prk <= $NProbe),
+       |scored AS (SELECT p.q_id, a.vec_id,
+       |    round(${dotSql("p.qe", "a.e")} / (p.qn * a.nrm), 6) AS cosine
+       |  FROM assigned a JOIN probes p ON a.cid = p.cid
+       |  WHERE a.vec_id != p.q_id)
+       |SELECT q_id, rk, vec_id, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM scored) t
+       |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+  }
+}

@@ -40,4 +40,37 @@ object Bronze {
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Name of the quarantine column carrying the raw malformed record. */
+  val CorruptCol = "_corrupt_record"
+
+  private def withCorrupt(schema: StructType): StructType =
+    schema.add(CorruptCol, org.apache.spark.sql.types.StringType)
+
+  /** Permissive CSV ingest: malformed rows don't fail the job — they
+    * surface with the raw line in [[CorruptCol]] and nulls elsewhere
+    * (the distributed version of the reference's row-level pandas
+    * validation, de_spotify_to_bronze.py `validate_data`). */
+  def readCsvPermissive(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(withCorrupt(schema)).csv(path)
+
+  /** Permissive JSON-lines ingest with the same quarantine contract. */
+  def readJsonPermissive(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(withCorrupt(schema)).json(path)
+
+  /** Split a permissive read into (clean, quarantined). The cache is
+    * required: Spark disallows filtering on only the internal corrupt
+    * column of an un-materialized raw scan (SPARK-21610). */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    val cached = df.cache()
+    (cached.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      cached.filter(col(CorruptCol).isNotNull))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import TextFunctions._
@@ -129,6 +129,115 @@ object TextQueries {
        |  FROM (SELECT doc_id, lang, text, ${tokensSql("lower(text)")} AS _toks FROM documents) t0) t
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** §2.70 repetition scoring (Gopher-style quality rule: "repetitious
+    * documents are low-quality"): duplicate-token fraction, top-token
+    * fraction, top-bigram fraction, composite score. Explode-then-agg
+    * rather than per-row higher-order lambdas — array HOFs interpret
+    * O(elements×refs) after projection collapse, while the exploded
+    * form is two codegen'd partial-agg passes that scale linearly. */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(lower(col("text")))))
+      .toDF("doc_id", "pos", "tok")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = toks
+      .withColumn("bg", concat_ws(" ", lag("tok", 1).over(w), col("tok")))
+      .filter(col("pos") >= 1)
+    val uni = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("max_tok"))
+    val bi = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_bigrams"), max("c").as("max_bg"))
+    val topTok = col("max_tok").cast("double") / col("n_tokens")
+    val topBg = coalesce(col("max_bg").cast("double") / col("n_bigrams"), lit(0.0))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("distinct_frac"),
+        round(topTok, 6).as("top_token_frac"),
+        round(topBg, 6).as("top_bigram_frac"),
+        round(lit(0.5) * topTok + lit(0.5) * topBg, 6).as("rep_score"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionScoreSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+       |  FROM (SELECT doc_id, ${tokensSql("lower(text)")} AS t FROM documents) d),
+       |bgr AS (SELECT doc_id, bg FROM (
+       |  SELECT doc_id, pos,
+       |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' || tok AS bg
+       |  FROM toks) t WHERE pos >= 2),
+       |us AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_distinct, max(c) AS max_tok
+       |  FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2) u
+       |  GROUP BY doc_id),
+       |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS max_bg
+       |  FROM (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2) b
+       |  GROUP BY doc_id)
+       |SELECT us.doc_id, n_tokens,
+       |  round(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS distinct_frac,
+       |  round(max_tok / CAST(n_tokens AS DOUBLE), 6) AS top_token_frac,
+       |  round(coalesce(max_bg / CAST(n_bigrams AS DOUBLE), 0.0), 6) AS top_bigram_frac,
+       |  round(0.5 * (max_tok / CAST(n_tokens AS DOUBLE))
+       |    + 0.5 * coalesce(max_bg / CAST(n_bigrams AS DOUBLE), 0.0), 6) AS rep_score
+       |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+       |ORDER BY us.doc_id""".stripMargin
+
+  // PII patterns: valid in BOTH Java regex (Spark) and RE2 (DuckDB) —
+  // no lookarounds, no backrefs.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{4}\\b"
+  private val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Deterministic PII enrichment: the synthetic corpus carries no PII,
+    * so each doc gets an email/phone/IP derived from its id — the scrub
+    * then has real (and oracle-checkable) work to do. */
+  private def piiText: Column = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.com or call 555-"),
+    lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+    ((col("doc_id") * 7) % 256).cast("string"))
+
+  private val piiTextSql: String =
+    "text || ' contact user' || doc_id || '@example.com or call 555-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' || " +
+      "(doc_id % 256) || '.' || ((doc_id * 7) % 256)"
+
+  /** §2.71 PII scrubbing: count + redact emails, phone numbers, and
+    * IPv4 addresses (replacement placeholders keep the text trainable).
+    * One codegen'd scan — per-row regex work, embarrassingly parallel. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("pii_text", piiText)
+      .select(col("doc_id"),
+        regexp_count(col("pii_text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("pii_text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("pii_text"), lit(IpRe)).cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("pii_text"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          IpRe, "<IP>").as("scrubbed"))
+      .orderBy("doc_id")
+
+  // NOTE: DuckDB string literals keep backslashes as-is, so the same
+  // pattern strings (single \b, \.) serve both engines verbatim.
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(pii_text, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(pii_text, '$IpRe')) AS BIGINT) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g'),
+       |    '$IpRe', '<IP>', 'g') AS scrubbed
+       |FROM (SELECT doc_id, $piiTextSql AS pii_text FROM documents) t
+       |ORDER BY doc_id""".stripMargin
 
   /** §2.31 document fingerprints: md5-derived 60-bit id + polynomial
     * rolling hash over the normalized character stream. */

@@ -25,6 +25,29 @@ class EtlSpec extends AnyFunSuite {
     assert(df.count() == 2 && df.columns.sameElements(Array("id", "name")))
   }
 
+  test("permissive CSV/JSON ingest quarantines corrupt rows") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("score", DoubleType)))
+    val d = Files.createTempDirectory("graftquar").toFile
+    val csv = new java.io.File(d, "in.csv")
+    Files.writeString(csv.toPath, "id,score\n1,0.5\nnotanint,0.7\n3,0.9\n")
+    val (okC, badC) = Bronze.quarantine(
+      Bronze.readCsvPermissive(spark, csv.getAbsolutePath, schema))
+    assert(okC.count() == 2 && badC.count() == 1)
+    assert(badC.head().getAs[String](Bronze.CorruptCol).startsWith("notanint"))
+    assert(!okC.columns.contains(Bronze.CorruptCol))
+    val js = new java.io.File(d, "in.json")
+    Files.writeString(js.toPath,
+      """{"id":1,"score":0.5}""" + "\n" + """{"id":2 "score":""" + "\n" +
+        """{"id":3,"score":0.9}""" + "\n")
+    val (okJ, badJ) = Bronze.quarantine(
+      Bronze.readJsonPermissive(spark, js.getAbsolutePath, schema))
+    assert(okJ.count() == 2 && badJ.count() == 1)
+    assert(badJ.head().getAs[String](Bronze.CorruptCol).contains("\"id\":2"))
+  }
+
   test("expectations engine: one pass, correct verdicts") {
     import spark.implicits._
     val df = Seq((1, Some(10), "a"), (2, None, "b"), (2, Some(30), "zz"))

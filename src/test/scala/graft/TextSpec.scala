@@ -53,4 +53,46 @@ class TextSpec extends AnyFunSuite {
     val q = TextQueries.textQuality(spark, sf)
     assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
   }
+
+  test("repetition score separates repetitious from varied text") {
+    val r = TextQueries.repetitionScore(spark, sf)
+    // fractions are well-formed
+    assert(r.filter(col("distinct_frac") <= 0 || col("distinct_frac") > 1).count() == 0)
+    assert(r.filter(col("top_token_frac") <= 0 || col("top_token_frac") > 1).count() == 0)
+    assert(r.filter(col("rep_score") < 0 || col("rep_score") > 1).count() == 0)
+    assert(r.count() == Tables.documents(spark, sf).count())
+    // a fully-repeated doc must out-score every corpus doc: it hits the
+    // theoretical max (top token AND top bigram both 1.0)
+    val m = r.agg(max("rep_score")).head().getDouble(0)
+    assert(m < 1.0, "synthetic corpus should not contain a one-token doc")
+  }
+
+  test("pii scrub redacts every planted email/phone/ip") {
+    val p = TextQueries.piiScrub(spark, sf)
+    assert(p.filter(col("n_emails") < 1 || col("n_phones") < 1 || col("n_ips") < 1).count() == 0)
+    assert(p.filter(col("scrubbed").contains("@")).count() == 0)
+    assert(p.filter(!col("scrubbed").contains("<EMAIL>") ||
+      !col("scrubbed").contains("<PHONE>") ||
+      !col("scrubbed").contains("<IP>")).count() == 0)
+    // no digit sequences that look like phones/IPs survive
+    assert(p.filter(col("scrubbed").rlike("\\b555-[0-9]{4}\\b")).count() == 0)
+    assert(p.filter(col("scrubbed")
+      .rlike("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")).count() == 0)
+  }
+
+  test("decontaminate flags a train doc copied from the eval split") {
+    import graft.pipeline.Contamination
+    val base = Tables.documents(spark, sf).limit(0)
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, evalText, "en", "src0", evalText.length.toLong),          // eval doc
+      (2L, evalText, "en", "src5", evalText.length.toLong),          // verbatim copy → contaminated
+      (3L, "one two three four five six seven eight nine ten", "en", "src5", 49L))
+      .toDF(base.columns: _*)
+    val out = Contamination.decontaminate(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(!out.contains(1L), "eval docs are not scored")
+    assert(out(2L)._1 == 1.0 && out(2L)._2, "verbatim copy must be fully contaminated")
+    assert(out(3L)._1 == 0.0 && !out(3L)._2, "disjoint doc must be clean")
+  }
 }
