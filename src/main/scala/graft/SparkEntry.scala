@@ -76,7 +76,8 @@ object SparkEntry {
     "regression" -> (analytics.Queries.regression _),
     "repetition_score" -> (text.TextQueries.repetitionScore _),
     "pii_scrub" -> (text.TextQueries.piiScrub _),
-    "decontaminate" -> ((s, d) => pipeline.Contamination.decontaminate(T.documents(s, d)))
+    "decontaminate" -> ((s, d) => pipeline.Contamination.decontaminate(T.documents(s, d))),
+    "corpus_mix" -> (pipeline.Pipeline.corpusMix _)
   )
 
   /** DuckDB oracle SQL, same column aliases as the Spark queries. */
@@ -138,6 +139,7 @@ object SparkEntry {
     "regression" -> analytics.Queries.regressionSql,
     "repetition_score" -> text.TextQueries.repetitionScoreSql,
     "pii_scrub" -> text.TextQueries.piiScrubSql,
-    "decontaminate" -> pipeline.Contamination.decontaminateSql
+    "decontaminate" -> pipeline.Contamination.decontaminateSql,
+    "corpus_mix" -> pipeline.Pipeline.corpusMixSql
   )
 }

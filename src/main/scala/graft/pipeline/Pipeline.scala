@@ -42,6 +42,76 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Data-mixing parameters: total token budget to fill, and the cap
+    * on any one language's mixture share (CapNum/CapDen = 0.3 —
+    * prevents the head language from dominating the mixture; the
+    * practical one-round version of waterfilling). */
+  val MixBudget = 100000L
+  val MixCapNum = 3L
+  val MixCapDen = 10L
+
+  /** §2.75 corpus mixture weighting: per-language token counts →
+    * natural share → capped-then-renormalized mixture weight → token
+    * allocation, sampling rate, and epoch count (passes over a
+    * language's data the allocation implies). One capping round: the
+    * cap binds against the PRE-normalization share, so after
+    * renormalization a capped language's weight can still sit above
+    * the nominal cap (full waterfilling would iterate); the guarantee
+    * is that every capped language's weight drops below its natural
+    * share and the ordering is preserved.
+    *
+    * The capped share is kept as an exact integer numerator
+    * (min(tokens·CapDen, total·CapNum) over the common denominator
+    * CapDen·total), so the allocation is BIGINT arithmetic — no float
+    * `floor` boundary for the oracle to disagree on. (At real 100-TB
+    * token counts this product needs DECIMAL(38) headroom; the shape
+    * is unchanged.) Scale: one partial-agg'd groupBy over the corpus,
+    * then L-row arithmetic with broadcast 1-row totals — the corpus
+    * is scanned exactly once. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .withColumn("n_tokens",
+        size(graft.functions.native.token_poly_hashes(col("text"))).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("lang_tokens"))
+    val total = per.agg(sum("lang_tokens").as("total_tokens"))
+    val capped = least(col("lang_tokens") * MixCapDen, col("total_tokens") * MixCapNum)
+    val capSum = per.crossJoin(broadcast(total))
+      .agg(sum(capped).as("cap_sum"))
+    per.crossJoin(broadcast(total)).crossJoin(broadcast(capSum))
+      .withColumn("cap_num", capped)
+      // integer division: Spark's `/` on longs yields double, `div` stays BIGINT
+      .withColumn("alloc_tokens", expr(s"cap_num * $MixBudget div cap_sum"))
+      .withColumn("epochs_raw",
+        col("alloc_tokens").cast("double") / col("lang_tokens"))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"),
+        round(col("lang_tokens").cast("double") / col("total_tokens"), 6)
+          .as("natural_share"),
+        round(col("cap_num").cast("double") / col("cap_sum"), 6).as("mix_weight"),
+        col("alloc_tokens"),
+        round(least(lit(1.0), col("epochs_raw")), 6).as("sampling_rate"),
+        round(col("epochs_raw"), 6).as("epochs"))
+      .orderBy("lang")
+  }
+
+  val corpusMixSql: String =
+    s"""WITH per AS (SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(len(${tokenHashesSql("text")})) AS BIGINT) AS lang_tokens
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM per),
+       |cap AS (SELECT lang, n_docs, lang_tokens, total_tokens,
+       |    least(lang_tokens * $MixCapDen, total_tokens * $MixCapNum) AS cap_num
+       |  FROM per CROSS JOIN tot),
+       |cs AS (SELECT CAST(sum(cap_num) AS BIGINT) AS cap_sum FROM cap)
+       |SELECT lang, n_docs, lang_tokens,
+       |  round(lang_tokens / CAST(total_tokens AS DOUBLE), 6) AS natural_share,
+       |  round(cap_num / CAST(cap_sum AS DOUBLE), 6) AS mix_weight,
+       |  cap_num * $MixBudget // cap_sum AS alloc_tokens,
+       |  round(least(1.0, (cap_num * $MixBudget // cap_sum) / CAST(lang_tokens AS DOUBLE)), 6) AS sampling_rate,
+       |  round((cap_num * $MixBudget // cap_sum) / CAST(lang_tokens AS DOUBLE), 6) AS epochs
+       |FROM cap CROSS JOIN cs
+       |ORDER BY lang""".stripMargin
+
   /** §2.38 sequence packing for a context window: assign docs (in
     * deterministic stream order per language) to bins by cumulative
     * token count div capacity — the shuffle-light approximation of

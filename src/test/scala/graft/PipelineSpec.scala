@@ -35,6 +35,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(binsPerLang.forall(_.getLong(1) >= 1))
   }
 
+  test("corpus mix: weights normalize, cap binds, allocation fits budget") {
+    val rows = Pipeline.corpusMix(spark, sf).collect()
+    val weights = rows.map(_.getAs[Double]("mix_weight"))
+    assert(math.abs(weights.sum - 1.0) < 1e-4)
+    assert(weights.forall(_ > 0))
+    // total allocation never exceeds the budget (integer floors round down)
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(alloc <= Pipeline.MixBudget && alloc > Pipeline.MixBudget * 9 / 10)
+    // the dominant language is capped below its natural share
+    val head = rows.maxBy(_.getAs[Double]("natural_share"))
+    if (head.getAs[Double]("natural_share") > Pipeline.MixCapNum.toDouble / Pipeline.MixCapDen)
+      assert(head.getAs[Double]("mix_weight") < head.getAs[Double]("natural_share"))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sampling_rate") <= 1.0)
+      assert(r.getAs[Double]("epochs") >= r.getAs[Double]("sampling_rate") - 1e-9)
+    }
+  }
+
   test("big-star/small-star CC: logarithmic rounds on a 100-node chain") {
     import spark.implicits._
     // a 100-node chain is the adversarial shape for min-label
