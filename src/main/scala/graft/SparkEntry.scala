@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => pipeline.Pipeline.dedupClusters(s, d)),
     "dedup_clusters_star" -> ((s, d) => pipeline.Pipeline.dedupClustersStar(s, d)),
     "asof_join" -> (analytics.Queries.asofJoin _),
+    "asof_join_native" -> (analytics.Queries.asofJoinNative _),
     "q5_join" -> (analytics.Queries.q5Join _),
     "above_customer_avg" -> (analytics.Queries.aboveCustomerAvg _),
     "scalar_funcs" -> (analytics.Queries.scalarFuncs _),
@@ -122,6 +123,7 @@ object SparkEntry {
     "dedup_clusters" -> pipeline.Pipeline.dedupClustersSql,
     "dedup_clusters_star" -> pipeline.Pipeline.dedupClustersSql,
     "asof_join" -> analytics.Queries.asofJoinSql,
+    "asof_join_native" -> analytics.Queries.asofJoinSql,
     "q5_join" -> analytics.Queries.q5JoinSql,
     "above_customer_avg" -> analytics.Queries.aboveCustomerAvgSql,
     "scalar_funcs" -> analytics.Queries.scalarFuncsSql,

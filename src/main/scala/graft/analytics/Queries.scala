@@ -609,6 +609,25 @@ object Queries {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** §2.76 the same as-of join through the native whole-operator path
+    * ([[graft.plans.AsofJoinExec]]): hash-clustered children, per-key
+    * time order, one linear merge pass per partition — no tagged-union
+    * interleave, no window. Output and oracle identical to
+    * [[asofJoin]]. */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+    graft.plans.AsofJoinOp.asofJoin(purchases, clicks,
+        Seq("user_id"), Seq("c_user_id"), "ts", "click_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_ts").as("last_click_ts"),
+        (col("ts").cast("long") - col("click_ts").cast("long")).as("gap_s"))
+      .orderBy("event_id")
+  }
+
   /** §2.20 ROLLUP hierarchical aggregation. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

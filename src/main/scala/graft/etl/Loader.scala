@@ -22,6 +22,30 @@ object Loader {
     df.write.mode(mode).parquet(path)
   }
 
+  /** ORC variant of [[write]] — same full/batch semantics, columnar
+    * format interchange (ORC ships in Spark's classpath; both formats
+    * carry min/max stats + predicate pushdown, so the scan-side scale
+    * properties match parquet's). */
+  def writeOrc(df: DataFrame, path: String, loadType: String): Unit = {
+    val mode = loadType match {
+      case "full"  => SaveMode.Overwrite
+      case "batch" => SaveMode.Append
+      case other   => throw new IllegalArgumentException(s"loadType $other")
+    }
+    df.write.mode(mode).orc(path)
+  }
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Schema-evolution read: union the schemas of all files under
+    * `path` (columns added by later batches come back null for earlier
+    * files) — the contract an accreting bronze directory needs once
+    * upstream adds fields. At scale prefer an explicit evolved schema:
+    * mergeSchema pays a footer-read pre-pass over every file. */
+  def readMerged(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** JDBC load with the reference's two modes
     * (/root/reference/dags/de_spotify_to_bronze.py:168-213
     * `load_data_to_mysql`): full = TRUNCATE + insert (here: overwrite

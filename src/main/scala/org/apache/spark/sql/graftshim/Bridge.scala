@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Minimal shim into Spark's `private[sql]` surface (legitimate
+  * extension-point plumbing, same access path Spark's own connectors
+  * use): build a DataFrame from a custom LogicalPlan, and append a
+  * planner strategy to a live session. Lives under
+  * org.apache.spark.sql.* solely for the access qualifier. */
+object Bridge {
+
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to an already-built session. */
+  def addStrategy(spark: org.apache.spark.sql.SparkSession,
+      strategy: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
+}

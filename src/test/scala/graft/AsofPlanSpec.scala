@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.AsofJoinOp
+
+class AsofPlanSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("native as-of join: inclusive ties, no-match nulls, key isolation") {
+    val trades = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")), // before any quote → null
+      (2L, "a", ts("2024-01-01 10:05:00")), // exact tie → inclusive
+      (3L, "a", ts("2024-01-01 10:30:00")), // latest prior = 10:10
+      (4L, "b", ts("2024-01-01 10:30:00"))  // key b has no quotes
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("a", ts("2024-01-01 10:05:00"), 101.0),
+      ("a", ts("2024-01-01 10:10:00"), 102.0),
+      ("c", ts("2024-01-01 09:00:00"), 999.0)
+    ).toDF("q_sym", "q_t", "px")
+    val out = AsofJoinOp.asofJoin(trades, quotes,
+        Seq("sym"), Seq("q_sym"), "t", "q_t")
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains(101.0))
+    assert(out(3L).contains(102.0))
+    assert(out(4L).isEmpty)
+  }
+
+  test("native as-of join matches the composed window formulation on events") {
+    val composed = graft.analytics.Queries.asofJoin(spark, sf).collect().toSeq
+    val native = graft.analytics.Queries.asofJoinNative(spark, sf).collect().toSeq
+    assert(native.length == composed.length)
+    assert(native == composed)
+  }
+
+  test("plan: AsofJoinExec with one hash exchange per side, no window") {
+    val df = graft.analytics.Queries.asofJoinNative(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(2000))
+    assert(!plan.contains("Window"), "native path must not fall back to a window")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n${plan.take(3000)}")
+  }
+}

@@ -31,6 +31,33 @@ class LoaderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Loader.write(df, dir, "nope"))
   }
 
+  test("orc roundtrip preserves data and pushes filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/t"
+    val df = Tables.region(spark, sf)
+    Loader.writeOrc(df, dir, "full")
+    Loader.writeOrc(df, dir, "batch")
+    val back = Loader.readOrc(spark, dir)
+    assert(back.count() == df.count() * 2)
+    val filtered = back.filter(col("r_regionkey") === 1)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(r_regionkey), EqualTo(r_regionkey,1)]"),
+      s"ORC scan must push the filter:\n$scan")
+    assert(filtered.count() == 2)
+  }
+
+  test("mergeSchema surfaces late-added columns as nulls") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "extra")
+      .write.mode("append").parquet(dir)
+    val merged = Loader.readMerged(spark, dir)
+    assert(merged.columns.sorted.sameElements(Array("extra", "id", "v")))
+    val byId = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(merged.columns.indexOf("extra")))
+    assert(byId(2L).getDouble(merged.columns.indexOf("extra")) == 9.5)
+  }
+
   test("jdbc full vs batch load semantics (embedded Derby)") {
     val dbDir = java.nio.file.Files.createTempDirectory("graft-jdbc").toString
     val url = s"jdbc:derby:$dbDir/graftdb;create=true"
