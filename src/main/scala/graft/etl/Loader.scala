@@ -22,6 +22,17 @@ object Loader {
     df.write.mode(mode).parquet(path)
   }
 
+  /** Range-sorted write (z-order-lite): range-partition on `cols` and
+    * sort within partitions, so every output file covers a disjoint
+    * key range and its parquet footer min/max stats let point/range
+    * scans skip whole files and row groups. At 100 TB this is the
+    * difference between touching every file and touching one — the
+    * write-side half of predicate pushdown. */
+  def writeSorted(df: DataFrame, path: String, nFiles: Int, cols: String*): Unit =
+    df.repartitionByRange(nFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** ORC variant of [[write]] — same full/batch semantics, columnar
     * format interchange (ORC ships in Spark's classpath; both formats
     * carry min/max stats + predicate pushdown, so the scan-side scale

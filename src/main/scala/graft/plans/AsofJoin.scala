@@ -127,6 +127,23 @@ case class AsofJoinExec(
   }
 }
 
+/** Custom optimizer rule — the `Rule[LogicalPlan]` rung of the
+  * ladder: a limit above an as-of join also bounds the join's LEFT
+  * input, because the operator emits exactly one row per left row.
+  * Pushing `LocalLimit` into the left child caps how much of the
+  * (typically huge) probe side is shuffled and merged — the built-in
+  * `LimitPushDown` rule cannot know this about a foreign node.
+  * Idempotent: guarded on the child not already being the same limit. */
+object AsofLimitPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LocalLimit
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case ll @ LocalLimit(exp, aj: AsofJoinPlan)
+        if !aj.left.isInstanceOf[LocalLimit] =>
+      ll.copy(child = aj.copy(left = LocalLimit(exp, aj.left)))
+  }
+}
+
 /** Plans [[AsofJoinPlan]] into [[AsofJoinExec]]. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -147,6 +164,7 @@ object AsofJoinOp {
       leftTimeCol: String, rightTimeCol: String): DataFrame = {
     val spark: SparkSession = left.sparkSession
     org.apache.spark.sql.graftshim.Bridge.addStrategy(spark, AsofJoinStrategy)
+    org.apache.spark.sql.graftshim.Bridge.addOptimization(spark, AsofLimitPushdown)
     def attr(df: DataFrame, n: String): Attribute =
       df.queryExecution.analyzed.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(

@@ -40,6 +40,28 @@ class AsofPlanSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("optimizer rule pushes a limit into the as-of join's left side") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalLimit
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+    val limited = AsofJoinOp.asofJoin(purchases, clicks,
+      Seq("user_id"), Seq("c_user_id"), "ts", "click_ts").limit(7)
+    val limits = limited.queryExecution.optimizedPlan.collect {
+      case l: LocalLimit => l
+    }
+    // one limit above the join (from .limit) and one pushed into the
+    // left child by AsofLimitPushdown
+    assert(limits.size >= 2, limited.queryExecution.optimizedPlan.toString)
+    val pushed = limited.queryExecution.optimizedPlan.collect {
+      case aj: graft.plans.AsofJoinPlan if aj.left.isInstanceOf[LocalLimit] => aj
+    }
+    assert(pushed.nonEmpty, "limit must sit below the join on the left side")
+    assert(limited.count() == 7)
+  }
+
   test("plan: AsofJoinExec with one hash exchange per side, no window") {
     val df = graft.analytics.Queries.asofJoinNative(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

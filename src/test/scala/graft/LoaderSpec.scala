@@ -31,6 +31,25 @@ class LoaderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Loader.write(df, dir, "nope"))
   }
 
+  test("range-sorted write produces disjoint per-file key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString + "/t"
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    Loader.writeSorted(df, dir, 4, "l_orderkey")
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length == 4)
+    val ranges = parts.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("l_orderkey"), max("l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // files cover disjoint ranges -> footer min/max prunes whole files
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"overlapping file ranges: $hi vs $lo")
+    }
+    assert(spark.read.parquet(dir).count() == df.count())
+  }
+
   test("orc roundtrip preserves data and pushes filters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/t"
     val df = Tables.region(spark, sf)
