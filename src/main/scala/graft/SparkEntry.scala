@@ -52,6 +52,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => ann.Ann.lshTopK(T.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => ann.Ivf.ivfTopK(T.embeddings(s, d))),
     "mm_features" -> (multimodal.Multimodal.mmFeatures _),
+    "mm_frames" -> (multimodal.Multimodal.mmFrames _),
     "events_window_agg" -> (streaming.Streaming.eventsWindowAgg _),
     "sessionize" -> (streaming.Streaming.sessionize _),
     "sample_stratified" -> (pipeline.Pipeline.sampleStratified _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "ann_lsh" -> ann.Ann.lshTopKSql(),
     "ann_ivf" -> ann.Ivf.ivfTopKSql(),
     "mm_features" -> multimodal.Multimodal.mmFeaturesSql,
+    "mm_frames" -> multimodal.Multimodal.mmFramesSql,
     "events_window_agg" -> streaming.Streaming.eventsWindowAggSql,
     "sessionize" -> streaming.Streaming.sessionizeSql,
     "sample_stratified" -> pipeline.Pipeline.sampleStratifiedSql,

@@ -101,6 +101,60 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---- frame sampling ----
+  val NFrames = 4
+  val FrameBytes = 16
+
+  /** §2.79 frame sampling: evenly-spaced fixed-size byte windows from
+    * each payload (the video/audio "sample N frames" access pattern),
+    * with per-frame features. All byte addressing happens on the hex
+    * rendering of the payload — one portable representation that both
+    * engines slice identically (DuckDB 1.0 has no BLOB substring) —
+    * and offsets are exact integer arithmetic. A real pipeline swaps
+    * the feature projection for a codec call per frame; the
+    * explode-shape (doc × frame_idx), offset math, and partition
+    * parallelism are the production plumbing. */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+    val withBytes = withPayload(graft.Tables.documents(spark, dir))
+      .select(col("doc_id"), hex(col("payload")).as("phex"),
+        col("meta.n_bytes").as("n_bytes"))
+    withBytes
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), lit(NFrames - 1))))
+      // 0-based byte offset of frame i, evenly spaced over the payload;
+      // short payloads degenerate to offset 0 (whole-payload frames)
+      .withColumn("off_b", when(col("n_bytes") <= FrameBytes, lit(0L))
+        .otherwise(expr(s"(frame_idx * (n_bytes - $FrameBytes)) div ${NFrames - 1}")))
+      .withColumn("fhex",
+        expr(s"substr(phex, CAST(off_b * 2 + 1 AS INT), ${FrameBytes * 2})"))
+      .select(col("doc_id"), col("frame_idx"), col("off_b"),
+        (length(col("fhex")) / 2).cast("long").as("frame_bytes"),
+        graft.text.TextFunctions.hash64(col("fhex")).as("frame_checksum"),
+        round(expr(s"aggregate(transform(regexp_extract_all(fhex, '..', 0), " +
+            "p -> CAST(conv(p, 16, 10) AS BIGINT)), 0L, (a, b) -> a + b)")
+          .cast("double") / (length(col("fhex")) / 2), 6).as("mean_byte"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val mmFramesSql: String =
+    s"""WITH p AS (SELECT doc_id, hex(encode(text)) AS phex,
+       |    octet_length(encode(text)) AS n_bytes FROM documents),
+       |f AS (SELECT doc_id, phex, n_bytes, unnest(generate_series(0, ${NFrames - 1})) AS frame_idx
+       |  FROM p),
+       |w AS (SELECT doc_id, frame_idx,
+       |    CASE WHEN n_bytes <= $FrameBytes THEN 0
+       |         ELSE (frame_idx * (n_bytes - $FrameBytes)) // ${NFrames - 1} END AS off_b,
+       |    phex FROM f),
+       |fr AS (SELECT doc_id, frame_idx, off_b,
+       |    substr(phex, CAST(off_b * 2 + 1 AS INT), ${FrameBytes * 2}) AS fhex FROM w)
+       |SELECT doc_id, frame_idx, CAST(off_b AS BIGINT) AS off_b,
+       |  CAST(length(fhex) / 2 AS BIGINT) AS frame_bytes,
+       |  ('0x' || substr(md5(fhex), 1, 15))::BIGINT AS frame_checksum,
+       |  round(list_sum(list_transform(regexp_extract_all(fhex, '..'),
+       |      p -> ('0x' || p)::INT))
+       |    / CAST(length(fhex) / 2 AS DOUBLE), 6) AS mean_byte
+       |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+
   val mmFeaturesSql: String = {
     val payload = "encode(text)" // DuckDB: VARCHAR -> BLOB (utf-8)
     s"""SELECT doc_id,

@@ -74,4 +74,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(typed.length == colops.length && typed.nonEmpty)
     assert(typed.zip(colops).forall { case (a, b) => a == b })
   }
+
+  test("frame sampling: N evenly-spaced full frames per document") {
+    import graft.multimodal.Multimodal
+    val frames = Multimodal.mmFrames(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(frames.length == nDocs * Multimodal.NFrames)
+    frames.groupBy(_.getLong(0)).foreach { case (doc, fs) =>
+      val sorted = fs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).sameElements(0 until Multimodal.NFrames))
+      // offsets non-decreasing; frame 0 starts at byte 0
+      val offs = sorted.map(_.getLong(2))
+      assert(offs.head == 0L)
+      assert(offs.zip(offs.tail).forall { case (a, b) => a <= b }, s"doc $doc offs")
+      // full frames unless the payload itself is shorter
+      assert(fs.forall(r => r.getLong(3) == Multimodal.FrameBytes ||
+        r.getLong(3) < Multimodal.FrameBytes && offs.forall(_ == 0)))
+      // mean byte of printable text sits in the printable band
+      assert(fs.forall(r => r.getDouble(5) > 30 && r.getDouble(5) < 200))
+    }
+  }
 }
