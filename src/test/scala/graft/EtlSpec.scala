@@ -48,6 +48,18 @@ class EtlSpec extends AnyFunSuite {
     assert(badJ.head().getAs[String](Bronze.CorruptCol).contains("\"id\":2"))
   }
 
+  test("drift monitor: random halves are stable, skewed split is not") {
+    import spark.implicits._
+    val rows = Drift.dqDrift(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // shares are distributions
+    assert(math.abs(rows.map(_.getAs[Double]("p_a")).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_.getAs[Double]("p_b")).sum - 1.0) < 1e-3)
+    // even/odd orderkey halves are exchangeable -> PSI firmly "stable"
+    val psi = rows.map(_.getAs[Double]("psi_term")).sum
+    assert(psi >= 0 && psi < 0.1, s"psi=$psi")
+  }
+
   test("expectations engine: one pass, correct verdicts") {
     import spark.implicits._
     val df = Seq((1, Some(10), "a"), (2, None, "b"), (2, Some(30), "zz"))
