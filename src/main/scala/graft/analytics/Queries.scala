@@ -171,6 +171,45 @@ object Queries {
       |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** §2.81 winsorization: clamp each group's tail values to its own
+    * p05/p95 — the data-driven generalization of the reference's
+    * static-range clamp (de_spotify_silver.sql LEAST(GREATEST(...))).
+    * Two passes: one percentile agg (tiny result, broadcast back),
+    * one clamp+agg scan. Threshold comparisons use the unrounded
+    * interpolated percentile — safe across engines because the
+    * interpolated value falls strictly between two data points. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_returnflag", "l_extendedprice")
+    val bounds = li.groupBy("l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.05)").as("lo"),
+      expr("percentile(l_extendedprice, 0.95)").as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .withColumn("w", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+      .groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        round(avg("l_extendedprice"), 4).as("mean_raw"),
+        round(avg("w"), 4).as("mean_winsorized"),
+        round(min("lo"), 4).as("p05"),
+        round(max("hi"), 4).as("p95"))
+      .orderBy("l_returnflag")
+  }
+
+  val winsorizeSql: String =
+    """WITH b AS (SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.05) AS lo,
+      |    quantile_cont(l_extendedprice, 0.95) AS hi
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT li.l_returnflag, count(*) AS n,
+      |  CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |  round(avg(l_extendedprice), 4) AS mean_raw,
+      |  round(avg(least(greatest(l_extendedprice, lo), hi)), 4) AS mean_winsorized,
+      |  round(min(lo), 4) AS p05, round(max(hi), 4) AS p95
+      |FROM lineitem li JOIN b ON li.l_returnflag = b.l_returnflag
+      |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin
+
   /** §2.16 correlation / covariance / stddev statistics per group. */
   def corrStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

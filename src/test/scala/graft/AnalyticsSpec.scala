@@ -49,4 +49,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(m("either") >= m("both") + m("f_only") - m.getOrElse("both", 0L) || m("either") >= m("f_only"))
     assert(m("either") <= m("both") + 2 * (m("either") - m("both"))) // sanity bounds
   }
+
+  test("winsorize clamps ~5% per tail and pulls the mean inward") {
+    Queries.winsorize(spark, sf).collect().foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val nLow = r.getAs[Long]("n_low")
+      val nHigh = r.getAs[Long]("n_high")
+      // each tail is ~5% (ties/interpolation shift it slightly)
+      assert(nLow / n > 0.02 && nLow / n < 0.08, s"n_low=$nLow n=$n")
+      assert(nHigh / n > 0.02 && nHigh / n < 0.08, s"n_high=$nHigh n=$n")
+      assert(r.getAs[Double]("p05") < r.getAs[Double]("p95"))
+      // clamping can only pull the mean toward the interior
+      val raw = r.getAs[Double]("mean_raw")
+      val win = r.getAs[Double]("mean_winsorized")
+      assert(win >= r.getAs[Double]("p05") - 1e-9 && win <= r.getAs[Double]("p95") + 1e-9)
+      assert(math.abs(win - raw) < (r.getAs[Double]("p95") - r.getAs[Double]("p05")))
+    }
+  }
 }

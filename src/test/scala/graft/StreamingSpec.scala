@@ -75,6 +75,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(typed.zip(colops).forall { case (a, b) => a == b })
   }
 
+  test("composed sessionization matches Spark's built-in session_window") {
+    import org.apache.spark.sql.expressions.Window
+    // session_window merges an event iff gap < threshold (half-open
+    // window), so the lag/cumsum twin here uses >= for the new-session
+    // flag; the oracle-checked `sessionize` uses > (exact-boundary
+    // events merge) — both are valid conventions, this test pins the
+    // composed formulation against Spark's native operator under the
+    // native operator's convention.
+    val ev = Tables.events(spark, sf)
+    val builtin = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val twin = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("ns", when(col("prev_ts").isNull ||
+        col("ts").cast("long") - col("prev_ts").cast("long") >= 1800L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("s"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(builtin.nonEmpty && builtin == twin)
+  }
+
   test("frame sampling: N evenly-spaced full frames per document") {
     import graft.multimodal.Multimodal
     val frames = Multimodal.mmFrames(spark, sf).collect()
