@@ -33,6 +33,13 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def stringArrayArg(es: Seq[Expression], what: String): Seq[String] =
+    es.map {
+      case Literal(s, _) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be string literals, got $other")
+    }
+
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_token_hashes",
       new ExpressionInfo(classOf[TokenPolyHashes].getName, "graft_token_hashes"),
@@ -45,7 +52,20 @@ object GraftFunctions {
       (es: Seq[Expression]) => MinHashSignature(es.head, intArg(es(1), "numHashes"))),
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
-      (es: Seq[Expression]) => SimHash(es.head, intArg(es(1), "bits"))))
+      (es: Seq[Expression]) => SimHash(es.head, intArg(es(1), "bits"))),
+    ("graft_hyperplane_bucket",
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hyperplane_bucket"),
+      (es: Seq[Expression]) => HyperplaneBucket(es.head,
+        intArg(es(1), "planes"), intArg(es(2), "dim"))),
+    ("graft_tokens_in_set",
+      new ExpressionInfo(classOf[TokensInSetCount].getName, "graft_tokens_in_set"),
+      (es: Seq[Expression]) => TokensInSetCount(es.head,
+        stringArrayArg(es.tail, "set members"))),
+    // aggregate: the analyzer wraps a returned AggregateFunction in
+    // AggregateExpression automatically
+    ("graft_kmv",
+      new ExpressionInfo(classOf[KMinValues].getName, "graft_kmv"),
+      (es: Seq[Expression]) => KMinValues(es.head, intArg(es(1), "k"))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -163,8 +163,8 @@ object AsofJoinOp {
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTimeCol: String, rightTimeCol: String): DataFrame = {
     val spark: SparkSession = left.sparkSession
-    org.apache.spark.sql.graftshim.Bridge.addStrategy(spark, AsofJoinStrategy)
-    org.apache.spark.sql.graftshim.Bridge.addOptimization(spark, AsofLimitPushdown)
+    org.apache.spark.sql.graftbridge.Bridge.addStrategy(spark, AsofJoinStrategy)
+    org.apache.spark.sql.graftbridge.Bridge.addOptimization(spark, AsofLimitPushdown)
     def attr(df: DataFrame, n: String): Attribute =
       df.queryExecution.analyzed.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
@@ -173,6 +173,6 @@ object AsofJoinOp {
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       leftKeys.map(attr(left, _)), rightKeys.map(attr(right, _)),
       attr(left, leftTimeCol), attr(right, rightTimeCol))
-    org.apache.spark.sql.graftshim.Bridge.ofRows(spark, plan)
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, plan)
   }
 }

@@ -61,5 +61,18 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT graft_minhash(graft_shingle_hashes(graft_token_hashes('one two three four'), 3), 16) AS m")
       .head().getSeq[Long](0)
     assert(sig.length == 16)
+    // full surface: bucket expression, set-count, and the KMV aggregate
+    val bucket = spark.sql(
+      "SELECT graft_hyperplane_bucket(CAST(array(1.0, -2.0, 0.5) AS ARRAY<FLOAT>), 8, 3) AS b")
+      .head().getLong(0)
+    assert(bucket >= 0 && bucket < 256)
+    val inSet = spark.sql(
+      "SELECT graft_tokens_in_set(array('the', 'cat', 'sat'), 'the', 'a') AS n")
+      .head().getLong(0)
+    assert(inSet == 1L)
+    val kmv = spark.sql(
+      "SELECT graft_kmv(h, 4) AS s FROM (SELECT CAST(id * 7919 AS BIGINT) AS h FROM range(100))")
+      .head().getSeq[Long](0)
+    assert(kmv.length == 4 && kmv == kmv.sorted)
   }
 }
