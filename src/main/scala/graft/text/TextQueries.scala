@@ -195,18 +195,29 @@ object TextQueries {
 
   /** Deterministic PII enrichment: the synthetic corpus carries no PII,
     * so each doc gets an email/phone/IP derived from its id — the scrub
-    * then has real (and oracle-checkable) work to do. */
+    * then has real (and oracle-checkable) work to do. Counts VARY per
+    * doc (extra email every 3rd id, extra phone every 5th, no IP every
+    * 7th) so the count columns exercise real per-row logic, not a
+    * constant. */
   private def piiText: Column = concat(col("text"),
     lit(" contact user"), col("doc_id").cast("string"),
     lit("@example.com or call 555-"),
     lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
-    lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
-    ((col("doc_id") * 7) % 256).cast("string"))
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" cc admin"), col("doc_id").cast("string"), lit("@example.org")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, lit(" or 555-9999")).otherwise(lit("")),
+    when(col("doc_id") % 7 =!= 0,
+      concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string")))
+      .otherwise(lit("")))
 
   private val piiTextSql: String =
     "text || ' contact user' || doc_id || '@example.com or call 555-' || " +
-      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' || " +
-      "(doc_id % 256) || '.' || ((doc_id * 7) % 256)"
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN ' cc admin' || doc_id || '@example.org' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN ' or 555-9999' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 7 != 0 THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ELSE '' END)"
 
   /** §2.71 PII scrubbing: count + redact emails, phone numbers, and
     * IPv4 addresses (replacement placeholders keep the text trainable).

@@ -69,11 +69,16 @@ class TextSpec extends AnyFunSuite {
 
   test("pii scrub redacts every planted email/phone/ip") {
     val p = TextQueries.piiScrub(spark, sf)
-    assert(p.filter(col("n_emails") < 1 || col("n_phones") < 1 || col("n_ips") < 1).count() == 0)
+    // counts follow the planting rule exactly
+    assert(p.filter(col("n_emails") =!=
+      when(col("doc_id") % 3 === 0, 2L).otherwise(1L)).count() == 0)
+    assert(p.filter(col("n_phones") =!=
+      when(col("doc_id") % 5 === 0, 2L).otherwise(1L)).count() == 0)
+    assert(p.filter(col("n_ips") =!=
+      when(col("doc_id") % 7 === 0, 0L).otherwise(1L)).count() == 0)
     assert(p.filter(col("scrubbed").contains("@")).count() == 0)
     assert(p.filter(!col("scrubbed").contains("<EMAIL>") ||
-      !col("scrubbed").contains("<PHONE>") ||
-      !col("scrubbed").contains("<IP>")).count() == 0)
+      !col("scrubbed").contains("<PHONE>")).count() == 0)
     // no digit sequences that look like phones/IPs survive
     assert(p.filter(col("scrubbed").rlike("\\b555-[0-9]{4}\\b")).count() == 0)
     assert(p.filter(col("scrubbed")
