@@ -155,6 +155,53 @@ object Multimodal {
        |    / CAST(length(fhex) / 2 AS DOUBLE), 6) AS mean_byte
        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- resize ----
+  val ResizeTo = 32
+
+  /** §2.83 payload resize: nearest-neighbor downsample of the byte
+    * stream to a fixed target length (the 1-D stand-in for image
+    * resize — same sampling index math `src_i = floor(j·n/target)`,
+    * same fixed-output-shape contract a vision preprocessor needs;
+    * a real build swaps the byte gather for a codec resize). Output
+    * keeps provenance (original + resized checksums) so a dedup pass
+    * can run on resized artifacts. Per-row Column work on the hex
+    * rendering — embarrassingly parallel, one codegen'd scan. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    val withBytes = withPayload(graft.Tables.documents(spark, dir))
+      .select(col("doc_id"), hex(col("payload")).as("phex"),
+        col("meta.n_bytes").as("n_bytes"))
+    withBytes
+      .withColumn("rhex",
+        // gather byte j from source index floor(j*n/target), j=0..target-1;
+        // payloads shorter than the target repeat bytes (upsample), same rule
+        expr(s"""concat_ws('', transform(sequence(0, ${ResizeTo - 1}),
+          j -> substr(phex, CAST((CAST(j AS BIGINT) * n_bytes div $ResizeTo) * 2 + 1 AS INT), 2)))"""))
+      .select(col("doc_id"), col("n_bytes"),
+        lit(ResizeTo).as("resized_bytes"),
+        graft.text.TextFunctions.hash64(col("phex")).as("orig_checksum"),
+        graft.text.TextFunctions.hash64(col("rhex")).as("resized_checksum"),
+        round(expr(s"aggregate(transform(regexp_extract_all(rhex, '..', 0), " +
+            "p -> CAST(conv(p, 16, 10) AS BIGINT)), 0L, (a, b) -> a + b)")
+          .cast("double") / ResizeTo, 6).as("resized_mean_byte"))
+      .orderBy("doc_id")
+  }
+
+  val mmResizeSql: String =
+    s"""WITH p AS (SELECT doc_id, hex(encode(text)) AS phex,
+       |    octet_length(encode(text)) AS n_bytes FROM documents),
+       |r AS (SELECT doc_id, n_bytes,
+       |    list_aggregate(list_transform(generate_series(0, ${ResizeTo - 1}),
+       |      j -> substr(phex, CAST((j * n_bytes // $ResizeTo) * 2 + 1 AS INT), 2)),
+       |      'string_agg', '') AS rhex,
+       |    phex FROM p)
+       |SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes,
+       |  $ResizeTo AS resized_bytes,
+       |  ('0x' || substr(md5(phex), 1, 15))::BIGINT AS orig_checksum,
+       |  ('0x' || substr(md5(rhex), 1, 15))::BIGINT AS resized_checksum,
+       |  round(list_sum(list_transform(regexp_extract_all(rhex, '..'),
+       |      p -> ('0x' || p)::INT)) / CAST($ResizeTo AS DOUBLE), 6) AS resized_mean_byte
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val mmFeaturesSql: String = {
     val payload = "encode(text)" // DuckDB: VARCHAR -> BLOB (utf-8)
     s"""SELECT doc_id,

