@@ -274,6 +274,57 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** §2.84 the end-to-end corpus-construction capstone: everything a
+    * training-data job runs, composed — corpus_filter survivors
+    * (lang-consistency × quality × dedup-canonical × base sampling),
+    * minus the eval split, minus contaminated docs, then per-language
+    * mixture down-sampling to the token budget. The mixture rate is
+    * applied as an exact integer cross-multiply
+    * (bucket·lang_tokens < alloc·10^6) — no float threshold for the
+    * oracle to disagree on. One scan feeds the filter, the (tiny)
+    * contamination and mix tables broadcast onto it. */
+  def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val survivors = corpusFilter(spark, dir)
+    val contam = Contamination.decontaminate(docs)
+      .select(col("doc_id"), col("contamination"))
+    val mix = corpusMix(spark, dir)
+      .select(col("lang"), col("lang_tokens"), col("alloc_tokens"))
+    survivors
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .filter(!col("source").isin(Contamination.TestSources: _*))
+      .join(contam, Seq("doc_id"), "left") // gram-less docs: no row → clean
+      .withColumn("contamination", coalesce(col("contamination"), lit(0.0)))
+      .filter(col("contamination") < Contamination.FlagThreshold)
+      .join(broadcast(mix), "lang")
+      .withColumn("_bucket", pmod(
+        hash64(concat_ws(":", lit("manifest"), col("lang"), col("doc_id"))),
+        lit(1000000)))
+      .filter(col("_bucket") * col("lang_tokens") <
+        least(col("alloc_tokens"), col("lang_tokens")) * lit(1000000L))
+      .select("doc_id", "lang", "source", "n_tokens", "quality_score", "contamination")
+      .orderBy("doc_id")
+  }
+
+  def corpusManifestSql: String = {
+    val srcList = Contamination.TestSources.map(s => s"'$s'").mkString(", ")
+    val bucket = hash64Sql("concat_ws(':', 'manifest', cf.lang, cf.doc_id)")
+    s"""WITH cf AS ($corpusFilterSql),
+       |docsrc AS (SELECT doc_id, source FROM documents),
+       |dec AS (${graft.pipeline.Contamination.decontaminateSql}),
+       |mix AS ($corpusMixSql)
+       |SELECT cf.doc_id, cf.lang, d.source, cf.n_tokens, cf.quality_score,
+       |  coalesce(dec.contamination, 0.0) AS contamination
+       |FROM cf JOIN docsrc d ON cf.doc_id = d.doc_id
+       |LEFT JOIN dec ON cf.doc_id = dec.doc_id
+       |JOIN mix ON cf.lang = mix.lang
+       |WHERE d.source NOT IN ($srcList)
+       |  AND coalesce(dec.contamination, 0.0) < ${Contamination.FlagThreshold}
+       |  AND ($bucket % 1000000) * mix.lang_tokens
+       |      < least(mix.alloc_tokens, mix.lang_tokens) * 1000000
+       |ORDER BY cf.doc_id""".stripMargin
+  }
+
   /** One large-star round: every neighbor of u strictly larger than u
     * is connected to the minimum of u's closed neighborhood. Input and
     * output edges are self-loop-free; output stays oriented src>dst. */

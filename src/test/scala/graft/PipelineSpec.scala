@@ -35,6 +35,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(binsPerLang.forall(_.getLong(1) >= 1))
   }
 
+  test("corpus manifest: no eval sources, no contamination, subset of filter") {
+    val manifest = Pipeline.corpusManifest(spark, sf).collect()
+    assert(manifest.nonEmpty)
+    assert(manifest.forall(r =>
+      !graft.pipeline.Contamination.TestSources.contains(r.getString(2))))
+    assert(manifest.forall(_.getDouble(5) <
+      graft.pipeline.Contamination.FlagThreshold))
+    val filterIds = Pipeline.corpusFilter(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(manifest.forall(r => filterIds.contains(r.getLong(0))))
+  }
+
   test("corpus mix: weights normalize, cap binds, allocation fits budget") {
     val rows = Pipeline.corpusMix(spark, sf).collect()
     val weights = rows.map(_.getAs[Double]("mix_weight"))
