@@ -123,6 +123,36 @@ object Streaming {
       }
       .start()
 
+  /** §2.85 streaming DQ drift: per micro-batch, bin `value` into
+    * fixed-width histograms and compute each bin's PSI term against a
+    * static reference histogram (e.g. last week's accepted load) —
+    * live drift monitoring on an arriving stream via foreachBatch,
+    * appended to a parquet monitor log. `reference` rows:
+    * (bin, ref_share). State is nothing: each batch is scored
+    * independently against the broadcast reference. */
+  def driftMonitorStream(events: DataFrame, reference: DataFrame,
+      monitorDir: String, checkpointDir: String,
+      binWidth: Double = 0.1): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val binned = batch
+          .withColumn("bin", floor(col("value") / binWidth).cast("long"))
+          .groupBy("bin").agg(count(lit(1)).as("n"))
+        val tot = binned.agg(sum("n").as("t"))
+        val eps = 1e-6
+        val scored = binned.crossJoin(broadcast(tot))
+          .join(broadcast(reference), Seq("bin"), "outer")
+          .withColumn("p", greatest(coalesce(col("n") / col("t"), lit(0.0)), lit(eps)))
+          .withColumn("q", greatest(coalesce(col("ref_share"), lit(0.0)), lit(eps)))
+          .withColumn("psi_term", (col("p") - col("q")) * log(col("p") / col("q")))
+          .agg(round(sum("psi_term"), 6).as("psi"))
+          .withColumn("batch_id", lit(batchId))
+        scored.write.mode("append").parquet(monitorDir)
+        ()
+      }
+      .start()
+
   /** Scheduled-batch trigger: the reference's roadmap item "batch
     * processing every date at designated time"
     * (/root/reference/README.md "Next") maps to Trigger.AvailableNow —

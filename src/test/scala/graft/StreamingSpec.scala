@@ -75,6 +75,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(typed.zip(colops).forall { case (a, b) => a == b })
   }
 
+  test("streaming drift monitor scores each micro-batch against a reference") {
+    import spark.implicits._
+    val dirs = java.nio.file.Files.createTempDirectory("graft-drift")
+    val monitorDir = s"$dirs/monitor"
+    val ckpt = s"$dirs/ckpt"
+    // reference histogram = the batch events' own distribution → a
+    // stream of the same file must score PSI ≈ 0
+    val binWidth = 0.1
+    val ev = Tables.events(spark, sf)
+    val ref = ev.withColumn("bin", floor(col("value") / binWidth).cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val total = ref.agg(sum("n")).head().getLong(0).toDouble
+    val reference = ref.select(col("bin"), (col("n") / total).as("ref_share"))
+    val q = Streaming.driftMonitorStream(
+      Streaming.readEventsStream(spark, sf), reference, monitorDir, ckpt, binWidth)
+    q.processAllAvailable(); q.stop()
+    val psi = spark.read.parquet(monitorDir).collect()
+    assert(psi.nonEmpty)
+    assert(psi.forall(_.getDouble(0) < 0.01),
+      s"self-referenced stream must be stable: ${psi.map(_.getDouble(0)).mkString(",")}")
+  }
+
   test("composed sessionization matches Spark's built-in session_window") {
     import org.apache.spark.sql.expressions.Window
     // session_window merges an event iff gap < threshold (half-open
