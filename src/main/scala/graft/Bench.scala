@@ -18,7 +18,9 @@ object Bench {
     try {
       graft.Tables.names.foreach(n => graft.Tables.load(spark, sfDir, n).count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic alphabetical order: hash-map iteration order would
+    // shuffle which queries absorb residual warm-up round to round
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
