@@ -40,6 +40,43 @@ class AsofPlanSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("randomized differential: native as-of equals naive reference, 2-col keys") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      val nL = 200 + round * 50
+      val nR = 150 + round * 30
+      // two-column key (k1, k2) with deliberate collisions; times in a
+      // small range so ties and before-first-right cases all occur
+      val lhs = (1 to nL).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(3).toLong, rnd.nextInt(100).toLong)
+      }
+      val rhs = (1 to nR).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(3).toLong, rnd.nextInt(100).toLong,
+          rnd.nextDouble())
+      }
+      val lDf = lhs.toDF("lid", "k1", "k2", "lt")
+      val rDf = rhs.toDF("rid", "rk1", "rk2", "rt", "payload")
+      val got = AsofJoinOp.asofJoin(lDf, rDf,
+          Seq("k1", "k2"), Seq("rk1", "rk2"), "lt", "rt")
+        .select("lid", "rt", "payload").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+      // naive reference: latest right (max rt, then arbitrary among
+      // exact-duplicate (key, rt) rows) with rt <= lt
+      lhs.foreach { case (lid, k1, k2, lt) =>
+        val cand = rhs.filter(r => r._2 == k1 && r._3 == k2 && r._4 <= lt)
+        if (cand.isEmpty) assert(got(lid).isEmpty, s"lid=$lid expected no match")
+        else {
+          val bestT = cand.map(_._4).max
+          val payloads = cand.filter(_._4 == bestT).map(_._5).toSet
+          val g = got(lid)
+          assert(g.isDefined && g.get._1 == bestT && payloads.contains(g.get._2),
+            s"lid=$lid got $g want t=$bestT payload in $payloads")
+        }
+      }
+    }
+  }
+
   test("optimizer rule pushes a limit into the as-of join's left side") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalLimit
     val ev = Tables.events(spark, sf)
