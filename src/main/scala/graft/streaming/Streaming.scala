@@ -95,6 +95,58 @@ object Streaming {
         col("c_ts") <= col("p_ts"))
   }
 
+  final case class Tagged(user_id: Long, ts: java.sql.Timestamp,
+      kind: Int, event_id: Long)
+  final case class AsofOut(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, last_click_ts: java.sql.Timestamp)
+
+  /** §2.86 streaming as-of join (the third as-of form, next to the
+    * composed window and the custom exec): clicks and purchases ride
+    * one keyed stream; per-user state is ONE long (latest click time),
+    * so unlike the buffered stream-stream interval join the state is
+    * O(1) per key with unbounded lookback. Each purchase emits with
+    * the latest click at-or-before it. Within a micro-batch events are
+    * processed in event-time order; across batches correctness needs
+    * per-key event-time-ordered arrival (the usual stateful-stream
+    * contract — a watermark-sorted upstream stage provides it). */
+  // Timestamp↔micros without precision loss (getTime alone drops the
+  // sub-millisecond part the events carry)
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000 * 1000)
+    t.setNanos((us % 1000000).toInt * 1000)
+    t
+  }
+
+  def asofStream(events: DataFrame): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    val tagged = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"),
+        col("event_id"))
+      .as[Tagged]
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Tagged], state: GroupState[Long]) =>
+          // clicks sort before purchases at the same instant → a click
+          // at exactly the purchase ts matches (inclusive, like the
+          // batch twin and DuckDB ASOF)
+          val sorted = evs.toArray.sortBy(e => (tsMicros(e.ts), e.kind, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[AsofOut]()
+          var lastClick = state.getOption.getOrElse(Long.MinValue)
+          sorted.foreach { e =>
+            if (e.kind == 0) lastClick = math.max(lastClick, tsMicros(e.ts))
+            else out += AsofOut(e.event_id, userId, e.ts,
+              if (lastClick == Long.MinValue) null else microsTs(lastClick))
+          }
+          state.update(lastClick)
+          out.iterator
+      }
+  }
+
   /** §2.57 foreachBatch incremental sink: each micro-batch upserted
     * into a parquet target by key (latest batch wins) — the streaming
     * version of the reference's scheduled batch load.

@@ -75,6 +75,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(typed.zip(colops).forall { case (a, b) => a == b })
   }
 
+  test("streaming as-of join matches the batch as-of on the events file") {
+    val q = Streaming.asofStream(Streaming.readEventsStream(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_stream_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("asof_stream_out")
+      .select("event_id", "user_id", "ts", "last_click_ts")
+      .orderBy("event_id").collect()
+    val batch = graft.analytics.Queries.asofJoin(spark, sf)
+      .select("event_id", "user_id", "ts", "last_click_ts")
+      .orderBy("event_id").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    val diffs = streamed.zip(batch).filter { case (a, b) => a != b }
+    assert(diffs.isEmpty, s"${diffs.length} diffs, first: ${diffs.headOption}")
+  }
+
   test("streaming drift monitor scores each micro-batch against a reference") {
     import spark.implicits._
     val dirs = java.nio.file.Files.createTempDirectory("graft-drift")
