@@ -42,17 +42,27 @@ object Ivf {
       transform(col("embedding"), x => x.cast("double")).as("e"))
       .withColumn("nrm", normCol(col("e")))
 
+  /** Argmax assignment without a sort: `max_by` over the (cos, −cid)
+    * struct is a partial-aggregable groupBy — same deterministic
+    * tie-break as `ORDER BY cos DESC, cid` (struct compare: highest
+    * cos, then highest −cid = lowest cid) but one partial-agg shuffle
+    * instead of a sort+window pass. The oracle keeps its row_number
+    * form; the semantics are identical. */
+  private def assignNearest(v: DataFrame, cent: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cent))
+      .withColumn("cos", dotCol(col("e"), col("ce")) / (col("nrm") * col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("e"), col("nrm")),
+        struct(col("cos"), -col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.e").as("e"), col("best.nrm").as("nrm"))
+
   /** One Lloyd round: assign every vector to its nearest centroid by
     * cosine (ties → lowest cid), then mean each cluster element-wise,
     * rounding components to 6 dp. `cent` is (cid, ce, cn) — small,
     * broadcast. Returns the updated centroid rows, collected. */
   private def lloydRound(v: DataFrame, cent: DataFrame): Array[(Long, Seq[Double])] = {
-    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))
-    val assigned = v.crossJoin(broadcast(cent))
-      .withColumn("cos", dotCol(col("e"), col("ce")) / (col("nrm") * col("cn")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("cid"), col("e"))
+    val assigned = assignNearest(v, cent).select(col("cid"), col("e"))
     assigned
       .select(col("cid"), posexplode(col("e")))
       .toDF("cid", "pos", "v")
@@ -87,12 +97,7 @@ object Ivf {
     val v = vecsD(embeddings)
     val cent = trainCentroids(embeddings)
     // final assignment: every vector into exactly one inverted list
-    val aw = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))
-    val assigned = v.crossJoin(broadcast(cent))
-      .withColumn("cos", dotCol(col("e"), col("ce")) / (col("nrm") * col("cn")))
-      .withColumn("rk", row_number().over(aw))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid"), col("e"), col("nrm"))
+    val assigned = assignNearest(v, cent)
     // probe lists: nprobe nearest centroids per query
     val pw = Window.partitionBy("q_id").orderBy(desc("qcos"), asc("cid"))
     val probes = v.filter(col("vec_id") < nq)

@@ -228,6 +228,85 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** §2.87 incremental dedup — the production daily-crawl shape: a new
+    * batch (doc_id % 5 == 4 stands in for "today's crawl") is checked
+    * against the EXISTING corpus index only. The join is asymmetric:
+    * new×index band-bucket candidates, never new×new or index×index —
+    * at 100 TB the index band table is precomputed and bucketed on
+    * disk, the daily batch is comparatively tiny (broadcastable), so
+    * the incremental check never rescans the corpus. Every new doc
+    * reports its best index match (max est-jaccard, ties → lowest id)
+    * and a duplicate verdict at `minEstJaccard`. */
+  def dedupIncremental(docs: DataFrame, minEstJaccard: Double = 0.25): DataFrame = {
+    val sig = minhashSignatures(shingleHashes(docs))
+      .select((Seq(col("doc_id"), col("sigs")) ++
+        (0 until Bands).map(b => col(s"b$b"))): _*)
+    val isNew = col("doc_id") % 5 === 4
+    val bands = sig.select(col("doc_id"), col("sigs"),
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band"), col(s"b$b").as("bh"))): _*)).as("e"))
+      .select(col("doc_id"), col("sigs"), col("e.band"), col("e.bh"))
+    val idx = bands.filter(!isNew).select(col("doc_id").as("idx_id"),
+      col("sigs").as("idx_sigs"), col("band"), col("bh"))
+    val nw = bands.filter(isNew).select(col("doc_id").as("new_id"),
+      col("sigs").as("new_sigs"), col("band"), col("bh"))
+    val est = round(aggregate(zip_with(col("new_sigs"), col("idx_sigs"),
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+      (acc, v) => acc + v).cast("double") / NumHashes, 6)
+    val best = nw.join(idx, Seq("band", "bh"))
+      .select(col("new_id"), col("idx_id"), col("new_sigs"), col("idx_sigs"))
+      .distinct()
+      .withColumn("est", est)
+      .groupBy("new_id")
+      .agg(max_by(struct(col("idx_id"), col("est")),
+        struct(col("est"), -col("idx_id"))).as("b"))
+      .select(col("new_id"), col("b.idx_id").as("best_match"),
+        col("b.est").as("est_jaccard"))
+    sig.filter(isNew).select(col("doc_id"))
+      .join(best.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("is_duplicate",
+        coalesce(col("est_jaccard") >= minEstJaccard, lit(false)))
+      .select("doc_id", "is_duplicate", "best_match", "est_jaccard")
+      .orderBy("doc_id")
+  }
+
+  def dedupIncrementalSql(minEstJaccard: Double = 0.25): String = {
+    val sigExprs = (0 until NumHashes).map { i =>
+      s"list_min(list_transform(sh, h -> (${hashA(i)} * (h % $P) + ${hashB(i)}) % $P)) AS s$i"
+    }.mkString(",\n    ")
+    val bandExprs = (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"s$i")
+      s"${hash64Sql(s"concat_ws(':', ${cols.mkString(", ")})")} AS b$b"
+    }.mkString(",\n    ")
+    val sigList = (0 until NumHashes).map(i => s"s$i").mkString(", ")
+    val bandUnion = (0 until Bands).map(b =>
+      s"SELECT doc_id, sigs, $b AS band, b$b AS bh FROM sig").mkString("\n  UNION ALL ")
+    s"""WITH sh AS (${shingleHashesSql()}),
+       |sigraw AS (SELECT doc_id,
+       |    $sigExprs
+       |  FROM sh),
+       |sig AS (SELECT doc_id, [$sigList] AS sigs,
+       |    $bandExprs
+       |  FROM sigraw),
+       |bands AS ($bandUnion),
+       |cand AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+       |  FROM bands n JOIN bands i ON n.band = i.band AND n.bh = i.bh
+       |  WHERE n.doc_id % 5 = 4 AND i.doc_id % 5 != 4),
+       |scored AS (SELECT new_id, idx_id,
+       |    round(len(list_filter(generate_series(1, $NumHashes),
+       |      k -> sn.sigs[k] = si.sigs[k])) / ${NumHashes}.0, 6) AS est
+       |  FROM cand JOIN sig sn ON cand.new_id = sn.doc_id
+       |             JOIN sig si ON cand.idx_id = si.doc_id),
+       |best AS (SELECT new_id, idx_id, est,
+       |    row_number() OVER (PARTITION BY new_id ORDER BY est DESC, idx_id) AS rk
+       |  FROM scored)
+       |SELECT d.doc_id, coalesce(b.est >= $minEstJaccard, false) AS is_duplicate,
+       |  b.idx_id AS best_match, b.est AS est_jaccard
+       |FROM (SELECT doc_id FROM sig WHERE doc_id % 5 = 4) d
+       |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.new_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def ngramJaccardPairsSql(minJaccard: Double = 0.2): String = {
     val sigExprs = (0 until NumHashes).map { i =>
       s"list_min(list_transform(g, h -> (${hashA(i)} * (h % $P) + ${hashB(i)}) % $P)) AS s$i"

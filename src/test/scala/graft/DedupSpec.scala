@@ -35,6 +35,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L && p._1 <= 2L || p._1 == 3L))
   }
 
+  test("incremental dedup checks only new-vs-index, flags the planted dup") {
+    // batch = doc_id % 5 == 4; plant doc 4 as a copy of index doc 0,
+    // and doc 9 as unrelated new content
+    val d = Seq(
+      (0L, base, "en"),
+      (1L, "some indexed corpus document with its own words entirely", "en"),
+      (4L, base, "en"),                                   // new, dup of index doc 0
+      (9L, "fresh crawl content that matches nothing in the corpus index at all", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.dedupIncremental(d).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out.keySet == Set(4L, 9L), "only new-batch docs are scored")
+    assert(out(4L) == (true, Some(0L)), s"planted dup missed: ${out(4L)}")
+    assert(out(9L)._1 == false && out(9L)._2.isEmpty)
+  }
+
   test("simhash hamming distance 0 for identical docs") {
     val pairs = Dedup.simhashPairs(docs, 3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number]("hamming").longValue)).toMap
