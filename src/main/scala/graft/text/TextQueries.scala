@@ -250,6 +250,76 @@ object TextQueries {
        |FROM (SELECT doc_id, $piiTextSql AS pii_text FROM documents) t
        |ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary size used by [[vocabCoverage]]. */
+  val VocabSize = 50
+
+  /** §2.88 vocabulary coverage: build the top-[[VocabSize]] token
+    * vocabulary from the corpus itself (count desc, token asc — fully
+    * deterministic), then score every document's out-of-vocabulary
+    * rate — the tokenizer-evaluation loop ("how much of tomorrow's
+    * data does today's vocab cover"). Scale: one token count agg
+    * (partial-agg'd), top-K is a tiny sorted limit broadcast back
+    * into a leftsemi/leftanti pair of joins on the exploded tokens. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tok")).limit(VocabSize)
+      .select(col("tok"))
+    val perDoc = toks.join(broadcast(vocab), Seq("tok"), "leftanti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .orderBy("doc_id")
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("lower(text)")}) AS tok
+       |  FROM documents),
+       |vocab AS (SELECT tok FROM (
+       |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+       |  ORDER BY c DESC, tok LIMIT $VocabSize) v),
+       |oov AS (SELECT doc_id, count(*) AS n_oov FROM toks
+       |  WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY doc_id)
+       |SELECT t.doc_id, count(*) AS n_tokens,
+       |  CAST(coalesce(min(o.n_oov), 0) AS BIGINT) AS n_oov,
+       |  round(coalesce(min(o.n_oov), 0) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+       |FROM toks t LEFT JOIN oov o ON t.doc_id = o.doc_id
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** §2.89 BPE pair statistics: frequency of adjacent character pairs
+    * inside tokens, weighted by token frequency — the statistic behind
+    * the first merge decision when inducing a BPE vocabulary. Top 20,
+    * deterministic tie-break. Scale: the token-frequency table (not
+    * the corpus) drives the per-token char-pair explode, so the heavy
+    * corpus scan happens once in the count agg. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val tokCounts = Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    tokCounts
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("c").as("n"))
+      .orderBy(desc("n"), asc("pair")).limit(20)
+  }
+
+  val bpePairsSql: String =
+    s"""WITH tc AS (SELECT tok, count(*) AS c FROM (
+       |    SELECT unnest(${tokensSql("lower(text)")}) AS tok FROM documents) t
+       |  WHERE length(tok) >= 2 GROUP BY tok),
+       |pairs AS (SELECT c,
+       |    unnest(list_transform(generate_series(1, length(tok) - 1),
+       |      i -> substr(tok, CAST(i AS INT), 2))) AS pair
+       |  FROM tc)
+       |SELECT pair, CAST(sum(p.c) AS BIGINT) AS n
+       |FROM pairs p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   /** §2.31 document fingerprints: md5-derived 60-bit id + polynomial
     * rolling hash over the normalized character stream. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =

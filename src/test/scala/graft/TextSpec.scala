@@ -85,6 +85,25 @@ class TextSpec extends AnyFunSuite {
       .rlike("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")).count() == 0)
   }
 
+  test("vocab coverage: rates well-formed, common-word docs covered better") {
+    val v = TextQueries.vocabCoverage(spark, sf)
+    assert(v.count() == Tables.documents(spark, sf).count())
+    assert(v.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() == 0)
+    assert(v.filter(col("n_oov") > col("n_tokens")).count() == 0)
+    // with a 50-token vocab over a small synthetic vocabulary, coverage
+    // must be substantial on average
+    val mean = v.agg(avg("oov_rate")).head().getDouble(0)
+    assert(mean < 0.9, s"vocab covers almost nothing: mean oov=$mean")
+  }
+
+  test("bpe pairs: 20 deterministic top pairs, all length 2") {
+    val p = TextQueries.bpePairs(spark, sf).collect()
+    assert(p.length == 20)
+    assert(p.forall(_.getString(0).length == 2))
+    val ns = p.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "descending counts")
+  }
+
   test("decontaminate flags a train doc copied from the eval split") {
     import graft.pipeline.Contamination
     val base = Tables.documents(spark, sf).limit(0)
