@@ -263,7 +263,8 @@ object Dedup {
       .select(col("new_id"), col("b.idx_id").as("best_match"),
         col("b.est").as("est_jaccard"))
     sig.filter(isNew).select(col("doc_id"))
-      .join(best.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      // |best| <= |new batch| — always the small side, broadcast it
+      .join(broadcast(best.withColumnRenamed("new_id", "doc_id")), Seq("doc_id"), "left")
       .withColumn("is_duplicate",
         coalesce(col("est_jaccard") >= minEstJaccard, lit(false)))
       .select("doc_id", "is_duplicate", "best_match", "est_jaccard")
