@@ -320,6 +320,114 @@ object TextQueries {
        |SELECT pair, CAST(sum(p.c) AS BIGINT) AS n
        |FROM pairs p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  val BpeRounds = 3
+
+  /** Greedy left-to-right merge of adjacent (a, b) into one symbol —
+    * the BPE merge step — as a fold over the symbol array: the
+    * accumulator tracks whether the previous output symbol was itself
+    * produced by this merge (so "aaa" under (a,a) yields [aa, a], not
+    * [aa, aa]). Symbols are alnum (normalized tokens), safe to splice
+    * into the lambda as literals. */
+  private def mergeExpr(a: String, b: String): Column = expr(
+    s"""aggregate(symbols,
+       |  named_struct('out', cast(array() as array<string>), 'lm', false),
+       |  (acc, s) -> CASE
+       |    WHEN NOT acc.lm AND size(acc.out) > 0
+       |         AND element_at(acc.out, -1) = '$a' AND s = '$b'
+       |    THEN named_struct(
+       |      'out', concat(slice(acc.out, 1, size(acc.out) - 1), array('$a$b')),
+       |      'lm', true)
+       |    ELSE named_struct('out', concat(acc.out, array(s)), 'lm', false)
+       |  END,
+       |  acc -> acc.out)""".stripMargin)
+
+  /** Test hook: the merge fold applied to an arbitrary symbols column. */
+  private[graft] def testMerge(a: String, b: String)(symbols: Column): Column = {
+    val _ = symbols // the fold reads the `symbols` column by name
+    mergeExpr(a, b)
+  }
+
+  /** §2.90 BPE vocabulary induction, for real: [[BpeRounds]] iterative
+    * merge rounds over the corpus token-frequency table. Each round
+    * counts adjacent symbol pairs (weighted by token frequency), picks
+    * the top pair (count desc, pair asc — deterministic), and greedily
+    * merges it in every token's symbol sequence; later rounds merge
+    * MERGED symbols (e.g. round 2 can pick ('ab', 'c')). Output: one
+    * row per round (round, pair, n).
+    *
+    * Scale shape: the fold runs over the DISTINCT-token table, not the
+    * corpus — the corpus is scanned once for the frequency agg; each
+    * round is one explode+agg over the (small) vocab plus an O(1)
+    * driver-side top-pair collect, the same tiny-stat pattern as
+    * Silver's medians. The DuckDB oracle replays each round's fold
+    * with a recursive CTE over symbol positions. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tc = Tables.documents(spark, dir)
+      .select(explode(tokens(normalize(col("text")))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    var syms = tc.withColumn("symbols", split(col("tok"), ""))
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    for (r <- 1 to BpeRounds) {
+      val top = syms.select(col("c"), explode(expr(
+          """transform(sequence(1, size(symbols) - 1),
+            |  i -> named_struct('a', element_at(symbols, i),
+            |                    'b', element_at(symbols, i + 1)))""".stripMargin)).as("p"))
+        .groupBy("p").agg(sum("c").as("n"))
+        .orderBy(desc("n"), asc("p.a"), asc("p.b")).limit(1)
+        .select("p.a", "p.b", "n").head()
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r, s"$a $b", n))
+      syms = syms.withColumn("symbols", mergeExpr(a, b))
+    }
+    merges.toSeq.toDF("round", "pair", "n").orderBy("round")
+  }
+
+  val bpeMergesSql: String = {
+    // one merge round: input CTE (tok, c, symbols LIST) → top pair +
+    // fold via recursive CTE over symbol positions → output CTE
+    def round(r: Int, in: String): String =
+      s"""pc_$r AS (SELECT list_extract(symbols, i) AS a,
+         |    list_extract(symbols, i + 1) AS b, CAST(sum(c) AS BIGINT) AS n
+         |  FROM $in, unnest(generate_series(1, len(symbols) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |tp_$r AS (SELECT a, b, n FROM pc_$r ORDER BY n DESC, a, b LIMIT 1),
+         |fold_$r AS (
+         |  SELECT tok, c, symbols, 1 AS i,
+         |    CAST([] AS VARCHAR[]) AS out, false AS lm FROM $in
+         |  UNION ALL
+         |  SELECT f.tok, f.c, f.symbols, f.i + 1,
+         |    CASE WHEN NOT f.lm AND len(f.out) > 0
+         |              AND list_extract(f.out, -1) = tp.a
+         |              AND list_extract(f.symbols, f.i) = tp.b
+         |         THEN list_concat(list_slice(f.out, 1, len(f.out) - 1),
+         |                          [tp.a || tp.b])
+         |         ELSE list_append(f.out, list_extract(f.symbols, f.i)) END,
+         |    CASE WHEN NOT f.lm AND len(f.out) > 0
+         |              AND list_extract(f.out, -1) = tp.a
+         |              AND list_extract(f.symbols, f.i) = tp.b
+         |         THEN true ELSE false END
+         |  FROM fold_$r f, tp_$r tp WHERE f.i <= len(f.symbols)),
+         |syms_$r AS (SELECT tok, c, out AS symbols FROM fold_$r
+         |  WHERE i = len(symbols) + 1)""".stripMargin
+    val rounds = (1 to BpeRounds)
+      .map(r => round(r, if (r == 1) "syms_0" else s"syms_${r - 1}"))
+      .mkString(",\n")
+    val out = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS round, a || ' ' || b AS pair, n FROM tp_$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH RECURSIVE tc AS (
+       |  SELECT tok, count(*) AS c FROM (
+       |    SELECT unnest(${tokensSql(normalizeSql("text"))}) AS tok
+       |    FROM documents) t
+       |  WHERE length(tok) >= 2 GROUP BY tok),
+       |syms_0 AS (SELECT tok, c, string_split(tok, '') AS symbols FROM tc),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
   /** §2.31 document fingerprints: md5-derived 60-bit id + polynomial
     * rolling hash over the normalized character stream. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =

@@ -104,6 +104,25 @@ class TextSpec extends AnyFunSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "descending counts")
   }
 
+  test("bpe merges: greedy fold semantics and descending merge counts") {
+    // the fold must merge greedily left-to-right without overlap:
+    // "aaa" under (a,a) -> [aa, a]
+    val folded = Seq(Seq("a", "a", "a"), Seq("a", "b", "a", "b"), Seq("x"))
+      .toDF("symbols")
+      .select(TextQueries.testMerge("a", "a")(col("symbols")).as("m"))
+      .collect().map(_.getSeq[String](0))
+    assert(folded(0) == Seq("aa", "a"))
+    assert(folded(1) == Seq("a", "b", "a", "b"))
+    assert(folded(2) == Seq("x"))
+    val m = TextQueries.bpeMerges(spark, sf).collect()
+    assert(m.length == TextQueries.BpeRounds)
+    assert(m.map(_.getInt(0)).sameElements(1 to TextQueries.BpeRounds))
+    // each round's winning count can only shrink or hold
+    val ns = m.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (x, y) => x >= y })
+    m.foreach(r => assert(r.getString(1).split(" ").length == 2))
+  }
+
   test("decontaminate flags a train doc copied from the eval split") {
     import graft.pipeline.Contamination
     val base = Tables.documents(spark, sf).limit(0)
