@@ -42,6 +42,34 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Fixed sample size per stratum for [[sampleFixed]]. */
+  val FixedPerStratum = 20
+
+  /** §2.91 exact-size stratified sampling: exactly k docs per language
+    * (Bernoulli sampling gives binomially-varying sizes; eval sets and
+    * human-review batches need exact counts). Rank = deterministic
+    * hash of (lang, doc_id) — reproducible across runs and engines,
+    * uniform within stratum, no RNG. One rank window per stratum; at
+    * 100 TB k ≪ stratum size, so WindowGroupLimit prunes each
+    * partition to its top-k before the final per-stratum merge. */
+  def sampleFixed(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("_rk_hash"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("_rk_hash", hash64(concat_ws(":", col("lang"), col("doc_id"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= FixedPerStratum)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  val sampleFixedSql: String =
+    s"""SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+       |    ORDER BY ${hash64Sql("concat_ws(':', lang, doc_id)")}, doc_id) AS rk
+       |  FROM documents) t
+       |WHERE rk <= $FixedPerStratum ORDER BY lang, rk""".stripMargin
+
   /** Data-mixing parameters: total token budget to fill, and the cap
     * on any one language's mixture share (CapNum/CapDen = 0.3 —
     * prevents the head language from dominating the mixture; the

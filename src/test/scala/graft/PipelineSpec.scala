@@ -35,6 +35,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(binsPerLang.forall(_.getLong(1) >= 1))
   }
 
+  test("fixed-size sampling: exactly k per language, deterministic") {
+    val s = Pipeline.sampleFixed(spark, sf)
+    val perLang = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langSizes = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    langSizes.foreach { case (lang, n) =>
+      assert(perLang(lang) == math.min(n, Pipeline.FixedPerStratum.toLong),
+        s"$lang: ${perLang.get(lang)} of $n")
+    }
+    assert(s.collect().toSeq == Pipeline.sampleFixed(spark, sf).collect().toSeq)
+  }
+
   test("corpus manifest: no eval sources, no contamination, subset of filter") {
     val manifest = Pipeline.corpusManifest(spark, sf).collect()
     assert(manifest.nonEmpty)
