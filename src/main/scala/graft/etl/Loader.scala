@@ -22,6 +22,45 @@ object Loader {
     df.write.mode(mode).parquet(path)
   }
 
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative key columns: bit i of x lands at position 2i, bit i
+    * of y at 2i+1. Rows close in the Z-curve are close in BOTH keys,
+    * so clustering by this single value gives 2-D data skipping —
+    * point/range predicates on either column prune files. One flat
+    * codegen'd integer expression (no lambdas, no UDFs). */
+  def zorderKey(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column, bits: Int = 16): org.apache.spark.sql.Column = {
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).foldLeft(org.apache.spark.sql.functions.lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftright(xl, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
+        .bitwiseOR(shiftright(yl, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }
+  }
+
+  /** Z-order-clustered write: cluster files along the Morton curve of
+    * two key columns — the 2-D generalization of [[writeSorted]].
+    * Both keys are first normalized into the same `bits`-wide range
+    * (one tiny min/max agg): raw interleaving of keys with different
+    * magnitudes degenerates to a 1-D sort on the wider key, because
+    * the narrow key's high interleaved bits are constant zero. */
+  def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
+      xCol: String, yCol: String, bits: Int = 12): Unit = {
+    val r = df.agg(min(xCol), max(xCol), min(yCol), max(yCol)).head()
+    def lv(i: Int) = r.getAs[Number](i).longValue
+    val (x0, x1, y0, y1) = (lv(0), lv(1), lv(2), lv(3))
+    val scale = (1L << bits) - 1
+    def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      ((c.cast("long") - lo) * scale / math.max(hi - lo, 1L)).cast("long")
+    df.withColumn("_zkey",
+        zorderKey(norm(col(xCol), x0, x1), norm(col(yCol), y0, y1), bits))
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Range-sorted write (z-order-lite): range-partition on `cols` and
     * sort within partitions, so every output file covers a disjoint
     * key range and its parquet footer min/max stats let point/range

@@ -50,6 +50,39 @@ class LoaderSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == df.count())
   }
 
+  test("z-order key interleaves bits; clustered write skips in BOTH dims") {
+    import spark.implicits._
+    // hand-computed Morton values
+    val z = Seq((1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (3L, 3L))
+      .toDF("x", "y")
+      .select(Loader.zorderKey(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z.sameElements(Array(1L, 2L, 3L, 14L, 15L)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-z").toString + "/t"
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    Loader.writeZOrdered(df, dir, 8, "l_orderkey", "l_partkey")
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length == 8)
+    // per-file bounding boxes: a narrow slice in EITHER dimension must
+    // overlap only a subset of files (1-D sorting only prunes one dim)
+    val boxes = parts.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath).agg(
+        min("l_orderkey"), max("l_orderkey"),
+        min("l_partkey"), max("l_partkey")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val (xLo, xHi) = (boxes.map(_._1).min, boxes.map(_._2).max)
+    val (yLo, yHi) = (boxes.map(_._3).min, boxes.map(_._4).max)
+    def overlapX(s: Long, e: Long) = boxes.count(b => b._2 >= s && b._1 <= e)
+    def overlapY(s: Long, e: Long) = boxes.count(b => b._4 >= s && b._3 <= e)
+    val xs = xLo + (xHi - xLo) / 2; val xe = xs + (xHi - xLo) / 8
+    val ys = yLo + (yHi - yLo) / 2; val ye = ys + (yHi - yLo) / 8
+    assert(overlapX(xs, xe) < parts.length, "x-slice must prune some files")
+    assert(overlapY(ys, ye) < parts.length, "y-slice must prune some files")
+    assert(spark.read.parquet(dir).count() == df.count())
+  }
+
   test("orc roundtrip preserves data and pushes filters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/t"
     val df = Tables.region(spark, sf)
