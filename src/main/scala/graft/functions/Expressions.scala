@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -220,6 +220,175 @@ case class TokensInSetCount(child: Expression, set: Seq[String])
   override protected def withNewChildInternal(c: Expression): TokensInSetCount = copy(c)
 }
 
+/** array<string> symbols → array<string> with every non-overlapping
+  * adjacent (a, b) pair greedily merged left-to-right into `a+b` — the
+  * BPE merge step. Greedy non-overlap means "aaa" under (a,a) yields
+  * [aa, a], not [aa, aa]: once a pair is consumed, its output symbol
+  * cannot be the left side of another merge in the same round.
+  * Replaces the interpreted aggregate(named_struct(out, lm)) lambda
+  * fold — which, chained across merge rounds with CollapseProject
+  * inlining, was the O(n×refs) pitfall documented at the top of this
+  * file — with one compiled two-pointer scan per row. */
+case class BpeMergeFold(child: Expression, a: String, b: String)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+  @transient private lazy val uab = UTF8String.fromString(a + b)
+  override def compute(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (i + 1 < n && ua.equals(s) && ub.equals(arr.getUTF8String(i + 1))) {
+        out += uab
+        i += 2
+      } else {
+        out += s
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): BpeMergeFold = copy(child = c)
+}
+
+/** binary payload → struct<n_alpha, n_digit, n_space, n_other,
+  * byte_sum> — the byte-class histogram behind mm_features, as ONE
+  * compiled loop per row shared with the typed decode path
+  * ([[graft.multimodal.Multimodal.FakeDecoder]] delegates here).
+  * Replaces the interpreted per-character
+  * aggregate(transform(split(txt, ''))) fold. */
+case class ByteClassStats(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ByteClassStats.schema
+  override def compute(input: Any): Any = {
+    val s = ByteClassStats.stats(input.asInstanceOf[Array[Byte]])
+    new GenericInternalRow(Array[Any](s(0), s(1), s(2), s(3), s(4)))
+  }
+  override protected def withNewChildInternal(c: Expression): ByteClassStats = copy(c)
+}
+
+object ByteClassStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false),
+    StructField("n_space", LongType, nullable = false),
+    StructField("n_other", LongType, nullable = false),
+    StructField("byte_sum", LongType, nullable = false)))
+  /** [n_alpha, n_digit, n_space, n_other, byte_sum] in one pass. */
+  def stats(payload: Array[Byte]): Array[Long] = {
+    var alpha = 0L; var digit = 0L; var space = 0L; var other = 0L; var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) alpha += 1
+      else if (b >= '0' && b <= '9') digit += 1
+      else if (b == ' ') space += 1
+      else other += 1
+      sum += b
+      i += 1
+    }
+    Array(alpha, digit, space, other, sum)
+  }
+}
+
+/** hex string (2 chars per byte) → long sum of the byte values —
+  * the frame/resize mean-byte numerator as a compiled loop, replacing
+  * aggregate(transform(regexp_extract_all(hex, '..'), …)) which both
+  * interprets per element and re-runs the regex under CollapseProject
+  * inlining. Accepts upper- or lower-case hex. */
+case class HexByteSum(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = LongType
+  private def nibble(c: Byte): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else c - 'a' + 10
+  override def compute(input: Any): Any = {
+    val hex = input.asInstanceOf[UTF8String].getBytes
+    var sum = 0L
+    var i = 0
+    while (i + 1 < hex.length) {
+      sum += (nibble(hex(i)) << 4) + nibble(hex(i + 1))
+      i += 2
+    }
+    java.lang.Long.valueOf(sum)
+  }
+  override protected def withNewChildInternal(c: Expression): HexByteSum = copy(c)
+}
+
+/** array<string> symbols → array<struct<a,b>> of adjacent pairs —
+  * the BPE pair-count explode input, replacing the interpreted
+  * transform(sequence(…), i -> named_struct(…)) formulation. */
+case class AdjacentPairs(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", StringType, nullable = false),
+    StructField("b", StringType, nullable = false))), containsNull = false)
+  override def compute(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements() - 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = new GenericInternalRow(
+        Array[Any](arr.getUTF8String(i), arr.getUTF8String(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): AdjacentPairs = copy(c)
+}
+
+/** string → array<string> of its adjacent character bigrams (char
+  * semantics via UTF8String.substringSQL, so multi-byte text is safe) —
+  * the bpe_pairs explode input, replacing the interpreted
+  * transform(sequence(…), i -> substr(tok, i, 2)) formulation. */
+case class CharBigrams(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def compute(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numChars() - 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = s.substringSQL(i + 1, 2); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): CharBigrams = copy(c)
+}
+
+/** hex string of an n-byte payload → hex string of `target` bytes
+  * gathered nearest-neighbor style: output byte j comes from source
+  * index floor(j·n/target) (upsampling repeats bytes). Replaces the
+  * interpreted transform(sequence(0, target-1), j -> substr(phex, …))
+  * gather, where CollapseProject could inline the upstream hex()
+  * rendering into every one of the `target` element references. */
+case class HexResize(child: Expression, target: Int)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = StringType
+  override def compute(input: Any): Any = {
+    val hx = input.asInstanceOf[UTF8String].getBytes
+    val n = hx.length / 2
+    if (n == 0) return UTF8String.EMPTY_UTF8
+    val out = new Array[Byte](target * 2)
+    var j = 0
+    while (j < target) {
+      val src = ((j.toLong * n) / target).toInt
+      out(j * 2) = hx(src * 2)
+      out(j * 2 + 1) = hx(src * 2 + 1)
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+  override protected def withNewChildInternal(c: Expression): HexResize = copy(child = c)
+}
+
 /** Column-level wrappers (Spark 4: Columns wrap ColumnNodes, so
   * Expression-backed Columns go through classic.ExpressionUtils). */
 object native {
@@ -232,4 +401,11 @@ object native {
     column(HyperplaneBucket(expression(c), planes, dim))
   def tokens_in_set_count(c: Column, set: Seq[String]): Column =
     column(TokensInSetCount(expression(c), set))
+  def bpe_merge_fold(c: Column, a: String, b: String): Column =
+    column(BpeMergeFold(expression(c), a, b))
+  def byte_class_stats(c: Column): Column = column(ByteClassStats(expression(c)))
+  def hex_byte_sum(c: Column): Column = column(HexByteSum(expression(c)))
+  def hex_resize(c: Column, target: Int): Column = column(HexResize(expression(c), target))
+  def adjacent_pairs(c: Column): Column = column(AdjacentPairs(expression(c)))
+  def char_bigrams(c: Column): Column = column(CharBigrams(expression(c)))
 }

@@ -49,22 +49,15 @@ object Multimodal {
 
   /** Deterministic stand-in for a real media decoder: byte-class
     * histogram + mean byte value. A production build swaps decode()
-    * for an actual codec; the mapPartitions batch shape is unchanged. */
+    * for an actual codec; the mapPartitions batch shape is unchanged.
+    * The byte loop is [[graft.functions.ByteClassStats.stats]] — the
+    * SAME compiled code the Column path's kernel runs, so the typed
+    * and Column paths cannot drift. */
   object FakeDecoder {
     def decode(payload: Array[Byte]): (Long, Long, Long, Long, Double) = {
-      var alpha = 0L; var digit = 0L; var space = 0L; var other = 0L; var sum = 0L
-      var i = 0
-      while (i < payload.length) {
-        val b = payload(i) & 0xff
-        if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) alpha += 1
-        else if (b >= '0' && b <= '9') digit += 1
-        else if (b == ' ') space += 1
-        else other += 1
-        sum += b
-        i += 1
-      }
-      val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
-      (alpha, digit, space, other, mean)
+      val s = graft.functions.ByteClassStats.stats(payload)
+      val mean = if (payload.length == 0) 0.0 else s(4).toDouble / payload.length
+      (s(0), s(1), s(2), s(3), mean)
     }
   }
 
@@ -82,22 +75,23 @@ object Multimodal {
   }
 
   /** §2.32 oracle-able feature query: identical semantics to the typed
-    * decode path, expressed in pure Column ops (spec asserts the two
-    * paths agree row-for-row). */
+    * decode path — in fact the same compiled byte loop, lifted into the
+    * Column world as the [[graft.functions.ByteClassStats]] kernel (one
+    * virtual call per row; whole-stage codegen CSE evaluates the struct
+    * once for all four field reads). The earlier per-character
+    * aggregate(transform(split(txt, ''))) fold was interpreted. */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val withBytes = withPayload(graft.Tables.documents(spark, dir))
-      .withColumn("txt", decode(col("payload"), "utf-8"))
+      .withColumn("bs", graft.functions.native.byte_class_stats(col("payload")))
     withBytes.select(
       col("doc_id"),
       col("meta.n_bytes").as("n_bytes"),
       col("meta.format").as("format"),
       col("meta.checksum").as("checksum"),
-      length(regexp_replace(col("txt"), "[^a-zA-Z]", "")).cast("long").as("n_alpha"),
-      length(regexp_replace(col("txt"), "[^0-9]", "")).cast("long").as("n_digit"),
-      (length(col("txt")) - length(regexp_replace(col("txt"), " ", ""))).cast("long").as("n_space"),
-      round(expr(
-        "aggregate(transform(split(txt, ''), c -> ascii(c)), 0L, (a, b) -> a + b)")
-        .cast("double") / col("meta.n_bytes"), 6).as("mean_byte"))
+      col("bs.n_alpha").as("n_alpha"),
+      col("bs.n_digit").as("n_digit"),
+      col("bs.n_space").as("n_space"),
+      round(col("bs.byte_sum").cast("double") / col("meta.n_bytes"), 6).as("mean_byte"))
       .orderBy("doc_id")
   }
 
@@ -130,8 +124,7 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"), col("off_b"),
         (length(col("fhex")) / 2).cast("long").as("frame_bytes"),
         graft.text.TextFunctions.hash64(col("fhex")).as("frame_checksum"),
-        round(expr(s"aggregate(transform(regexp_extract_all(fhex, '..', 0), " +
-            "p -> CAST(conv(p, 16, 10) AS BIGINT)), 0L, (a, b) -> a + b)")
+        round(graft.functions.native.hex_byte_sum(col("fhex"))
           .cast("double") / (length(col("fhex")) / 2), 6).as("mean_byte"))
       .orderBy("doc_id", "frame_idx")
   }
@@ -171,17 +164,15 @@ object Multimodal {
       .select(col("doc_id"), hex(col("payload")).as("phex"),
         col("meta.n_bytes").as("n_bytes"))
     withBytes
-      .withColumn("rhex",
-        // gather byte j from source index floor(j*n/target), j=0..target-1;
-        // payloads shorter than the target repeat bytes (upsample), same rule
-        expr(s"""concat_ws('', transform(sequence(0, ${ResizeTo - 1}),
-          j -> substr(phex, CAST((CAST(j AS BIGINT) * n_bytes div $ResizeTo) * 2 + 1 AS INT), 2)))"""))
+      // gather byte j from source index floor(j*n/target), j=0..target-1;
+      // payloads shorter than the target repeat bytes (upsample), same
+      // rule — one compiled gather per row (native HexResize kernel)
+      .withColumn("rhex", graft.functions.native.hex_resize(col("phex"), ResizeTo))
       .select(col("doc_id"), col("n_bytes"),
         lit(ResizeTo).as("resized_bytes"),
         graft.text.TextFunctions.hash64(col("phex")).as("orig_checksum"),
         graft.text.TextFunctions.hash64(col("rhex")).as("resized_checksum"),
-        round(expr(s"aggregate(transform(regexp_extract_all(rhex, '..', 0), " +
-            "p -> CAST(conv(p, 16, 10) AS BIGINT)), 0L, (a, b) -> a + b)")
+        round(graft.functions.native.hex_byte_sum(col("rhex"))
           .cast("double") / ResizeTo, 6).as("resized_mean_byte"))
       .orderBy("doc_id")
   }
@@ -204,18 +195,24 @@ object Multimodal {
 
   val mmFeaturesSql: String = {
     val payload = "encode(text)" // DuckDB: VARCHAR -> BLOB (utf-8)
-    s"""SELECT doc_id,
-       |  CAST(octet_length($payload) AS INT) AS n_bytes,
-       |  CASE WHEN substr(hex($payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
-       |       WHEN substr(hex($payload), 1, 8) = '89504E47' THEN 'png'
-       |       WHEN substr(hex($payload), 1, 8) = '52494646' THEN 'riff-wav'
+    // byte semantics (not characters) to mirror the ByteClassStats
+    // kernel exactly; byte values come from the hex rendering (DuckDB
+    // 1.0 has no BLOB subscript)
+    s"""WITH b AS (SELECT doc_id, text,
+       |    list_transform(regexp_extract_all(hex($payload), '..'),
+       |      p -> ('0x' || p)::INT) AS bytes
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(bytes) AS INT) AS n_bytes,
+       |  CASE WHEN substr(hex(encode(text)), 1, 6) = 'FFD8FF' THEN 'jpeg'
+       |       WHEN substr(hex(encode(text)), 1, 8) = '89504E47' THEN 'png'
+       |       WHEN substr(hex(encode(text)), 1, 8) = '52494646' THEN 'riff-wav'
        |       ELSE 'raw-text' END AS format,
        |  ('0x' || substr(md5(md5(text)), 1, 15))::BIGINT AS checksum,
-       |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
-       |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
-       |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_space,
-       |  round(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
-       |    / CAST(octet_length($payload) AS DOUBLE), 6) AS mean_byte
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |  CAST(len(list_filter(bytes, x -> (x >= 65 AND x <= 90) OR (x >= 97 AND x <= 122))) AS BIGINT) AS n_alpha,
+       |  CAST(len(list_filter(bytes, x -> x >= 48 AND x <= 57)) AS BIGINT) AS n_digit,
+       |  CAST(len(list_filter(bytes, x -> x = 32)) AS BIGINT) AS n_space,
+       |  round(list_sum(bytes) / CAST(len(bytes) AS DOUBLE), 6) AS mean_byte
+       |FROM b ORDER BY doc_id""".stripMargin
   }
 }

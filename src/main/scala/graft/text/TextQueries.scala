@@ -303,8 +303,8 @@ object TextQueries {
       .filter(length(col("tok")) >= 2)
       .groupBy("tok").agg(count(lit(1)).as("c"))
     tokCounts
-      .select(col("c"), explode(expr(
-        "transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")).as("pair"))
+      .select(col("c"),
+        explode(graft.functions.native.char_bigrams(col("tok"))).as("pair"))
       .groupBy("pair").agg(sum("c").as("n"))
       .orderBy(desc("n"), asc("pair")).limit(20)
   }
@@ -323,29 +323,17 @@ object TextQueries {
   val BpeRounds = 3
 
   /** Greedy left-to-right merge of adjacent (a, b) into one symbol —
-    * the BPE merge step — as a fold over the symbol array: the
-    * accumulator tracks whether the previous output symbol was itself
-    * produced by this merge (so "aaa" under (a,a) yields [aa, a], not
-    * [aa, aa]). Symbols are alnum (normalized tokens), safe to splice
-    * into the lambda as literals. */
-  private def mergeExpr(a: String, b: String): Column = expr(
-    s"""aggregate(symbols,
-       |  named_struct('out', cast(array() as array<string>), 'lm', false),
-       |  (acc, s) -> CASE
-       |    WHEN NOT acc.lm AND size(acc.out) > 0
-       |         AND element_at(acc.out, -1) = '$a' AND s = '$b'
-       |    THEN named_struct(
-       |      'out', concat(slice(acc.out, 1, size(acc.out) - 1), array('$a$b')),
-       |      'lm', true)
-       |    ELSE named_struct('out', concat(acc.out, array(s)), 'lm', false)
-       |  END,
-       |  acc -> acc.out)""".stripMargin)
+    * the BPE merge step — as the native [[graft.functions.BpeMergeFold]]
+    * kernel: one compiled two-pointer scan per row (greedy non-overlap,
+    * so "aaa" under (a,a) yields [aa, a], not [aa, aa]). The earlier
+    * interpreted aggregate(named_struct) lambda chained across rounds
+    * was the documented CollapseProject O(n×refs) pitfall. */
+  private def mergeCol(a: String, b: String)(symbols: Column): Column =
+    graft.functions.native.bpe_merge_fold(symbols, a, b)
 
-  /** Test hook: the merge fold applied to an arbitrary symbols column. */
-  private[graft] def testMerge(a: String, b: String)(symbols: Column): Column = {
-    val _ = symbols // the fold reads the `symbols` column by name
-    mergeExpr(a, b)
-  }
+  /** Test hook: the merge kernel applied to an arbitrary symbols column. */
+  private[graft] def testMerge(a: String, b: String)(symbols: Column): Column =
+    mergeCol(a, b)(symbols)
 
   /** §2.90 BPE vocabulary induction, for real: [[BpeRounds]] iterative
     * merge rounds over the corpus token-frequency table. Each round
@@ -359,27 +347,34 @@ object TextQueries {
     * corpus — the corpus is scanned once for the frequency agg; each
     * round is one explode+agg over the (small) vocab plus an O(1)
     * driver-side top-pair collect, the same tiny-stat pattern as
-    * Silver's medians. The DuckDB oracle replays each round's fold
-    * with a recursive CTE over symbol positions. */
+    * Silver's medians. The merge itself is the compiled
+    * [[graft.functions.BpeMergeFold]] kernel, and the symbols frame is
+    * localCheckpoint'd per round — plan barrier + no recompute of
+    * earlier rounds, the same lineage-cut ccBigSmallStar uses. The
+    * DuckDB oracle replays each round's fold with a recursive CTE over
+    * symbol positions. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tc = Tables.documents(spark, dir)
       .select(explode(tokens(normalize(col("text")))).as("tok"))
       .filter(length(col("tok")) >= 2)
       .groupBy("tok").agg(count(lit(1)).as("c"))
+    // lazy checkpoints: the materialization piggybacks each round's
+    // top-pair job instead of running a second job per round
     var syms = tc.withColumn("symbols", split(col("tok"), ""))
+      .localCheckpoint(eager = false)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
     for (r <- 1 to BpeRounds) {
-      val top = syms.select(col("c"), explode(expr(
-          """transform(sequence(1, size(symbols) - 1),
-            |  i -> named_struct('a', element_at(symbols, i),
-            |                    'b', element_at(symbols, i + 1)))""".stripMargin)).as("p"))
+      val top = syms.select(col("c"),
+          explode(graft.functions.native.adjacent_pairs(col("symbols"))).as("p"))
         .groupBy("p").agg(sum("c").as("n"))
         .orderBy(desc("n"), asc("p.a"), asc("p.b")).limit(1)
         .select("p.a", "p.b", "n").head()
       val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((r, s"$a $b", n))
-      syms = syms.withColumn("symbols", mergeExpr(a, b))
+      if (r < BpeRounds) // the last round's merge output has no consumer
+        syms = syms.withColumn("symbols", mergeCol(a, b)(col("symbols")))
+          .localCheckpoint(eager = false)
     }
     merges.toSeq.toDF("round", "pair", "n").orderBy("round")
   }
