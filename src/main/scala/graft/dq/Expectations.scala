@@ -26,12 +26,22 @@ sealed trait Expectation {
   def column: String
   /** DuckDB-SQL rendering of `violations` (for the oracle). */
   def sql: String
+  /** Per-ROW violation predicate, for expectations defined row-wise
+    * (None for table/aggregate-level expectations like Unique or
+    * RowCountAtLeast — GX likewise reports no unexpected list there).
+    * Drives the `sample_keys` column: example offending keys, the GX
+    * partial_unexpected_list analogue. */
+  def rowViolates: Option[Column] = None
+  /** DuckDB-SQL rendering of `rowViolates`. */
+  def rowViolatesSql: Option[String] = None
 }
 
 final case class NotNull(column: String) extends Expectation {
   val name = "not_null"
   def violations: Column = count(lit(1)) - count(col(column))
   def sql = s"count(*) - count($column)"
+  override def rowViolates: Option[Column] = Some(col(column).isNull)
+  override def rowViolatesSql: Option[String] = Some(s"$column IS NULL")
 }
 
 final case class Unique(column: String) extends Expectation {
@@ -53,16 +63,19 @@ final case class Between(column: String, lo: Double, hi: Double) extends Expecta
   def violations: Column =
     sum(when(col(column) < lo || col(column) > hi, 1L).otherwise(0L))
   def sql = s"coalesce(sum(CASE WHEN $column < $lo OR $column > $hi THEN 1 ELSE 0 END), 0)"
+  override def rowViolates: Option[Column] = Some(col(column) < lo || col(column) > hi)
+  override def rowViolatesSql: Option[String] = Some(s"($column < $lo OR $column > $hi)")
 }
 
 final case class InSet(column: String, values: Seq[String]) extends Expectation {
   val name = "in_set"
+  private def vs = values.map(v => s"'$v'").mkString(", ")
   def violations: Column =
     sum(when(!col(column).isin(values: _*), 1L).otherwise(0L))
-  def sql = {
-    val vs = values.map(v => s"'$v'").mkString(", ")
+  def sql =
     s"coalesce(sum(CASE WHEN $column NOT IN ($vs) THEN 1 ELSE 0 END), 0)"
-  }
+  override def rowViolates: Option[Column] = Some(!col(column).isin(values: _*))
+  override def rowViolatesSql: Option[String] = Some(s"$column NOT IN ($vs)")
 }
 
 /** Schema-level type expectation (the reference's
@@ -111,33 +124,108 @@ final case class LengthBetween(column: String, lo: Int, hi: Int) extends Expecta
     sum(when(length(col(column)) < lo || length(col(column)) > hi, 1L).otherwise(0L))
   def sql =
     s"coalesce(sum(CASE WHEN length($column) < $lo OR length($column) > $hi THEN 1 ELSE 0 END), 0)"
+  override def rowViolates: Option[Column] =
+    Some(length(col(column)) < lo || length(col(column)) > hi)
+  override def rowViolatesSql: Option[String] =
+    Some(s"(length($column) < $lo OR length($column) > $hi)")
 }
 
 object Expectations {
 
   /** Evaluate a suite in one aggregation pass; returns the DQ report
-    * DataFrame (expectation, column, violations, passed). */
-  def run(df: DataFrame, suite: Seq[Expectation]): DataFrame = {
-    val aggs = suite.zipWithIndex.map { case (e, i) =>
+    * DataFrame (expectation, column, violations, passed[, sample_keys]).
+    *
+    * `sampleKey`: when set, each ROW-level expectation also reports up
+    * to `sampleN` example offending keys (the reference GX results'
+    * partial_unexpected_list — de_spotify_to_bronze.py validation
+    * suite) as a deterministic comma-joined string: the `sampleN`
+    * smallest DISTINCT violating keys, via the O(k)-state mergeable
+    * [[graft.functions.MinKStrings]] aggregate (collect_set would
+    * buffer every distinct violator — unbounded at corpus scale).
+    * The samples run as their OWN single-group aggregation pass,
+    * cross-joined with the 1-row counts: the Unique/CompoundUnique
+    * countDistinct aggs plan an Expand (one row copy per distinct
+    * group), and putting object-state aggregates on that multiplied
+    * input degrades ObjectHashAggregate to sort-based fallback
+    * (measured: 2.4 s → 76 s at sf0.1). Aggregate-level expectations
+    * (unique, row-count, type) report '' — GX likewise has no
+    * unexpected list for table-level expectations. */
+  def run(df: DataFrame, suite: Seq[Expectation],
+      sampleKey: Option[String] = None, sampleN: Int = 5): DataFrame = {
+    val vAggs = suite.zipWithIndex.map { case (e, i) =>
       e.violationsFor(df).cast("long").as(s"v$i")
     }
-    val oneRow = df.agg(aggs.head, aggs.tail: _*)
+    val kAggs = sampleKey.toSeq.flatMap { key =>
+      suite.zipWithIndex.map { case (e, i) =>
+        e.rowViolates match {
+          case Some(pred) =>
+            concat_ws(",", graft.functions.MinKStrings.min_k_strings(
+              when(pred && col(key).isNotNull, col(key).cast("string")),
+              sampleN)).as(s"k$i")
+          case None => max(lit("")).as(s"k$i")
+        }
+      }
+    }
+    val oneRowV = df.agg(vAggs.head, vAggs.tail: _*)
+    val oneRow =
+      if (kAggs.nonEmpty) oneRowV.crossJoin(df.agg(kAggs.head, kAggs.tail: _*))
+      else oneRowV
     // unpivot the 1-row agg into the report via stack()
     val stackArgs = suite.zipWithIndex.map { case (e, i) =>
-      s"'${e.name}', '${e.column}', v$i"
+      val ks = if (sampleKey.isDefined) s", k$i" else ""
+      s"'${e.name}', '${e.column}', v$i$ks"
     }.mkString(", ")
+    val outCols =
+      if (sampleKey.isDefined) "(expectation, column, violations, sample_keys)"
+      else "(expectation, column, violations)"
     oneRow
-      .select(expr(s"stack(${suite.size}, $stackArgs) AS (expectation, column, violations)"))
+      .select(expr(s"stack(${suite.size}, $stackArgs) AS $outCols"))
       .withColumn("passed", col("violations") === 0L)
       .orderBy("expectation", "column")
   }
 
+  /** Fail-the-load gate: the reference DAG aborts the task when a GX
+    * suite fails (de_spotify_to_bronze.py validation callback); this is
+    * that control flow for a [[run]] report. The report is suite-sized
+    * (one row per expectation), so the collect is O(suite). Returns the
+    * report unchanged when everything passed. */
+  def requireAllPassed(report: DataFrame, label: String = "dq"): DataFrame = {
+    val failed = report.filter(!col("passed")).collect()
+    if (failed.nonEmpty) {
+      val detail = failed.map { r =>
+        s"${r.getAs[String]("expectation")}(${r.getAs[String]("column")})=" +
+          s"${r.getAs[Long]("violations")}"
+      }.mkString(", ")
+      throw new IllegalStateException(s"[$label] expectations failed: $detail")
+    }
+    report
+  }
+
   /** DuckDB oracle SQL equivalent of `run` over table `table`. */
-  def oracleSql(table: String, suite: Seq[Expectation]): String = {
-    val aggCols = suite.zipWithIndex
-      .map { case (e, i) => s"CAST(${e.sql} AS BIGINT) AS v$i" }.mkString(",\n    ")
+  def oracleSql(table: String, suite: Seq[Expectation],
+      sampleKey: Option[String] = None, sampleN: Int = 5): String = {
+    val vCols = suite.zipWithIndex
+      .map { case (e, i) => s"CAST(${e.sql} AS BIGINT) AS v$i" }
+    val kCols = sampleKey.toSeq.flatMap { key =>
+      suite.zipWithIndex.map { case (e, i) =>
+        e.rowViolatesSql match {
+          case Some(pred) =>
+            // list() keeps NULL elements (collect_set drops them) → the
+            // FILTER also excludes NULL keys; zero violators makes the
+            // aggregate NULL and DuckDB 1.0's array_to_string([]) is
+            // also NULL (Spark concat_ws gives '') → outer coalesce
+            s"coalesce(array_to_string(list_slice(list_sort(list(DISTINCT " +
+              s"CAST($key AS VARCHAR)) FILTER (WHERE $pred AND $key IS NOT NULL)), " +
+              s"1, $sampleN), ','), '') AS k$i"
+          case None => s"'' AS k$i"
+        }
+      }
+    }
+    val aggCols = (vCols ++ kCols).mkString(",\n    ")
     val rows = suite.zipWithIndex.map { case (e, i) =>
-      s"SELECT '${e.name}' AS expectation, '${e.column}' AS \"column\", v$i AS violations, v$i = 0 AS passed FROM agg"
+      val ks = if (sampleKey.isDefined) s", k$i AS sample_keys" else ""
+      s"SELECT '${e.name}' AS expectation, '${e.column}' AS \"column\", " +
+        s"v$i AS violations$ks, v$i = 0 AS passed FROM agg"
     }.mkString("\n  UNION ALL ")
     s"""WITH agg AS (SELECT
     $aggCols

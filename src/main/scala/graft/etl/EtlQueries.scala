@@ -27,6 +27,7 @@ object EtlQueries {
     Unique("l_orderkey"),
     CompoundUnique(Seq("l_orderkey", "l_linenumber")),
     Between("l_discount", 0.0, 0.1), Between("l_quantity", 0.0, 60.0),
+    Between("l_tax", 0.0, 0.05), // corpus reaches 0.08 → red, with samples
     InSet("l_returnflag", Seq("A", "N", "R")),
     InSet("l_linestatus", Seq("O", "F")),
     TypeIs("l_orderkey", "bigint"), TypeIs("l_quantity", "double"),
@@ -35,10 +36,14 @@ object EtlQueries {
     LengthBetween("l_returnflag", 1, 1), LengthBetween("l_linestatus", 1, 1),
     RowCountAtLeast(1))
 
+  /** Failing-row samples keyed by l_orderkey — the GX
+    * partial_unexpected_list analogue (same single aggregation pass). */
   def dqReport(spark: SparkSession, dir: String): DataFrame =
-    Expectations.run(Tables.lineitem(spark, dir), lineitemSuite)
+    Expectations.run(Tables.lineitem(spark, dir), lineitemSuite,
+      sampleKey = Some("l_orderkey"))
 
-  val dqReportSql: String = Expectations.oracleSql("lineitem", lineitemSuite)
+  val dqReportSql: String =
+    Expectations.oracleSql("lineitem", lineitemSuite, sampleKey = Some("l_orderkey"))
 
   private val liNumCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val liCatCols = Seq("l_returnflag", "l_linestatus")

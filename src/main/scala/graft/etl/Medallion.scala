@@ -57,10 +57,15 @@ object Medallion {
       silver: DataFrame, silverReport: DataFrame)
 
   /** Run the full pipeline on a raw tracks DataFrame. `orderCol` is the
-    * reference's `index` column (dedup keep-first ordering). */
+    * reference's `index` column (dedup keep-first ordering).
+    *
+    * `gate = true` mirrors the reference DAG's control flow: a failing
+    * GX suite aborts the task (de_spotify_to_bronze.py validation
+    * callback) — here [[Expectations.requireAllPassed]] throws on the
+    * first red report, bronze before silver is ever computed. */
   def run(raw: DataFrame, source: String, batchId: String,
       ingestionTs: java.sql.Timestamp, orderCol: String,
-      outDir: Option[String] = None): Result = {
+      outDir: Option[String] = None, gate: Boolean = false): Result = {
 
     // ---- bronze ----
     // keep only expectations whose columns exist (schema drift safety)
@@ -70,7 +75,9 @@ object Medallion {
 
     val bronze = Bronze.withMetadata(raw, source, batchId, ingestionTs)
     val bronzeReport = Expectations.run(bronze,
-      applicable(bronzeSuite(Seq("track_id", "track_name", "artists")), bronze))
+      applicable(bronzeSuite(Seq("track_id", "track_name", "artists")), bronze),
+      sampleKey = if (bronze.columns.contains("track_id")) Some("track_id") else None)
+    if (gate) Expectations.requireAllPassed(bronzeReport, "bronze")
     outDir.foreach(d => Loader.write(bronze, s"$d/bronze", "full"))
 
     // ---- silver: stats from the FULL bronze table (reference order) ----
@@ -86,7 +93,9 @@ object Medallion {
       if (df.columns.contains(c)) df.withColumn(c, Silver.clamp(col(c), lo, hi))
       else df
     }
-    val silverReport = Expectations.run(clamped, applicable(silverSuite, clamped))
+    val silverReport = Expectations.run(clamped, applicable(silverSuite, clamped),
+      sampleKey = if (clamped.columns.contains("track_id")) Some("track_id") else None)
+    if (gate) Expectations.requireAllPassed(silverReport, "silver")
     outDir.foreach(d => Loader.write(clamped, s"$d/silver", "full"))
 
     Result(bronze, bronzeReport, clamped, silverReport)

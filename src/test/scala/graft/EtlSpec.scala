@@ -75,6 +75,40 @@ class EtlSpec extends AnyFunSuite {
     assert(m("row_count_at_least/*") == 1) // 3 < 10
   }
 
+  test("expectations: failing-row samples (GX partial_unexpected_list)") {
+    import spark.implicits._
+    val df = Seq((1, Some(10), "a"), (2, None, "b"), (3, Some(30), "zz"),
+      (4, Some(99), "zz"), (5, Some(50), "a"))
+      .toDF("k", "v", "s")
+    val rep = Expectations.run(df, Seq(
+      NotNull("v"), Unique("k"), Between("v", 0, 15), InSet("s", Seq("a", "b"))),
+      sampleKey = Some("k"), sampleN = 2)
+      .collect()
+      .map(r => (r.getString(0) + "/" + r.getString(1),
+        r.getAs[String]("sample_keys"))).toMap
+    assert(rep("not_null/v") == "2")       // the null row's key
+    assert(rep("between/v") == "3,4")      // 30 and 99, sorted keys
+    assert(rep("in_set/s") == "3,4")       // the two "zz" rows
+    assert(rep("unique/k") == "")          // aggregate-level: no row samples
+    // sampleN truncates deterministically: 3 violators, first 2 sorted keys
+    val rep2 = Expectations.run(df, Seq(Between("v", 0, 15)),
+      sampleKey = Some("k"), sampleN = 1).collect()
+    assert(rep2.head.getAs[String]("sample_keys") == "3")
+  }
+
+  test("requireAllPassed gates on red reports and passes green ones") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "s")
+    val green = Expectations.run(df, Seq(NotNull("k"), Unique("k")))
+    // returns the report unchanged when all passed
+    assert(Expectations.requireAllPassed(green).count() == 2)
+    val red = Expectations.run(df, Seq(InSet("s", Seq("a"))))
+    val e = intercept[IllegalStateException] {
+      Expectations.requireAllPassed(red, "spec")
+    }
+    assert(e.getMessage.contains("in_set(s)=1"))
+  }
+
   test("dedup keep-first is deterministic under ties") {
     import spark.implicits._
     val df = Seq((1, 1, "b"), (1, 1, "a"), (1, 2, "c"), (2, 5, "x"))

@@ -65,6 +65,39 @@ class MedallionSpec extends AnyFunSuite {
     assert(sr("between/danceability") == 0)
   }
 
+  test("DQ reports carry failing-row sample keys (partial_unexpected_list)") {
+    val r = Medallion.run(dirtyTracks, "CSV", "batch_test",
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "index")
+    val br = r.bronzeReport.collect()
+      .map(x => (x.getString(0) + "/" + x.getString(1),
+        x.getAs[String]("sample_keys"))).toMap
+    assert(br("not_null/artists") == "t2")
+    assert(br("between/danceability") == "t2")
+    assert(br("between/loudness") == "t2")
+  }
+
+  test("gate=true mirrors the reference DAG: red bronze suite aborts the run") {
+    val e = intercept[IllegalStateException] {
+      Medallion.run(dirtyTracks, "CSV", "batch_test",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "index", gate = true)
+    }
+    assert(e.getMessage.contains("[bronze]"))
+    assert(e.getMessage.contains("not_null(artists)"))
+  }
+
+  test("gate=true passes a clean batch end-to-end") {
+    import spark.implicits._
+    val clean = Seq(
+      (0, "t1", "artist-a", "alb1", "song1", 50.0, 200000.0, 0.5, 0.6, -5.0, 120.0, "rock"),
+      (1, "t2", "artist-b", "alb2", "song2", 60.0, 180000.0, 0.7, 0.4, -8.0, 90.0, "jazz"))
+      .toDF("index", "track_id", "artists", "album_name", "track_name",
+        "popularity", "duration_ms", "danceability", "energy", "loudness",
+        "tempo", "track_genre")
+    val r = Medallion.run(clean, "CSV", "batch_clean",
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "index", gate = true)
+    assert(r.silver.count() == 2)
+  }
+
   test("pipeline writes bronze and silver sinks when outDir given") {
     val out = java.nio.file.Files.createTempDirectory("graft-med").toString
     Medallion.run(dirtyTracks, "CSV", "b1",
