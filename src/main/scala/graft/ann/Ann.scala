@@ -6,9 +6,10 @@ import org.apache.spark.sql.expressions.Window
 
 /** Embedding similarity — SURVEY.md §2 items 25–27.
   *
-  * Cosine arithmetic is an explicit left-to-right double fold (zip_with
-  * + aggregate) so Spark and the DuckDB oracle produce bit-identical
-  * IEEE doubles — no reliance on engine-internal SIMD/pairwise sums.
+  * Cosine arithmetic is an explicit left-to-right double fold (the
+  * compiled DotProductFold kernel) so Spark and the DuckDB oracle
+  * produce bit-identical IEEE doubles — no reliance on
+  * engine-internal SIMD/pairwise sums.
   *
   * Scale design: brute-force top-k broadcasts the (small) query set and
   * computes per-partition — one scan, no shuffle until the per-query
@@ -19,10 +20,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
-  /** Sequential-fold dot product of two float arrays, in double. */
+  /** Sequential-fold dot product of two numeric arrays, in double —
+    * the native [[graft.functions.DotProductFold]] kernel: identical
+    * IEEE operations in identical order to the aggregate(zip_with(…))
+    * fold it replaces (and to the DuckDB list_reduce oracle), so
+    * results stay bit-identical while the per-element interpretation
+    * cost disappears from every cosine hot path. */
   def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.native.dot_product_fold(a, b)
 
   def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
@@ -47,9 +52,11 @@ object Ann {
     * hot label at scale; the hyperplane bucket bounds block population
     * by similarity structure instead — cosine-near vectors land in the
     * same sign-bucket with high probability, and each vector joins
-    * exactly one bucket. Same join shape, 100-TB-safe key. */
-  def embedCosinePairs(embeddings: DataFrame, minCos: Double = 0.25): DataFrame = {
-    val v = vecs(embeddings).withColumn("bucket", bucketCol)
+    * exactly one bucket. Same join shape, 100-TB-safe key when
+    * `planes` follows [[planesFor]] (≈ log₂(n/targetBucket)). */
+  def embedCosinePairs(embeddings: DataFrame, minCos: Double = 0.25,
+      planes: Int = DefaultPlanes): DataFrame = {
+    val v = vecs(embeddings).withColumn("bucket", bucketCol(planes))
     val a = v.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = v.select(col("bucket"), col("vec_id").as("id_b"),
@@ -62,8 +69,9 @@ object Ann {
       .orderBy("bucket", "id_a", "id_b")
   }
 
-  def embedCosinePairsSql(minCos: Double = 0.25): String =
-    s"""WITH v AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket
+  def embedCosinePairsSql(minCos: Double = 0.25,
+      planes: Int = DefaultPlanes): String =
+    s"""WITH v AS (SELECT vec_id, embedding, nrm, ${bucketSql(planes)} AS bucket
        |  FROM ($vecsSql) t0)
        |SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
        |  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
@@ -99,8 +107,27 @@ object Ann {
        |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
 
   // ---- deterministic random-hyperplane LSH ----
-  val Planes = 8
+
+  /** Default plane count for the test corpus (sf ≤ 0.1: n ≈ 5000
+    * vectors → 2⁸ = 256 buckets ≈ 20 vectors/bucket). */
+  val DefaultPlanes = 8
   val Dim = 64
+
+  /** Sizing rule for the plane count: within-bucket joins generate
+    * O(n²/2^planes) candidate pairs, so buckets must GROW with n —
+    * planes ≈ log₂(n / targetBucket) holds the expected bucket
+    * population (and so per-bucket join cost) constant as the corpus
+    * scales. The MinHash band analysis (candidates bounded by near-dup
+    * density) does NOT apply to sign buckets: with planes fixed, pair
+    * counts creep quadratically. At 100 TB (n ≈ 10¹⁰, targetBucket
+    * 1024) this gives ~23 planes. Adding a plane only REMOVES pairs
+    * from a bucket (bucket(p+1) refines bucket(p) — coefficients
+    * depend on the plane index alone), so recall tuning is monotone:
+    * raise planes until the candidate count fits the budget. */
+  def planesFor(n: Long, targetBucket: Long = 1024): Int = {
+    val ratio = math.max(1.0, n.toDouble / targetBucket)
+    math.min(62, math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
 
   /** Pseudo-random plane coefficient c(p,d) in [-0.5, 0.5), identical
     * in SQL: LCG on index p*Dim+d. CASTs keep the multiply in 64-bit on
@@ -108,14 +135,14 @@ object Ann {
   private def coefExpr(p: String, d: String): String =
     s"(((CAST(1103515245 AS BIGINT) * ($p * $Dim + $d) + 12345) % 2147483647) / 2147483647.0 - 0.5)"
 
-  /** Bucket id: sign bits of the 8 hyperplane projections (native
+  /** Bucket id: sign bits of `planes` hyperplane projections (native
     * expression — the HOF formulation interprets ~planes×dim steps per
     * row; see graft.functions.HyperplaneBucket). */
-  def bucketCol: Column =
-    graft.functions.native.hyperplane_bucket(col("embedding"), Planes, Dim)
+  def bucketCol(planes: Int = DefaultPlanes): Column =
+    graft.functions.native.hyperplane_bucket(col("embedding"), planes, Dim)
 
-  val bucketSql: String =
-    s"""CAST(list_sum(list_transform(generate_series(0, ${Planes - 1}), p ->
+  def bucketSql(planes: Int = DefaultPlanes): String =
+    s"""CAST(list_sum(list_transform(generate_series(0, ${planes - 1}), p ->
       CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
         list_transform(generate_series(1, $Dim),
           d -> ${coefExpr("p", "(d - 1)")} * CAST(embedding[d] AS DOUBLE))), (x, y) -> x + y) > 0
@@ -123,8 +150,9 @@ object Ann {
 
   /** §2.27 LSH-bucketed ANN: bucket every vector once, search within
     * the query's bucket only. */
-  def lshTopK(embeddings: DataFrame, nq: Int = 5, k: Int = 5): DataFrame = {
-    val v = vecs(embeddings).withColumn("bucket", bucketCol)
+  def lshTopK(embeddings: DataFrame, nq: Int = 5, k: Int = 5,
+      planes: Int = DefaultPlanes): DataFrame = {
+    val v = vecs(embeddings).withColumn("bucket", bucketCol(planes))
     val q = v.filter(col("vec_id") < nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket"))
@@ -139,8 +167,8 @@ object Ann {
       .orderBy("q_id", "rk")
   }
 
-  def lshTopKSql(nq: Int = 5, k: Int = 5): String =
-    s"""WITH v AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket
+  def lshTopKSql(nq: Int = 5, k: Int = 5, planes: Int = DefaultPlanes): String =
+    s"""WITH v AS (SELECT vec_id, embedding, nrm, ${bucketSql(planes)} AS bucket
        |  FROM ($vecsSql) t0),
        |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, bucket
        |  FROM v WHERE vec_id < $nq),

@@ -74,9 +74,8 @@ object Dedup {
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(aggregate(zip_with(col("sa"), col("sb"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
-          (acc, v) => acc + v).cast("double") / NumHashes, 6).as("est_jaccard"))
+        round(graft.functions.native.equal_count(col("sa"), col("sb"))
+          .cast("double") / NumHashes, 6).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
       .orderBy("id_a", "id_b")
@@ -250,9 +249,8 @@ object Dedup {
       col("sigs").as("idx_sigs"), col("band"), col("bh"))
     val nw = bands.filter(isNew).select(col("doc_id").as("new_id"),
       col("sigs").as("new_sigs"), col("band"), col("bh"))
-    val est = round(aggregate(zip_with(col("new_sigs"), col("idx_sigs"),
-      (x, y) => when(x === y, 1).otherwise(0)), lit(0),
-      (acc, v) => acc + v).cast("double") / NumHashes, 6)
+    val est = round(graft.functions.native.equal_count(
+      col("new_sigs"), col("idx_sigs")).cast("double") / NumHashes, 6)
     val best = nw.join(idx, Seq("band", "bh"))
       .select(col("new_id"), col("idx_id"), col("new_sigs"), col("idx_sigs"))
       .distinct()

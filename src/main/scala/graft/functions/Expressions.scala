@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -61,6 +61,34 @@ trait KernelCodegen { self: UnaryExpression =>
            |if ($res == null) { ${ev.isNull} = true; } else { $assign }""".stripMargin
       else
         s"""Object $res = $ref.compute($c);
+           |$assign""".stripMargin
+    })
+}
+
+/** Binary-expression variant of [[KernelCodegen]]: the compiled
+  * `compute2` kernel is called directly from generated code, keeping
+  * the containing stage in whole-stage codegen. `compute2` may return
+  * null (e.g. mismatched array lengths) even for non-null inputs, so
+  * implementors should declare `nullable = true` in that case. */
+trait KernelCodegen2 { self: BinaryExpression =>
+  import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+  def compute2(a: Any, b: Any): Any
+  override protected def nullSafeEval(a: Any, b: Any): Any = compute2(a, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c1, c2) => {
+      val ref = ctx.addReferenceObj("graftKernel2", this, classOf[KernelCodegen2].getName)
+      val res = ctx.freshName("graftRes")
+      val javaT = CodeGenerator.javaType(dataType)
+      val assign =
+        if (CodeGenerator.isPrimitiveType(dataType))
+          s"${ev.value} = ((${CodeGenerator.boxedType(dataType)}) $res).${javaT}Value();"
+        else
+          s"${ev.value} = ($javaT) $res;"
+      if (nullable)
+        s"""Object $res = $ref.compute2($c1, $c2);
+           |if ($res == null) { ${ev.isNull} = true; } else { $assign }""".stripMargin
+      else
+        s"""Object $res = $ref.compute2($c1, $c2);
            |$assign""".stripMargin
     })
 }
@@ -389,6 +417,68 @@ case class HexResize(child: Expression, target: Int)
   override protected def withNewChildInternal(c: Expression): HexResize = copy(child = c)
 }
 
+/** Sequential left-to-right double-fold dot product of two numeric
+  * arrays (float or double elements; each element widened to double
+  * before the multiply, sums accumulated in declaration order) —
+  * BIT-IDENTICAL to the interpreted
+  * aggregate(zip_with(a, b, x·y), 0.0, +) formulation it replaces and
+  * to the DuckDB list_reduce(list_prepend(0.0, …)) oracle rendering,
+  * because the IEEE operations and their order are the same; only the
+  * per-element expression-tree interpretation is gone. Null result on
+  * length mismatch or a null element (zip_with padding semantics). */
+case class DotProductFold(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCodegen2 {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  @transient private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def compute2(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotProductFold = copy(l, r)
+}
+
+/** Count of positions where two long arrays agree — the MinHash
+  * signature-agreement statistic (est_jaccard numerator), replacing
+  * the interpreted aggregate(zip_with(sa, sb, equal?1:0), 0, +) fold.
+  * Null on length mismatch (zip_with padding semantics). */
+case class EqualCount(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCodegen2 {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def compute2(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    java.lang.Long.valueOf(c)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): EqualCount = copy(l, r)
+}
+
 /** Column-level wrappers (Spark 4: Columns wrap ColumnNodes, so
   * Expression-backed Columns go through classic.ExpressionUtils). */
 object native {
@@ -408,4 +498,8 @@ object native {
   def hex_resize(c: Column, target: Int): Column = column(HexResize(expression(c), target))
   def adjacent_pairs(c: Column): Column = column(AdjacentPairs(expression(c)))
   def char_bigrams(c: Column): Column = column(CharBigrams(expression(c)))
+  def dot_product_fold(a: Column, b: Column): Column =
+    column(DotProductFold(expression(a), expression(b)))
+  def equal_count(a: Column, b: Column): Column =
+    column(EqualCount(expression(a), expression(b)))
 }

@@ -83,6 +83,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).distinct.length <= 5)
   }
 
+  test("lsh plane count is a knob: more planes refine buckets monotonically") {
+    val emb = Tables.embeddings(spark, sf)
+    def pairsAt(p: Int) = Ann.embedCosinePairs(emb, 0.25, planes = p).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val at8 = pairsAt(8)
+    val at12 = pairsAt(12)
+    // bucket(p+1) refines bucket(p): equal 12-bit buckets imply equal
+    // 8-bit buckets, so the 12-plane candidate set is a subset
+    assert(at12.subsetOf(at8), s"${(at12 -- at8).size} pairs not in the 8-plane set")
+    assert(at12.size < at8.size || at8.isEmpty)
+    // sizing rule: planes ≈ log2(n / targetBucket), clamped to [1, 62]
+    assert(Ann.planesFor(5000, 1024) == 3)
+    assert(Ann.planesFor(10L * 1000 * 1000 * 1000, 1024) == 24)
+    assert(Ann.planesFor(100, 1024) == 1)
+  }
+
   test("minhash recall/precision on planted near-duplicates") {
     // 20 base docs (distinct vocabularies), each with a planted near-dup
     // (one word changed), plus the bases themselves — detector should
