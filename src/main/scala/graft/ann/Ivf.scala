@@ -36,10 +36,12 @@ object Ivf {
   val NProbe = 2
   val Dim = 64
 
-  /** vectors with double-cast embedding + norm (shared shape). */
+  /** vectors with double-cast embedding + norm (shared shape; the
+    * widening is the compiled ToDoubleArray kernel — exact, and off
+    * the interpreted-HOF path the corpus scans every Lloyd round). */
   private def vecsD(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("e"))
+      graft.functions.native.to_double_array(col("embedding")).as("e"))
       .withColumn("nrm", normCol(col("e")))
 
   /** Argmax assignment without a sort: `max_by` over the (cos, −cid)

@@ -46,14 +46,15 @@ object Dedup {
 
   /** MinHash signature array + band hashes b0..b3. The signature is ONE
     * native-expression column; band hashes string-join 4-signature
-    * slices (same bytes as the oracle's concat_ws over s0..s3). */
+    * slices (same bytes as the oracle's concat_ws over s0..s3), via the
+    * compiled LongSliceJoin kernel (the array_join∘transform∘slice
+    * chain was the last interpreted-HOF in the dedup plans). */
   def minhashSignatures(sh: DataFrame): DataFrame = {
     val withSig = sh.withColumn("sigs",
       graft.functions.native.minhash_signature(col("sh"), NumHashes))
     (0 until Bands).foldLeft(withSig) { (df, b) =>
-      df.withColumn(s"b$b", hash64(
-        array_join(transform(slice(col("sigs"), b * RowsPerBand + 1, RowsPerBand),
-          v => v.cast("string")), ":")))
+      df.withColumn(s"b$b", hash64(graft.functions.native.long_slice_join(
+        col("sigs"), b * RowsPerBand, RowsPerBand, ":")))
     }
   }
 

@@ -417,6 +417,68 @@ case class HexResize(child: Expression, target: Int)
   override protected def withNewChildInternal(c: Expression): HexResize = copy(child = c)
 }
 
+/** array<long> → string: decimal renderings of elements
+  * [start0, start0+len) joined with `sep` — the MinHash band-hash
+  * input, replacing the interpreted
+  * array_join(transform(slice(sigs, start, len), cast), sep)
+  * chain (same bytes: Long.toString == CAST(v AS STRING)). */
+case class LongSliceJoin(child: Expression, start0: Int, len: Int, sep: String)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = StringType
+  override def compute(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val end = math.min(start0 + len, arr.numElements())
+    val sb = new java.lang.StringBuilder(len * 12)
+    var i = start0
+    while (i < end) {
+      if (i > start0) sb.append(sep)
+      sb.append(arr.getLong(i))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): LongSliceJoin = copy(child = c)
+}
+
+/** string → long polynomial hash over its UTF-16 units:
+  * fold (h·131 + code) % 1e9+7, h₀ = 0 — identical to the interpreted
+  * aggregate(transform(split(s, ''), ascii), …) formulation for all
+  * BMP text (split('') yields UTF-16 units; ascii = codepoint) and to
+  * the DuckDB list_reduce rendering in TextFunctions.polyHashSql. */
+case class PolyHashChars(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  import HashConstants.M
+  override def dataType: DataType = LongType
+  override def compute(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * 131 + s.charAt(i).toInt) % M
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+  override protected def withNewChildInternal(c: Expression): PolyHashChars = copy(c)
+}
+
+/** array<float> → array<double> (exact widening) — replaces the
+  * interpreted transform(embedding, x -> cast(x as double)) on the
+  * IVF corpus path. */
+case class ToDoubleArray(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def compute(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = arr.getFloat(i).toDouble; i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): ToDoubleArray = copy(c)
+}
+
 /** Sequential left-to-right double-fold dot product of two numeric
   * arrays (float or double elements; each element widened to double
   * before the multiply, sums accumulated in declaration order) —
@@ -502,4 +564,8 @@ object native {
     column(DotProductFold(expression(a), expression(b)))
   def equal_count(a: Column, b: Column): Column =
     column(EqualCount(expression(a), expression(b)))
+  def long_slice_join(c: Column, start0: Int, len: Int, sep: String): Column =
+    column(LongSliceJoin(expression(c), start0, len, sep))
+  def poly_hash_chars(c: Column): Column = column(PolyHashChars(expression(c)))
+  def to_double_array(c: Column): Column = column(ToDoubleArray(expression(c)))
 }

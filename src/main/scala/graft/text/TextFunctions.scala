@@ -52,10 +52,7 @@ object TextFunctions {
   /** Polynomial rolling hash over character codes of `s`:
     * fold h -> (h*131 + code) % 1e9+7. No overflow (max 1.3e11). */
   def polyHash(c: Column): Column =
-    aggregate(
-      transform(split(c, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 131 + x) % 1000000007L)
+    graft.functions.native.poly_hash_chars(c)
 
   def polyHashSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
