@@ -62,16 +62,18 @@ object Ivf {
   /** One Lloyd round: assign every vector to its nearest centroid by
     * cosine (ties → lowest cid), then mean each cluster element-wise,
     * rounding components to 6 dp. `cent` is (cid, ce, cn) — small,
-    * broadcast. Returns the updated centroid rows, collected. */
+    * broadcast. Returns the updated centroid rows, collected.
+    *
+    * The mean is the mergeable [[graft.functions.VectorMean]]
+    * aggregate — one O(dim)-state buffer per centroid, one aggregation
+    * pass — replacing the posexplode(e) → groupBy(cid, pos) → avg →
+    * collect_list reassembly, which materialized n×dim rows through
+    * the aggregation hash map and needed a second shuffle to rebuild
+    * the vectors. */
   private def lloydRound(v: DataFrame, cent: DataFrame): Array[(Long, Seq[Double])] = {
-    val assigned = assignNearest(v, cent).select(col("cid"), col("e"))
-    assigned
-      .select(col("cid"), posexplode(col("e")))
-      .toDF("cid", "pos", "v")
-      .groupBy("cid", "pos").agg(avg("v").as("m"))
+    assignNearest(v, cent).select(col("cid"), col("e"))
       .groupBy("cid")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => round(s.getField("m"), 6)).as("ce"))
+      .agg(graft.functions.VectorMean.vector_mean(col("e"), 6).as("ce"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
   }
