@@ -42,6 +42,32 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** §2.96 quality-weighted sampling: accept each document with
+    * probability equal to its quality score — the
+    * importance-sampling step quality-filtered corpora use (keep
+    * high-quality text at full rate, down-sample the low-quality tail
+    * instead of hard-thresholding it). Deterministic and
+    * engine-reproducible: the acceptance draw is a hash bucket in
+    * [0, 1e6) compared against score×1e6, no RNG; the score is the
+    * 6 dp-rounded quality_score both engines already agree on
+    * (text_quality is oracle-green), so the comparison can't straddle.
+    * One scan, no shuffle, no collect. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextQueries.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("_bucket",
+        pmod(hash64(concat_ws(":", lit("sw"), col("doc_id"))), lit(1000000)))
+      .filter(col("_bucket").cast("double") < col("quality_score") * 1000000.0)
+      .select("doc_id", "quality_score")
+      .orderBy("doc_id")
+
+  val sampleWeightedSql: String =
+    s"""SELECT doc_id, quality_score
+       |FROM (${graft.text.TextQueries.textQualitySql}) q
+       |WHERE ${hash64Sql("concat_ws(':', 'sw', doc_id)")} % 1000000
+       |  < quality_score * 1000000.0
+       |ORDER BY doc_id""".stripMargin
+
   /** Fixed sample size per stratum for [[sampleFixed]]. */
   val FixedPerStratum = 20
 
@@ -445,4 +471,35 @@ object Pipeline {
        |SELECT src AS doc_id, min(dst) AS cluster_id,
        |  src = min(dst) AS is_canonical
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** §2.97 keep-best duplicate resolution: within each near-dup
+    * cluster keep the HIGHEST-QUALITY document (tie → lowest doc_id),
+    * which is what production dedup actually ships — min-id canonicals
+    * ([[dedupClusters]]) throw away the best copy whenever it isn't
+    * the oldest. Composition: cluster labels ⋈ quality scores, then
+    * one per-cluster argmax window (clusters are near-dup groups —
+    * tiny — so the window sort is bounded; the shuffle key is
+    * cluster_id). Ordering by the 6 dp-rounded score both engines
+    * agree on keeps the argmax deterministic cross-engine. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir).select("doc_id", "cluster_id")
+    val quality = graft.text.TextQueries.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc("quality_score"), asc("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("is_kept", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "quality_score", "is_kept")
+      .orderBy("doc_id")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH c AS (SELECT doc_id, cluster_id FROM ($dedupClustersSql) t),
+       |q AS (SELECT doc_id, quality_score
+       |  FROM (${graft.text.TextQueries.textQualitySql}) t)
+       |SELECT c.doc_id, c.cluster_id, q.quality_score,
+       |  row_number() OVER (PARTITION BY c.cluster_id
+       |    ORDER BY q.quality_score DESC, c.doc_id) = 1 AS is_kept
+       |FROM c JOIN q ON c.doc_id = q.doc_id
+       |ORDER BY c.doc_id""".stripMargin
 }

@@ -48,6 +48,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(s.collect().toSeq == Pipeline.sampleFixed(spark, sf).collect().toSeq)
   }
 
+  test("quality-weighted sampling: acceptance rate tracks the score") {
+    val q = graft.text.TextQueries.textQuality(spark, sf)
+      .select(col("doc_id"), col("quality_score"))
+    val sampled = Pipeline.sampleWeighted(spark, sf)
+    val n = q.count().toDouble
+    val meanScore = q.agg(avg("quality_score")).head().getDouble(0)
+    val rate = sampled.count() / n
+    // E[accept] = mean score; 500 draws → generous tolerance
+    assert(math.abs(rate - meanScore) < 0.1, s"rate $rate vs mean score $meanScore")
+    // deterministic: same invocation twice yields identical ids
+    val a = sampled.collect().map(_.getLong(0)).toSeq
+    val b = Pipeline.sampleWeighted(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("keep-best dedup keeps exactly one doc per cluster, the best one") {
+    val kb = Pipeline.dedupKeepBest(spark, sf).cache()
+    val perCluster = kb.groupBy("cluster_id")
+      .agg(sum(when(col("is_kept"), 1).otherwise(0)).as("kept"))
+    assert(perCluster.filter(col("kept") =!= 1).count() == 0)
+    // the kept doc has the max score of its cluster (tie → lowest id)
+    val best = kb.groupBy("cluster_id")
+      .agg(max(struct(col("quality_score"), -col("doc_id"))).as("b"))
+      .select(col("cluster_id"), col("b.quality_score").as("mx"),
+        (-col("b.col2")).as("mx_id"))
+    val kept = kb.filter(col("is_kept"))
+      .join(best, "cluster_id")
+    assert(kept.filter(col("quality_score") =!= col("mx") ||
+      col("doc_id") =!= col("mx_id")).count() == 0)
+    kb.unpersist()
+  }
+
   test("corpus manifest: no eval sources, no contamination, subset of filter") {
     val manifest = Pipeline.corpusManifest(spark, sf).collect()
     assert(manifest.nonEmpty)
