@@ -679,4 +679,53 @@ object Queries {
       |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** §2.98 funnel analysis: users progressing view → click → purchase
+    * in strict temporal order. Single-shuffle shape: ONE hash exchange
+    * on user_id feeds two stacked Window passes over the same sorted
+    * partition (running first-view, then first-click-after-view) plus
+    * the per-user aggregation — instead of the naive per-stage
+    * join chain (3 shuffles). Ties broken by (ts, event_id) so the
+    * running mins are a total order, deterministic on both engines. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = Tables.events(spark, dir)
+      .withColumn("t1r", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2c",
+        when(col("event_type") === "click" && col("ts") > col("t1r"), col("ts")))
+      .withColumn("t2r", min(col("t2c")).over(w))
+      .withColumn("t3c",
+        when(col("event_type") === "purchase" && col("ts") > col("t2r"), col("ts")))
+    staged.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"),
+        min(col("t2c")).as("t2"), min(col("t3c")).as("t3"))
+      .agg(count(col("t1")).as("u1"), count(col("t2")).as("u2"),
+        count(col("t3")).as("u3"))
+      .select(expr(
+        "stack(3, 1, 'view', u1, 2, 'click', u2, 3, 'purchase', u3) AS (stage, step, users)"))
+      .orderBy("stage")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      |  FROM events),
+      |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS t1r
+      |  FROM e),
+      |c2 AS (SELECT *, CASE WHEN event_type = 'click' AND ts > t1r THEN ts END AS t2c FROM w1),
+      |w2 AS (SELECT *, min(t2c)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS t2r
+      |  FROM c2),
+      |c3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND ts > t2r THEN ts END AS t3c FROM w2),
+      |u AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+      |    min(t2c) AS t2, min(t3c) AS t3
+      |  FROM c3 GROUP BY user_id),
+      |s AS (SELECT count(t1) AS u1, count(t2) AS u2, count(t3) AS u3 FROM u)
+      |SELECT 1 AS stage, 'view' AS step, u1 AS users FROM s
+      |UNION ALL SELECT 2, 'click', u2 FROM s
+      |UNION ALL SELECT 3, 'purchase', u3 FROM s
+      |ORDER BY stage""".stripMargin
 }

@@ -66,4 +66,20 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(win - raw) < (r.getAs[Double]("p95") - r.getAs[Double]("p05")))
     }
   }
+
+  test("funnel stages are monotone and the plan shuffles user_id once") {
+    val f = analytics.Queries.eventsFunnel(spark, sf)
+    val rows = f.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rows("view") >= rows("click") && rows("click") >= rows("purchase"))
+    assert(rows("view") > 0)
+    // hand-built funnel on a tiny frame: strict ordering enforced
+    import spark.implicits._
+    // AQE's toString repeats the plan as "Initial Plan" — count the
+    // final section only
+    val plan = f.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // one hash exchange on user_id feeds both stacked windows; the only
+    // other exchange is the 1-row final agg / stack reorder
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userExchanges == 1, s"expected 1 user_id exchange, plan:\n$plan")
+  }
 }
