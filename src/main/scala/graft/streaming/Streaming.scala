@@ -147,6 +147,53 @@ object Streaming {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      step: Int, event_id: Long)
+  final case class FunnelStage(user_id: Long, stage: Int)
+
+  /** §2.99 streaming funnel (the stateful twin of the batch
+    * `events_funnel`): per-user state is THREE longs — micros of the
+    * first view, the first click strictly after it, and the first
+    * purchase strictly after that — monotone (set-once) per stage, so
+    * state is O(1) per key with unbounded lookback, and each
+    * micro-batch emits the user's current stage (Update mode). Within
+    * a batch events are processed in (event-time, step, event_id)
+    * order; across batches the usual stateful-stream contract applies
+    * (per-key event-time-ordered arrival). Parity with the batch
+    * funnel is asserted in StreamingSpec. */
+  def funnelStream(events: DataFrame): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    val steps = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+    val tagged = events
+      .filter(col("event_type").isin(steps.keys.toSeq.map(x => x: Any): _*))
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2).otherwise(3).as("step"),
+        col("event_id"))
+      .as[FunnelEvent]
+    val Unset = Long.MinValue
+    tagged.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long), FunnelStage](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[FunnelEvent],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse((Unset, Unset, Unset))
+          val sorted = evs.toArray.sortBy(e => (tsMicros(e.ts), e.step, e.event_id))
+          sorted.foreach { e =>
+            val us = tsMicros(e.ts)
+            e.step match {
+              case 1 => if (t1 == Unset) t1 = us
+              case 2 => if (t2 == Unset && t1 != Unset && us > t1) t2 = us
+              case _ => if (t3 == Unset && t2 != Unset && us > t2) t3 = us
+            }
+          }
+          state.update((t1, t2, t3))
+          val stage = if (t3 != Unset) 3 else if (t2 != Unset) 2
+            else if (t1 != Unset) 1 else 0
+          FunnelStage(userId, stage)
+      }
+  }
+
   /** §2.57 foreachBatch incremental sink: each micro-batch upserted
     * into a parquet target by key (latest batch wins) — the streaming
     * version of the reference's scheduled batch load.

@@ -91,6 +91,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"${diffs.length} diffs, first: ${diffs.headOption}")
   }
 
+  test("streaming funnel stages match the batch events_funnel counts") {
+    val q = Streaming.funnelStream(Streaming.readEventsStream(spark, sf))
+      .toDF.writeStream.outputMode("update")
+      .format("memory").queryName("funnel_stream_out").start()
+    q.processAllAvailable(); q.stop()
+    // Update mode: keep each user's LAST emitted stage
+    val lastStage = spark.table("funnel_stream_out")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.last("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = graft.analytics.Queries.eventsFunnel(spark, sf)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(lastStage.values.count(_ >= 1).toLong == batch("view"))
+    assert(lastStage.values.count(_ >= 2).toLong == batch("click"))
+    assert(lastStage.values.count(_ >= 3).toLong == batch("purchase"))
+  }
+
   test("streaming drift monitor scores each micro-batch against a reference") {
     import spark.implicits._
     val dirs = java.nio.file.Files.createTempDirectory("graft-drift")
