@@ -102,6 +102,21 @@ final case class TypeIs(column: String, typeName: String) extends Expectation {
     s"CASE WHEN typeof(any_value($column)) = '${duckTypes(typeName)}' THEN 0 ELSE count(*) END"
 }
 
+/** Aggregate-bound expectation (GX's ExpectColumnMin/MaxToBeBetween):
+  * passes iff agg(column) ∈ [lo, hi]. Aggregate-level → no row
+  * samples, like Unique. `agg` is "min" or "max". */
+final case class AggBetween(column: String, agg: String, lo: Double, hi: Double)
+    extends Expectation {
+  require(agg == "min" || agg == "max", s"unsupported agg: $agg")
+  val name = s"${agg}_between"
+  private def aggCol: Column =
+    if (agg == "min") min(col(column)) else max(col(column))
+  def violations: Column =
+    when(aggCol >= lo && aggCol <= hi, 0L).otherwise(1L)
+  def sql =
+    s"CASE WHEN $agg($column) >= $lo AND $agg($column) <= $hi THEN 0 ELSE 1 END"
+}
+
 final case class RowCountAtLeast(minRows: Long) extends Expectation {
   val name = "row_count_at_least"
   val column = "*"

@@ -28,6 +28,8 @@ object EtlQueries {
     CompoundUnique(Seq("l_orderkey", "l_linenumber")),
     Between("l_discount", 0.0, 0.1), Between("l_quantity", 0.0, 60.0),
     Between("l_tax", 0.0, 0.05), // corpus reaches 0.08 → red, with samples
+    AggBetween("l_quantity", "min", 2.0, 100.0), // corpus min is 1 → red
+    AggBetween("l_extendedprice", "max", 0.0, 200000.0), // green
     InSet("l_returnflag", Seq("A", "N", "R")),
     InSet("l_linestatus", Seq("O", "F")),
     TypeIs("l_orderkey", "bigint"), TypeIs("l_quantity", "double"),

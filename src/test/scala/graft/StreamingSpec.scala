@@ -107,6 +107,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(lastStage.values.count(_ >= 3).toLong == batch("purchase"))
   }
 
+  test("stateful streaming runs on the RocksDB state store with identical results") {
+    // production state backend: spillable, not JVM-heap-bound like the
+    // default HDFSBackedStateStore — the 100-TB configuration
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streaming.funnelStream(Streaming.readEventsStream(spark, sf))
+        .toDF.writeStream.outputMode("update")
+        .format("memory").queryName("funnel_rocksdb_out").start()
+      q.processAllAvailable(); q.stop()
+      val lastStage = spark.table("funnel_rocksdb_out")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.last("stage").as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = graft.analytics.Queries.eventsFunnel(spark, sf)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(lastStage.values.count(_ >= 1).toLong == batch("view"))
+      assert(lastStage.values.count(_ >= 3).toLong == batch("purchase"))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming drift monitor scores each micro-batch against a reference") {
     import spark.implicits._
     val dirs = java.nio.file.Files.createTempDirectory("graft-drift")
