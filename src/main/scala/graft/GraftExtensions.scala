@@ -33,6 +33,12 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(s, _) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   private def stringArrayArg(es: Seq[Expression], what: String): Seq[String] =
     es.map {
       case Literal(s, _) if s != null => s.toString
@@ -61,11 +67,52 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TokensInSetCount].getName, "graft_tokens_in_set"),
       (es: Seq[Expression]) => TokensInSetCount(es.head,
         stringArrayArg(es.tail, "set members"))),
-    // aggregate: the analyzer wraps a returned AggregateFunction in
+    ("graft_bpe_merge",
+      new ExpressionInfo(classOf[BpeMergeFold].getName, "graft_bpe_merge"),
+      (es: Seq[Expression]) => BpeMergeFold(es.head,
+        stringArg(es(1), "a"), stringArg(es(2), "b"))),
+    ("graft_byte_stats",
+      new ExpressionInfo(classOf[ByteClassStats].getName, "graft_byte_stats"),
+      (es: Seq[Expression]) => ByteClassStats(es.head)),
+    ("graft_hex_byte_sum",
+      new ExpressionInfo(classOf[HexByteSum].getName, "graft_hex_byte_sum"),
+      (es: Seq[Expression]) => HexByteSum(es.head)),
+    ("graft_hex_resize",
+      new ExpressionInfo(classOf[HexResize].getName, "graft_hex_resize"),
+      (es: Seq[Expression]) => HexResize(es.head, intArg(es(1), "target"))),
+    ("graft_adjacent_pairs",
+      new ExpressionInfo(classOf[AdjacentPairs].getName, "graft_adjacent_pairs"),
+      (es: Seq[Expression]) => AdjacentPairs(es.head)),
+    ("graft_char_bigrams",
+      new ExpressionInfo(classOf[CharBigrams].getName, "graft_char_bigrams"),
+      (es: Seq[Expression]) => CharBigrams(es.head)),
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProductFold].getName, "graft_dot"),
+      (es: Seq[Expression]) => DotProductFold(es.head, es(1))),
+    ("graft_equal_count",
+      new ExpressionInfo(classOf[EqualCount].getName, "graft_equal_count"),
+      (es: Seq[Expression]) => EqualCount(es.head, es(1))),
+    ("graft_long_slice_join",
+      new ExpressionInfo(classOf[LongSliceJoin].getName, "graft_long_slice_join"),
+      (es: Seq[Expression]) => LongSliceJoin(es.head,
+        intArg(es(1), "start0"), intArg(es(2), "len"), stringArg(es(3), "sep"))),
+    ("graft_poly_hash",
+      new ExpressionInfo(classOf[PolyHashChars].getName, "graft_poly_hash"),
+      (es: Seq[Expression]) => PolyHashChars(es.head)),
+    ("graft_to_double_array",
+      new ExpressionInfo(classOf[ToDoubleArray].getName, "graft_to_double_array"),
+      (es: Seq[Expression]) => ToDoubleArray(es.head)),
+    // aggregates: the analyzer wraps a returned AggregateFunction in
     // AggregateExpression automatically
     ("graft_kmv",
       new ExpressionInfo(classOf[KMinValues].getName, "graft_kmv"),
-      (es: Seq[Expression]) => KMinValues(es.head, intArg(es(1), "k"))))
+      (es: Seq[Expression]) => KMinValues(es.head, intArg(es(1), "k"))),
+    ("graft_min_k_strings",
+      new ExpressionInfo(classOf[MinKStrings].getName, "graft_min_k_strings"),
+      (es: Seq[Expression]) => MinKStrings(es.head, intArg(es(1), "k"))),
+    ("graft_vector_mean",
+      new ExpressionInfo(classOf[VectorMean].getName, "graft_vector_mean"),
+      (es: Seq[Expression]) => VectorMean(es.head, intArg(es(1), "scale"))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -73,6 +73,25 @@ class FunctionsSpec extends AnyFunSuite {
     val kmv = spark.sql(
       "SELECT graft_kmv(h, 4) AS s FROM (SELECT CAST(id * 7919 AS BIGINT) AS h FROM range(100))")
       .head().getSeq[Long](0)
+    // round-3 kernels: merge fold, dot product, poly hash, and the two
+    // new aggregates
+    val merged = spark.sql(
+      "SELECT graft_bpe_merge(array('a', 'b', 'a', 'a'), 'a', 'b') AS m")
+      .head().getSeq[String](0)
+    assert(merged == Seq("ab", "a", "a"))
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+    assert(spark.sql("SELECT graft_poly_hash('ab') AS h").head().getLong(0) == 12805L)
+    val mks = spark.sql(
+      "SELECT graft_min_k_strings(s, 2) AS m FROM (SELECT CAST(id AS STRING) AS s FROM range(5))")
+      .head().getSeq[String](0)
+    assert(mks == Seq("0", "1"))
+    val vm = spark.sql(
+      "SELECT graft_vector_mean(v, 6) AS m FROM (SELECT array(CAST(id AS DOUBLE), 1.0D) AS v FROM range(3))")
+      .head().getSeq[Double](0)
+    assert(vm == Seq(1.0, 1.0))
     assert(kmv.length == 4 && kmv == kmv.sorted)
   }
 }
