@@ -479,6 +479,45 @@ case class ToDoubleArray(child: Expression)
   override protected def withNewChildInternal(c: Expression): ToDoubleArray = copy(c)
 }
 
+/** hex string of an n-byte (n ≤ 63) payload → long perceptual-hash
+  * fingerprint: bit j set iff byte j exceeds the payload's mean byte
+  * value — the 1-D stand-in for an image pHash (DCT-free aHash), run
+  * over the fixed-size HexResize output so every payload yields the
+  * same signature width. The mean is exact when n is a power of two
+  * (sum/2^k is an exact double), so the bit decisions are
+  * deterministic cross-engine. */
+case class HexPHash(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = LongType
+  private def nibble(c: Byte): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else c - 'a' + 10
+  override def compute(input: Any): Any = {
+    val hex = input.asInstanceOf[UTF8String].getBytes
+    val n = hex.length / 2
+    if (n == 0) return java.lang.Long.valueOf(0L)
+    val bytes = new Array[Int](n)
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      bytes(i) = (nibble(hex(i * 2)) << 4) + nibble(hex(i * 2 + 1))
+      sum += bytes(i)
+      i += 1
+    }
+    val mean = sum.toDouble / n
+    var ph = 0L
+    var j = 0
+    val lim = math.min(n, 63)
+    while (j < lim) {
+      if (bytes(j) > mean) ph |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(ph)
+  }
+  override protected def withNewChildInternal(c: Expression): HexPHash = copy(c)
+}
+
 /** Sequential left-to-right double-fold dot product of two numeric
   * arrays (float or double elements; each element widened to double
   * before the multiply, sums accumulated in declaration order) —
@@ -558,6 +597,7 @@ object native {
   def byte_class_stats(c: Column): Column = column(ByteClassStats(expression(c)))
   def hex_byte_sum(c: Column): Column = column(HexByteSum(expression(c)))
   def hex_resize(c: Column, target: Int): Column = column(HexResize(expression(c), target))
+  def hex_phash(c: Column): Column = column(HexPHash(expression(c)))
   def adjacent_pairs(c: Column): Column = column(AdjacentPairs(expression(c)))
   def char_bigrams(c: Column): Column = column(CharBigrams(expression(c)))
   def dot_product_fold(a: Column, b: Column): Column =

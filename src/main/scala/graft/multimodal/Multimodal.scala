@@ -193,6 +193,69 @@ object Multimodal {
        |      p -> ('0x' || p)::INT)) / CAST($ResizeTo AS DOUBLE), 6) AS resized_mean_byte
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---- perceptual-hash dedup ----
+  /** pHash signature width = resize target (32 bits) and chunk layout
+    * for blocking: 4 chunks × 8 bits. Pigeonhole: two signatures
+    * within Hamming distance [[MaxHamming]] (< 4) share at least one
+    * exact chunk, so the chunk equi-join finds EVERY qualifying pair —
+    * no all-pairs comparison, same guarantee as dedup_simhash. */
+  val PHashChunks = 4
+  val MaxHamming = 3
+
+  /** §2.102 multimodal near-dup detection: payload → fixed-size
+    * nearest-neighbor resize → perceptual fingerprint (bit j = byte j
+    * above the mean) → chunk-blocked Hamming join. This is the image
+    * dedup shape (aHash over a downsampled thumbnail) running on the
+    * opaque binary column; a real build swaps the resize for a codec
+    * thumbnail and keeps the fingerprint/blocking unchanged. All
+    * per-row work is compiled kernels (HexResize, HexPHash); the only
+    * shuffle is the chunk equi-join. */
+  def mmDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = withPayload(graft.Tables.documents(spark, dir))
+      .select(col("doc_id"), hex(col("payload")).as("phex"))
+      .withColumn("rhex", graft.functions.native.hex_resize(col("phex"), ResizeTo))
+      .withColumn("ph", graft.functions.native.hex_phash(col("rhex")))
+      .select("doc_id", "ph")
+    val chunks = sigs.select(col("doc_id"), col("ph"),
+      explode(sequence(lit(0), lit(PHashChunks - 1))).as("c"))
+      .withColumn("chunk", expr("shiftright(ph, c * 8) & 255"))
+    val a = chunks.select(col("c"), col("chunk"),
+      col("doc_id").as("id_a"), col("ph").as("pa"))
+    val b = chunks.select(col("c"), col("chunk"),
+      col("doc_id").as("id_b"), col("ph").as("pb"))
+    a.join(b, Seq("c", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MaxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  val mmDedupSql: String =
+    s"""WITH p AS (SELECT doc_id, hex(encode(text)) AS phex,
+       |    octet_length(encode(text)) AS n_bytes FROM documents),
+       |r AS (SELECT doc_id,
+       |    list_transform(regexp_extract_all(
+       |      list_aggregate(list_transform(generate_series(0, ${ResizeTo - 1}),
+       |        j -> substr(phex, CAST((j * n_bytes // $ResizeTo) * 2 + 1 AS INT), 2)),
+       |        'string_agg', ''), '..'),
+       |      b -> ('0x' || b)::INT) AS bytes
+       |  FROM p),
+       |s AS (SELECT doc_id,
+       |    CAST(coalesce(list_sum(list_transform(generate_series(1, $ResizeTo),
+       |      j -> CASE WHEN bytes[j] > list_sum(bytes) / ${ResizeTo}.0
+       |           THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)), 0) AS BIGINT) AS ph
+       |  FROM r),
+       |ch AS (SELECT doc_id, ph, c, (ph >> (8 * c)) & 255 AS chunk
+       |  FROM s, unnest(generate_series(0, ${PHashChunks - 1})) AS u(c)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       |  FROM ch a JOIN ch b ON a.c = b.c AND a.chunk = b.chunk
+       |    AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM pairs
+       |WHERE hamming <= $MaxHamming ORDER BY id_a, id_b""".stripMargin
+
   val mmFeaturesSql: String = {
     val payload = "encode(text)" // DuckDB: VARCHAR -> BLOB (utf-8)
     // byte semantics (not characters) to mirror the ByteClassStats

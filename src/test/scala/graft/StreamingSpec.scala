@@ -107,6 +107,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(lastStage.values.count(_ >= 3).toLong == batch("purchase"))
   }
 
+  test("mm_dedup pairs identical payloads at hamming 0 and respects the cap") {
+    import graft.multimodal.Multimodal
+    val pairs = Multimodal.mmDedup(spark, sf).collect()
+    assert(pairs.forall(_.getLong(2) <= Multimodal.MaxHamming))
+    // identical texts (exact dupes exist in the corpus) → hamming 0 pairs present
+    val exact = graft.dedup.Dedup.exactDedup(Tables.documents(spark, sf))
+      .filter(col("group_size") > 1)
+    if (exact.count() > 0) assert(pairs.exists(_.getLong(2) == 0L))
+  }
+
   test("stateful streaming runs on the RocksDB state store with identical results") {
     // production state backend: spillable, not JVM-heap-bound like the
     // default HDFSBackedStateStore — the 100-TB configuration
