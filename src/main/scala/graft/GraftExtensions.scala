@@ -80,6 +80,9 @@ object GraftFunctions {
     ("graft_hex_resize",
       new ExpressionInfo(classOf[HexResize].getName, "graft_hex_resize"),
       (es: Seq[Expression]) => HexResize(es.head, intArg(es(1), "target"))),
+    ("graft_hex_phash",
+      new ExpressionInfo(classOf[HexPHash].getName, "graft_hex_phash"),
+      (es: Seq[Expression]) => HexPHash(es.head)),
     ("graft_adjacent_pairs",
       new ExpressionInfo(classOf[AdjacentPairs].getName, "graft_adjacent_pairs"),
       (es: Seq[Expression]) => AdjacentPairs(es.head)),
