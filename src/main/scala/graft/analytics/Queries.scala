@@ -680,6 +680,38 @@ object Queries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** §2.103 TPC-H Q18 shape (large-volume customers): orders whose
+    * lineitems exceed a quantity threshold — the HAVING-subquery /
+    * IN-decorrelation pattern — joined back to customer, top-100 by
+    * total price. Scale shape: the big-orders set is a partial-agg'd
+    * groupBy that REDUCES lineitem to qualifying keys before any join
+    * (semi-join reduction); customer is a broadcast dim; the final
+    * top-100 is a TakeOrdered, not a global sort. */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 4).as("total_qty"))
+      .filter(col("total_qty") > 150.0)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18BigOrdersSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING round(sum(l_quantity), 4) > 150.0) big
+      |  ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   /** §2.98 funnel analysis: users progressing view → click → purchase
     * in strict temporal order. Single-shuffle shape: ONE hash exchange
     * on user_id feeds two stacked Window passes over the same sorted
