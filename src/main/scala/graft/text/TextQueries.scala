@@ -474,4 +474,53 @@ object TextQueries {
        |  round(avg((ln(n) - ln(CAST(c AS DOUBLE))) / ln(2.0)), 4) AS xent
        |FROM toks JOIN lm USING (tok), tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** §2.104 bigram conditional cross-entropy: per-document mean
+    * −log₂ p(tok | prev) under the corpus's own bigram LM — the
+    * context-aware sequel to [[textEntropy]]: repetitive/templated
+    * docs whose bigrams are corpus-common score low even when their
+    * unigrams are rare, and vice versa. p(tok|prev) =
+    * count(prev,tok) / count(prev,*), both read off the bigram table
+    * so numerator ≤ denominator exactly. Docs with < 2 tokens have no
+    * bigrams and drop out (inner join), documented behavior.
+    *
+    * Scale shape: one window shuffle per doc_id for lag(), one
+    * shuffle to count bigrams, a context rollup OF the bigram table
+    * (vocab-sized), shuffle joins back on (prev, tok) — everything
+    * hash-partitioned and linear, no broadcast assumption on the LM. */
+  def textEntropy2(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(normalize(col("text")))))
+      .toDF("doc_id", "pos", "tok")
+    val bi = toks
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val blm = bi.groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
+    val ctx = blm.groupBy("prev").agg(sum("cb").as("cc"))
+    bi.join(blm, Seq("prev", "tok"))
+      .join(ctx, Seq("prev"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg((log(col("cc").cast("double")) - log(col("cb").cast("double")))
+          / log(lit(2.0))), 4).as("xent2"))
+      .orderBy("doc_id")
+  }
+
+  val textEntropy2Sql: String =
+    s"""WITH toks AS (SELECT doc_id, pos, tok FROM (
+       |    SELECT doc_id, unnest(${tokensSql(normalizeSql("text"))}) AS tok,
+       |      generate_subscripts(${tokensSql(normalizeSql("text"))}, 1) AS pos
+       |    FROM documents) t),
+       |bi AS (SELECT doc_id, tok,
+       |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM toks),
+       |bi2 AS (SELECT doc_id, prev, tok FROM bi WHERE prev IS NOT NULL),
+       |blm AS (SELECT prev, tok, count(*) AS cb FROM bi2 GROUP BY prev, tok),
+       |ctx AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cc FROM blm GROUP BY prev)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(avg((ln(CAST(cc AS DOUBLE)) - ln(CAST(cb AS DOUBLE))) / ln(2.0)), 4) AS xent2
+       |FROM bi2 JOIN blm USING (prev, tok) JOIN ctx USING (prev)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
