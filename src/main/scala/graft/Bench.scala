@@ -1,9 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Times every `SparkEntry.queries` entry on
+  * `SPARK_GRAFT_SF_DIR`, `SPARK_GRAFT_BENCH_REPS` times each
+  * (default 3), and reports the per-query MEDIAN so one contended rep
+  * on a shared host cannot masquerade as a plan regression (this cost
+  * rounds 2 and 3 a triage cycle each). Prints ONE sorted JSON line
+  * (the driver contract) and also writes the same JSON to
+  * `bench_out.json` so a truncated log tail can't lose queries.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,24 +30,39 @@ object Bench {
     } catch { case _: Throwable => () }
     // deterministic alphabetical order: hash-map iteration order would
     // shuffle which queries absorb residual warm-up round to round
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // rep-major (full sweep per rep, queries inside): back-to-back reps
+    // of one query share a hot cache the driver run wouldn't, and the
+    // sweep spacing makes the medians robust to a contention burst
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    var failed = Set.empty[String]
+    for (_ <- 1 to reps; (name, fn) <- ordered if !failed.contains(name)) {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      try {
+        fn(spark, sfDir).count()
+        times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+      } catch { case e: Throwable =>
+        System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        failed += name
+      }
+    }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     // A failed query's wall time is reported as -1 (never counted into
     // the total as if it ran) and its name lands in "failed".
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    val med = ordered.map { case (name, _) =>
+      name -> (if (failed.contains(name)) -1.0 else median(times(name)))
+    }
+    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedJson = med.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = med.collect { case (_, v) if v >= 0 => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps}"""
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
   }
 }

@@ -24,14 +24,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized parquet reader rejects; sessions set
+  /** The driver's events.parquet stores `ts` as TIMESTAMP(NANOS), which
+    * Spark's vectorized parquet reader rejects; sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as
     * nanos-since-epoch LongType, converted here to a microsecond
-    * TIMESTAMP (floor, matching DuckDB's ns→us truncation). */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    * TIMESTAMP (floor, matching DuckDB's ns→us truncation). Generated
+    * scale-up data (tools/GenData) writes `ts` as an ordinary
+    * TIMESTAMP(MICROS) column — already what the nanos path converges
+    * to — so the conversion is keyed on the physical type. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -558,7 +558,13 @@ case class DotProductFold(left: Expression, right: Expression)
 /** Count of positions where two long arrays agree — the MinHash
   * signature-agreement statistic (est_jaccard numerator), replacing
   * the interpreted aggregate(zip_with(sa, sb, equal?1:0), 0, +) fold.
-  * Null on length mismatch (zip_with padding semantics). */
+  *
+  * Kernel contract (STRICTER than the fold it replaced): null result
+  * on length mismatch — the old fold zip_with-padded the short side
+  * and counted pads as non-matching, this kernel refuses instead; a
+  * null element never matches (the fold's when(x===y,1).otherwise(0)
+  * also yielded 0 for nulls). MinHash signatures are fixed-length
+  * non-null, so both paths agree on every real input. */
 case class EqualCount(left: Expression, right: Expression)
     extends BinaryExpression with KernelCodegen2 {
   override def dataType: DataType = LongType
@@ -571,7 +577,7 @@ case class EqualCount(left: Expression, right: Expression)
     var c = 0L
     var i = 0
     while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) c += 1
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
       i += 1
     }
     java.lang.Long.valueOf(c)

@@ -42,6 +42,10 @@ case class VectorMean(
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
       if (b.sums == null) b.sums = new Array[Double](n)
+      // dimension-safety: a ragged input would otherwise AIOOBE (longer
+      // row) or silently average a prefix (shorter row)
+      require(n == b.sums.length,
+        s"VectorMean: input dimension $n != first-seen ${b.sums.length}")
       var i = 0
       while (i < n) { b.sums(i) += arr.getDouble(i); i += 1 }
       b.count += 1
@@ -52,6 +56,9 @@ case class VectorMean(
   override def merge(b: VectorMean.Buffer, o: VectorMean.Buffer): VectorMean.Buffer = {
     if (o.sums != null) {
       if (b.sums == null) b.sums = new Array[Double](o.sums.length)
+      // partials that saw different dims must fail loudly, not drop a tail
+      require(o.sums.length == b.sums.length,
+        s"VectorMean: merge dimension ${o.sums.length} != ${b.sums.length}")
       var i = 0
       while (i < b.sums.length) { b.sums(i) += o.sums(i); i += 1 }
       b.count += o.count

@@ -201,6 +201,14 @@ object Multimodal {
     * no all-pairs comparison, same guarantee as dedup_simhash. */
   val PHashChunks = 4
   val MaxHamming = 3
+  // The pigeonhole guarantee is only sound while (a) the chunk layout
+  // covers every bit HexPHash can set (min(ResizeTo, 63) signature
+  // bits) and (b) MaxHamming < PHashChunks. If ResizeTo is ever raised
+  // past chunk coverage, bits above it would contribute Hamming
+  // distance but not blocking — silently missed pairs.
+  require(PHashChunks * 8 >= math.min(ResizeTo, 63) && MaxHamming < PHashChunks,
+    s"mm_dedup blocking unsound: $PHashChunks chunks x 8 bits must cover " +
+      s"min(ResizeTo=$ResizeTo, 63) signature bits and MaxHamming=$MaxHamming < chunks")
 
   /** §2.102 multimodal near-dup detection: payload → fixed-size
     * nearest-neighbor resize → perceptual fingerprint (bit j = byte j

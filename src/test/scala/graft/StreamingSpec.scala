@@ -96,9 +96,10 @@ class StreamingSpec extends AnyFunSuite {
       .toDF.writeStream.outputMode("update")
       .format("memory").queryName("funnel_stream_out").start()
     q.processAllAvailable(); q.stop()
-    // Update mode: keep each user's LAST emitted stage
+    // Update mode: per-user stage is monotone across batches, so max is
+    // the final stage (deterministic even if micro-batches reorder rows)
     val lastStage = spark.table("funnel_stream_out")
-      .groupBy("user_id").agg(org.apache.spark.sql.functions.last("stage").as("stage"))
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("stage").as("stage"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val batch = graft.analytics.Queries.eventsFunnel(spark, sf)
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
@@ -128,7 +129,7 @@ class StreamingSpec extends AnyFunSuite {
         .format("memory").queryName("funnel_rocksdb_out").start()
       q.processAllAvailable(); q.stop()
       val lastStage = spark.table("funnel_rocksdb_out")
-        .groupBy("user_id").agg(org.apache.spark.sql.functions.last("stage").as("stage"))
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("stage").as("stage"))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       val batch = graft.analytics.Queries.eventsFunnel(spark, sf)
         .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
