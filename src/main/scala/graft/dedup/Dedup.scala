@@ -137,11 +137,43 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
 
   // ---- SimHash ----
-  val SimBits = 32
-  val ChunkBits = 8
+  /** Signature width. SimHash bits must scale like ~2·log₂(n) to hold
+    * the random-pair false-positive rate constant: at 32 bits this
+    * corpus (every doc drawn from the same 31-word vocabulary, so per-
+    * bit agreement between UNRELATED docs is far above ½) saturated —
+    * the sf1 run (50 k docs) emitted 29 M hamming≤3 pairs, quadratic
+    * output by specification, 100+ s however computed. 48 bits is the
+    * widest that still replays exactly in the DuckDB oracle (bit 63 is
+    * BIGINT's sign; 1<<47 and the ±1 bit-sums stay comfortably inside
+    * 2⁶³), and drops unrelated-pair collisions by orders of magnitude
+    * while 1–2-token mutations of a ~54-token doc still flip ≤3 bits. */
+  val SimBits = 48
+  val ChunkBits = 12
   val Chunks = 4
 
-  /** §2.23 SimHash near-dup pairs: 8-bit chunk blocking → Hamming ≤ maxDist. */
+  /** First index in [0, chunks) where the two signatures' `bits`-wide
+    * chunks agree — the distinct-free pair emitter: a qualifying pair
+    * (Hamming ≤ maxDist < chunks, pigeonhole ⇒ ≥1 equal chunk) can
+    * match in up to `chunks` buckets, and instead of DISTINCT-ing the
+    * multiset of (pair × matching-chunk) rows we keep each pair only
+    * where it matched its FIRST agreeing chunk. A per-row predicate
+    * (folded into the join's post-condition by Catalyst) replaces a
+    * full shuffle of the candidate multiset — the sf1 bench measured
+    * that distinct at 166 s for dedup_simhash (the 31-word-vocab
+    * corpus makes SimHash chunk values low-entropy, so chunk buckets
+    * are hot AND qualifying pairs are themselves quadratic-dense). */
+  private[graft] def firstMatchingChunk(a: Column, b: Column,
+      chunks: Int, bits: Int): Column =
+    (0 until chunks).foldRight(lit(chunks): Column) { (c, els) =>
+      when(shiftright(a, c * bits) % (1 << bits) ===
+           shiftright(b, c * bits) % (1 << bits), lit(c)).otherwise(els)
+    }
+
+  /** §2.23 SimHash near-dup pairs: 8-bit chunk blocking → Hamming ≤
+    * maxDist. Pairs are emitted exactly once via
+    * [[firstMatchingChunk]] — no distinct, so the only shuffle is the
+    * chunk equi-join itself and the Hamming + first-match predicates
+    * run inside the join. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val sigs = docs
       .select(col("doc_id"),
@@ -150,7 +182,7 @@ object Dedup {
     val chunks = sigs.select(col("doc_id"), col("sim"),
       explode(array((0 until Chunks).map(c =>
         struct(lit(c).as("chunk"),
-          expr(s"(shiftright(sim, ${c * ChunkBits}) % 256)").as("cv"))): _*)).as("e"))
+          expr(s"(shiftright(sim, ${c * ChunkBits}) % ${1 << ChunkBits})").as("cv"))): _*)).as("e"))
       .select(col("doc_id"), col("sim"), col("e.chunk"), col("e.cv"))
     val a = chunks.select(col("doc_id").as("id_a"), col("sim").as("sim_a"),
       col("chunk"), col("cv"))
@@ -158,23 +190,24 @@ object Dedup {
       col("chunk"), col("cv"))
     a.join(b, Seq("chunk", "cv"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
-      .distinct()
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
-      .filter(col("hamming") <= maxDist)
+      .filter(col("hamming") <= maxDist &&
+        col("chunk") === firstMatchingChunk(col("sim_a"), col("sim_b"), Chunks, ChunkBits))
+      .select("id_a", "id_b", "sim_a", "sim_b", "hamming")
       .orderBy("id_a", "id_b")
   }
 
   def simhashPairsSql(maxDist: Int = 3): String = {
     val chunkUnion = (0 until Chunks).map(c =>
-      s"SELECT doc_id, sim, $c AS chunk, (sim >> ${c * ChunkBits}) % 256 AS cv FROM sigs")
+      s"SELECT doc_id, sim, $c AS chunk, (sim >> ${c * ChunkBits}) % ${1 << ChunkBits} AS cv FROM sigs")
       .mkString("\n  UNION ALL ")
     s"""WITH toks AS (SELECT doc_id, ${tokenHashesSql("text")} AS th
        |  FROM documents WHERE len(${tokensSql(normalizeSql("text"))}) > 0),
        |sigs AS (SELECT doc_id,
        |    CAST(list_sum(list_transform(generate_series(0, ${SimBits - 1}), j ->
        |      CASE WHEN list_sum(list_transform(th, h ->
-       |        CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |        CASE WHEN ((1103515245 + 997*j) * (h % $P) + (12345 + 7919*j)) % $P & 1 = 1
+       |        THEN 1 ELSE -1 END)) > 0
        |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sim
        |  FROM toks),
        |chunks AS ($chunkUnion),
@@ -263,6 +296,68 @@ object Dedup {
         col("b.est").as("est_jaccard"))
     sig.filter(isNew).select(col("doc_id"))
       // |best| <= |new batch| — always the small side, broadcast it
+      .join(broadcast(best.withColumnRenamed("new_id", "doc_id")), Seq("doc_id"), "left")
+      .withColumn("is_duplicate",
+        coalesce(col("est_jaccard") >= minEstJaccard, lit(false)))
+      .select("doc_id", "is_duplicate", "best_match", "est_jaccard")
+      .orderBy("doc_id")
+  }
+
+  // ---- persisted band index (§2.105) ----
+
+  /** One row per (doc, band): `(doc_id, sigs, bkey)` where `bkey`
+    * folds the band ordinal into the band hash (`xxhash64(band, bh)`)
+    * so the whole LSH blocking key is a SINGLE column — the shape a
+    * bucketed on-disk index needs (bucket spec + join key = `bkey`).
+    * Candidate semantics match the (band, bh) pair key modulo xxhash64
+    * collisions between distinct (band, bh) pairs (~2⁻⁶⁴; a spurious
+    * candidate is merely scored and loses the argmax). */
+  def bandIndex(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(shingleHashes(docs))
+    sig.select(col("doc_id"), col("sigs"),
+      explode(array((0 until Bands).map(b =>
+        xxhash64(lit(b), col(s"b$b"))): _*)).as("bkey"))
+  }
+
+  /** Persist the corpus's band index ONCE as a `bkey`-bucketed catalog
+    * table ([[graft.etl.Loader.writeBucketed]]). This is what makes
+    * [[dedupIncremental]] incremental across RUNS, not just within
+    * one: the daily check joins the new batch against this table with
+    * ZERO exchange on the index side (plan-asserted in DedupSpec) —
+    * at 100 TB the index is the corpus-sized side and re-shuffling it
+    * every day is the cost that matters. Appending a day's accepted
+    * docs is an INSERT INTO the same bucketed table (Spark routes new
+    * rows to the matching bucket files), so the index stays joinable
+    * shuffle-free as it grows. */
+  def writeBandIndex(docs: DataFrame, table: String, numBuckets: Int = 8): Unit =
+    graft.etl.Loader.writeBucketed(bandIndex(docs), table, Seq("bkey"), numBuckets)
+
+  /** [[dedupIncremental]] against a persisted [[writeBandIndex]] table:
+    * same best-match + verdict contract, but the index side is the
+    * pre-bucketed catalog table — only the (comparatively tiny) new
+    * batch is hashed, banded, and shuffled. Spec-only like the other
+    * catalog-table ops (§2.41): the DuckDB oracle has no catalog, and
+    * the semantics are parity-checked against the oracle-green
+    * `dedup_incremental` instead. */
+  def dedupIncrementalIndexed(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, indexTable: String,
+      minEstJaccard: Double = 0.25): DataFrame = {
+    val idx = spark.table(indexTable).select(col("doc_id").as("idx_id"),
+      col("sigs").as("idx_sigs"), col("bkey"))
+    val nw = bandIndex(newDocs).select(col("doc_id").as("new_id"),
+      col("sigs").as("new_sigs"), col("bkey"))
+    val est = round(graft.functions.native.equal_count(
+      col("new_sigs"), col("idx_sigs")).cast("double") / NumHashes, 6)
+    val best = nw.join(idx, Seq("bkey"))
+      .select(col("new_id"), col("idx_id"), col("new_sigs"), col("idx_sigs"))
+      .distinct()
+      .withColumn("est", est)
+      .groupBy("new_id")
+      .agg(max_by(struct(col("idx_id"), col("est")),
+        struct(col("est"), -col("idx_id"))).as("b"))
+      .select(col("new_id"), col("b.idx_id").as("best_match"),
+        col("b.est").as("est_jaccard"))
+    newDocs.select(col("doc_id"))
       .join(broadcast(best.withColumnRenamed("new_id", "doc_id")), Seq("doc_id"), "left")
       .withColumn("is_duplicate",
         coalesce(col("est_jaccard") >= minEstJaccard, lit(false)))

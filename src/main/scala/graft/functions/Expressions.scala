@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   tokenHash  = fold (h*131 + code) % 1e9+7 over chars (empty → [0])
   *   shingle    = fold (acc*131 + th[i+j]) % 1e9+7 over k-window
   *   minhash_i  = min over shingles of (A_i*h + B_i) % 2147483647
-  *   simhash    = bit j set iff Σ tokens (±1 on bit j of hash) > 0
+  *   simhash    = bit j set iff Σ tokens (±1 on vote_j) > 0, where
+  *                vote_j = (A_j·(h%P) + B_j) % P & 1 (dead-bit-free)
   */
 object HashConstants {
   val M: Long = 1000000007L
@@ -175,15 +176,25 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 case class SimHash(child: Expression, bits: Int)
     extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = LongType
+  // per-bit affine projections (same LCG families as MinHash): bit j's
+  // vote is the LOW bit of (A_j·(h mod P) + B_j) mod P, not bit j of
+  // the raw hash — token hashes are < M < 2^30, so raw bits ≥ 30 are
+  // constant and a wide signature would silently carry dead bits
+  // (every doc agreeing on them = a degenerate all-docs chunk bucket)
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(bits)(HashConstants.hashA)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(bits)(HashConstants.hashB)
   override def compute(input: Any): Any = {
     val th = input.asInstanceOf[ArrayData].toLongArray()
     val counts = new Array[Int](bits)
+    val p = HashConstants.P
     var t = 0
     while (t < th.length) {
-      val h = th(t)
+      val h = th(t) % p
       var j = 0
       while (j < bits) {
-        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        if (((as(j) * h + bs(j)) % p & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
         j += 1
       }
       t += 1

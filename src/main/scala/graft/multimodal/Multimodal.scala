@@ -194,21 +194,28 @@ object Multimodal {
        |FROM r ORDER BY doc_id""".stripMargin
 
   // ---- perceptual-hash dedup ----
-  /** pHash signature width = resize target (32 bits) and chunk layout
-    * for blocking: 4 chunks × 8 bits. Pigeonhole: two signatures
-    * within Hamming distance [[MaxHamming]] (< 4) share at least one
-    * exact chunk, so the chunk equi-join finds EVERY qualifying pair —
-    * no all-pairs comparison, same guarantee as dedup_simhash. */
+  /** pHash signature width = its own thumbnail size (48 bytes → 48
+    * bits; decoupled from mm_resize's 32 — signature width must scale
+    * ~2·log₂(n) to keep unrelated-pair collisions flat, same analysis
+    * as dedup_simhash's SimBits) and chunk layout for blocking:
+    * 4 chunks × 12 bits. Pigeonhole: two signatures within Hamming
+    * distance [[MaxHamming]] (< 4) share at least one exact chunk, so
+    * the chunk equi-join finds EVERY qualifying pair — no all-pairs
+    * comparison. 12-bit chunks (4096 values) keep bucket populations
+    * ~16× smaller than byte chunks on these low-entropy thumbnails. */
+  val PHashBits = 48
   val PHashChunks = 4
+  val PHashChunkBits = 12
   val MaxHamming = 3
   // The pigeonhole guarantee is only sound while (a) the chunk layout
-  // covers every bit HexPHash can set (min(ResizeTo, 63) signature
-  // bits) and (b) MaxHamming < PHashChunks. If ResizeTo is ever raised
-  // past chunk coverage, bits above it would contribute Hamming
+  // covers every bit HexPHash can set (min(PHashBits, 63) signature
+  // bits) and (b) MaxHamming < PHashChunks. If PHashBits is ever
+  // raised past chunk coverage, bits above it would contribute Hamming
   // distance but not blocking — silently missed pairs.
-  require(PHashChunks * 8 >= math.min(ResizeTo, 63) && MaxHamming < PHashChunks,
-    s"mm_dedup blocking unsound: $PHashChunks chunks x 8 bits must cover " +
-      s"min(ResizeTo=$ResizeTo, 63) signature bits and MaxHamming=$MaxHamming < chunks")
+  require(PHashChunks * PHashChunkBits >= math.min(PHashBits, 63) &&
+      MaxHamming < PHashChunks,
+    s"mm_dedup blocking unsound: $PHashChunks chunks x $PHashChunkBits bits must " +
+      s"cover min(PHashBits=$PHashBits, 63) signature bits and MaxHamming=$MaxHamming < chunks")
 
   /** §2.102 multimodal near-dup detection: payload → fixed-size
     * nearest-neighbor resize → perceptual fingerprint (bit j = byte j
@@ -221,22 +228,29 @@ object Multimodal {
   def mmDedup(spark: SparkSession, dir: String): DataFrame = {
     val sigs = withPayload(graft.Tables.documents(spark, dir))
       .select(col("doc_id"), hex(col("payload")).as("phex"))
-      .withColumn("rhex", graft.functions.native.hex_resize(col("phex"), ResizeTo))
+      .withColumn("rhex", graft.functions.native.hex_resize(col("phex"), PHashBits))
       .withColumn("ph", graft.functions.native.hex_phash(col("rhex")))
       .select("doc_id", "ph")
     val chunks = sigs.select(col("doc_id"), col("ph"),
       explode(sequence(lit(0), lit(PHashChunks - 1))).as("c"))
-      .withColumn("chunk", expr("shiftright(ph, c * 8) & 255"))
+      .withColumn("chunk", expr(s"shiftright(ph, c * $PHashChunkBits) % ${1 << PHashChunkBits}"))
     val a = chunks.select(col("c"), col("chunk"),
       col("doc_id").as("id_a"), col("ph").as("pa"))
     val b = chunks.select(col("c"), col("chunk"),
       col("doc_id").as("id_b"), col("ph").as("pb"))
+    // distinct-free emission: keep each pair only at its FIRST agreeing
+    // chunk (graft.dedup.Dedup.firstMatchingChunk — a per-row predicate
+    // inside the join) instead of DISTINCT-ing the pair×matching-chunk
+    // multiset; aHash chunks are low-entropy (bytes straddle the mean),
+    // so hot chunk buckets made that distinct the whole query cost at
+    // sf1 (32 s → join-bound)
     a.join(b, Seq("c", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= MaxHamming)
+      .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+      .filter(col("hamming") <= MaxHamming &&
+        col("c") === graft.dedup.Dedup.firstMatchingChunk(
+          col("pa"), col("pb"), PHashChunks, PHashChunkBits))
+      .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
   }
 
@@ -245,17 +259,17 @@ object Multimodal {
        |    octet_length(encode(text)) AS n_bytes FROM documents),
        |r AS (SELECT doc_id,
        |    list_transform(regexp_extract_all(
-       |      list_aggregate(list_transform(generate_series(0, ${ResizeTo - 1}),
-       |        j -> substr(phex, CAST((j * n_bytes // $ResizeTo) * 2 + 1 AS INT), 2)),
+       |      list_aggregate(list_transform(generate_series(0, ${PHashBits - 1}),
+       |        j -> substr(phex, CAST((j * n_bytes // $PHashBits) * 2 + 1 AS INT), 2)),
        |        'string_agg', ''), '..'),
        |      b -> ('0x' || b)::INT) AS bytes
        |  FROM p),
        |s AS (SELECT doc_id,
-       |    CAST(coalesce(list_sum(list_transform(generate_series(1, $ResizeTo),
-       |      j -> CASE WHEN bytes[j] > list_sum(bytes) / ${ResizeTo}.0
+       |    CAST(coalesce(list_sum(list_transform(generate_series(1, $PHashBits),
+       |      j -> CASE WHEN bytes[j] > list_sum(bytes) / ${PHashBits}.0
        |           THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)), 0) AS BIGINT) AS ph
        |  FROM r),
-       |ch AS (SELECT doc_id, ph, c, (ph >> (8 * c)) & 255 AS chunk
+       |ch AS (SELECT doc_id, ph, c, (ph >> ($PHashChunkBits * c)) % ${1 << PHashChunkBits} AS chunk
        |  FROM s, unnest(generate_series(0, ${PHashChunks - 1})) AS u(c)),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ann.{Ann, Ivf}
+
+/** Measured recall@k of the two ANN scale paths against brute force —
+  * the quality cost of not scanning everything (VERDICT r3 #3: MinHash
+  * had a planted-pair recall spec, the ANN side had none).
+  *
+  * The corpus embeddings are random unit vectors (no similarity
+  * structure), so recall there is a meaningless ~0; the use-case ANN
+  * serves is finding GENUINELY near neighbors. This spec plants them:
+  * 5 query vectors, each with 10 neighbors at cosine ≈ 0.95
+  * (θ ≈ 18°), inside 500 random distractors.
+  *
+  * Expected figures, for the record:
+  * - IVF, nprobe=2 of K=8: a planted cluster sits inside one coarse
+  *   cell, and the query probes its own cell first → recall ≈ 1.
+  * - Hyperplane LSH, single probe, 8 planes: P(all 8 sign bits agree)
+  *   = (1 − θ/π)⁸ ≈ 0.43 at θ=18° — sign-LSH needs multi-probe or
+  *   band-OR for high recall, which is why the engine's DEDUP paths
+  *   use banded MinHash (OR over 4 bands) instead. The assertion
+  *   pins the measured floor and the monotone planes↔recall knob
+  *   rather than pretending single-probe is high-recall.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val NQ = 5
+  private val NNbr = 10
+  private val K = 10
+
+  /** 5 queries (vec_id 0..4), 10 planted cos≈0.95 neighbors each
+    * (vec_id 1000+), 500 random unit distractors (vec_id 100+). */
+  private lazy val planted = {
+    val r = new scala.util.Random(42)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val queries = (0 until NQ).map(i => i.toLong -> unit())
+    val neighbors = queries.flatMap { case (qid, q) =>
+      (0 until NNbr).map { j =>
+        val v = q.map(x => x + 0.04 * r.nextGaussian())
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (1000L + qid * NNbr + j) -> v.map(_ / n)
+      }
+    }
+    val distractors = (0 until 500).map(i => (100L + i) -> unit())
+    (queries ++ neighbors ++ distractors)
+      .map { case (id, v) => (id, v.map(_.toFloat), (id % 10).toInt) }
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  private def topIds(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  private def recallVs(brute: Map[Long, Set[Long]], approx: Map[Long, Set[Long]]): Double =
+    // .toSeq: mapping over the KEY SET would collapse equal per-query
+    // recalls into one element before the sum
+    brute.keys.toSeq.map { q =>
+      val b = brute(q)
+      approx.getOrElse(q, Set.empty).count(b.contains).toDouble / b.size
+    }.sum / brute.size
+
+  test("ivf recall@10 vs brute force >= 0.9 at nprobe=2 on planted clusters") {
+    val brute = topIds(Ann.bruteForceTopK(planted, NQ, K))
+    val ivf = topIds(Ivf.ivfTopK(planted, NQ, K))
+    val rec = recallVs(brute, ivf)
+    assert(rec >= 0.9, s"IVF recall@$K = $rec")
+  }
+
+  test("lsh recall@10 floor and the monotone planes<->recall trade-off") {
+    val brute = topIds(Ann.bruteForceTopK(planted, NQ, K))
+    def lshRecall(planes: Int): Double =
+      recallVs(brute, topIds(Ann.lshTopK(planted, NQ, K, planes)))
+    val r8 = lshRecall(8)
+    // single-probe sign-LSH theory at θ≈18°: (1-θ/π)^8 ≈ 0.43 per
+    // neighbor — assert a floor safely under the expectation
+    assert(r8 >= 0.3, s"LSH recall@$K at 8 planes = $r8")
+    // fewer planes → coarser buckets → recall can only rise (bucket(p+1)
+    // refines bucket(p)); the price is bigger within-bucket joins
+    val r2 = lshRecall(2)
+    val r12 = lshRecall(12)
+    assert(r2 >= r8 && r8 >= r12,
+      s"recall not monotone in planes: r2=$r2 r8=$r8 r12=$r12")
+    assert(r2 >= 0.7, s"LSH recall@$K at 2 planes = $r2")
+  }
+}

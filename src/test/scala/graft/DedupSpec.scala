@@ -126,4 +126,34 @@ class DedupSpec extends AnyFunSuite {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(pairs((0L, 1L)) == 1.0) // identical docs → identical signatures
   }
+
+  test("persisted band index: indexed incremental dedup matches the one-shot op") {
+    val all = Tables.documents(spark, sf)
+    val corpus = all.filter(col("doc_id") % 5 =!= 4)
+    val batch = all.filter(col("doc_id") % 5 === 4)
+    Dedup.writeBandIndex(corpus, "dedup_band_idx", numBuckets = 4)
+    val indexed = Dedup.dedupIncrementalIndexed(spark, batch, "dedup_band_idx")
+      .collect().map(_.toSeq).toSeq
+    val oneShot = Dedup.dedupIncremental(all).collect().map(_.toSeq).toSeq
+    assert(indexed == oneShot,
+      s"indexed=${indexed.take(3)}... vs oneShot=${oneShot.take(3)}...")
+  }
+
+  test("persisted band index joins with zero exchange on the index side") {
+    // the 100-TB contract: the corpus-sized index NEVER re-shuffles —
+    // only the daily batch is exchanged into the index's bucket layout
+    val all = Tables.documents(spark, sf)
+    Dedup.writeBandIndex(all.filter(col("doc_id") % 5 =!= 4), "dedup_band_idx2", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val joined = Dedup.bandIndex(all.filter(col("doc_id") % 5 === 4))
+        .withColumnRenamed("doc_id", "new_id").withColumnRenamed("sigs", "new_sigs")
+        .join(spark.table("dedup_band_idx2"), Seq("bkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"want 1 exchange (batch side only), got $exchanges:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -43,13 +43,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fast == slow)
   }
 
-  test("SimHash bit semantics: single token yields its low bits") {
+  test("SimHash bit semantics: single token yields its per-bit projection votes") {
     val sim = Seq("abc").toDF("text")
       .select(native.simhash(native.token_poly_hashes(col("text")), 32))
       .head().getLong(0)
     val th = Seq("abc").toDF("text")
       .select(native.token_poly_hashes(col("text"))).head().getSeq[Long](0).head
-    assert(sim == (th & 0xffffffffL)) // one token: each set bit wins its vote
+    // one token: bit j set iff its affine projection's low bit is 1
+    // (votes come from (A_j·(h%P)+B_j) % P & 1, NOT bit j of the raw
+    // hash — raw bits ≥ 30 are constant across docs since hashes < M)
+    import graft.functions.HashConstants._
+    val expected = (0 until 32).foldLeft(0L) { (acc, j) =>
+      if (((hashA(j) * (th % P) + hashB(j)) % P & 1L) == 1L) acc | (1L << j) else acc
+    }
+    assert(sim == expected)
   }
 
   test("functions are SQL-callable after registration") {
