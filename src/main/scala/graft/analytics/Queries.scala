@@ -740,6 +740,39 @@ object Queries {
       .orderBy("stage")
   }
 
+  /** §2.105 skew-safe funnel twin: the window formulation above puts
+    * EVERY event of a user through one sorted window partition — a
+    * power-law hot user (30% of all events) makes that partition the
+    * whole job, and AQE cannot split a Window's requirement. This
+    * variant computes the same stages with aggregation only:
+    *   t1 = min view ts per user            (partial-aggregable)
+    *   t2 = min click ts > t1 per user      (join + partial agg)
+    *   t3 = min purchase ts > t2 per user   (join + partial agg)
+    * Map-side partial aggregation collapses the hot user to ONE row
+    * per input partition before any shuffle, and the two joins are
+    * ordinary equi-joins AQE CAN skew-split. Identical semantics: a
+    * click ordering before the first view has ts ≤ t1 by the (ts,
+    * event_id) total order, so "ts > running-min-view" ≡ "ts > t1"
+    * (same for purchases vs t2) — SkewSpec asserts equality on a
+    * planted-hot-key table, and the oracle is the window SQL. */
+  def eventsFunnelSkewSafe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "ts", "event_type")
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    t1.agg(count(lit(1)).as("u1"))
+      .crossJoin(t2.agg(count(lit(1)).as("u2")))
+      .crossJoin(t3.agg(count(lit(1)).as("u3")))
+      .select(expr(
+        "stack(3, 1, 'view', u1, 2, 'click', u2, 3, 'purchase', u3) AS (stage, step, users)"))
+      .orderBy("stage")
+  }
+
   val eventsFunnelSql: String =
     """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
       |  FROM events),

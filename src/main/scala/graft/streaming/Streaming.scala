@@ -194,6 +194,71 @@ object Streaming {
       }
   }
 
+  final case class FunnelWmState(t1: Long, t2: Long, t3: Long,
+      pending: List[(Long, Int, Long)])
+
+  /** §2.107 event-time funnel with a watermark — the out-of-order-safe
+    * sequel to [[funnelStream]] (VERDICT r3 #6: there, a late view
+    * arriving after an already-seen click silently misorders, because
+    * (t1,t2,t3) are folded in ARRIVAL order across batches).
+    *
+    * Exactness argument: events with ts ≤ watermark can never arrive
+    * again (the watermark contract), so they are folded ONCE into the
+    * set-once (t1,t2,t3) prefix state in event-time order; everything
+    * younger stays in a pending buffer that is re-sorted and re-folded
+    * ON TOP of the prefix at every invocation — a late event landing
+    * anywhere inside the pending window is therefore placed correctly.
+    * Emitted stages are provisional until the watermark passes, but
+    * the funnel stage is MONOTONE in the event set (adding events can
+    * only lower the first-view min and grow the qualifying click/
+    * purchase sets), so Update-mode consumers can safely keep
+    * max(stage) per user. State is O(events within the watermark
+    * horizon) per key — the price of exact out-of-order handling, and
+    * the knob is the watermark delay. */
+  def funnelStreamEventTime(events: DataFrame,
+      delay: String = "10 minutes"): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    val Unset = Long.MinValue
+    val tagged = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2).otherwise(3).as("step"),
+        col("event_id"))
+      .as[FunnelEvent]
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelWmState, FunnelStage](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelWmState]) =>
+          val st = state.getOption.getOrElse(FunnelWmState(Unset, Unset, Unset, Nil))
+          val wmMs = state.getCurrentWatermarkMs()
+          val all = st.pending ++
+            evs.map(e => (tsMicros(e.ts), e.step, e.event_id))
+          val sorted = all.sorted
+          // fold is set-once per stage, applied in event-time order
+          def fold(t: (Long, Long, Long), e: (Long, Int, Long)): (Long, Long, Long) = {
+            val (t1, t2, t3) = t
+            e._2 match {
+              case 1 => if (t1 == Unset) (e._1, t2, t3) else t
+              case 2 => if (t2 == Unset && t1 != Unset && e._1 > t1) (t1, e._1, t3) else t
+              case _ => if (t3 == Unset && t2 != Unset && e._1 > t2) (t1, t2, e._1) else t
+            }
+          }
+          val (done, tail) = sorted.partition(_._1 <= wmMs * 1000L)
+          val fin = done.foldLeft((st.t1, st.t2, st.t3))(fold)
+          state.update(FunnelWmState(fin._1, fin._2, fin._3, tail))
+          if (tail.nonEmpty)
+            // wake when the watermark reaches the oldest pending event
+            // so the prefix keeps draining even if the user goes quiet
+            state.setTimeoutTimestamp(math.max(tail.head._1 / 1000L, wmMs + 1L))
+          val (p1, p2, p3) = tail.foldLeft(fin)(fold)
+          val stage = if (p3 != Unset) 3 else if (p2 != Unset) 2
+            else if (p1 != Unset) 1 else 0
+          Iterator.single(FunnelStage(userId, stage))
+      }
+  }
+
   /** §2.57 foreachBatch incremental sink: each micro-batch upserted
     * into a parquet target by key (latest batch wins) — the streaming
     * version of the reference's scheduled batch load.

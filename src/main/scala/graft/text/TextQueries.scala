@@ -508,6 +508,53 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** §2.106 held-out cross-entropy: score one split of the corpus
+    * under a unigram LM FROZEN on the other split — the production
+    * filter shape ([[textEntropy]] scores the corpus under its own LM,
+    * so every token is in-vocabulary by construction; a deployed
+    * filter scores NEW documents and must handle OOV). Train =
+    * doc_id % 5 ≠ 0, score = doc_id % 5 = 0 (the same deterministic
+    * split convention as dedup_incremental). Add-1 smoothing with a
+    * single UNK slot: p(tok) = (c + 1) / (N + V + 1), so an unseen
+    * token scores −log₂(1/(N+V+1)) instead of ∞. All log arguments
+    * are integers (counts), so (ln(N+V+1) − ln(c+1))/ln 2 is the same
+    * IEEE computation on both engines; 4 dp absorbs summation order.
+    *
+    * Scale shape: LM build = one hash-partitioned groupBy over the
+    * train split; (N, V) is a 1-row broadcast; scoring is a LEFT hash
+    * join toks⋈lm (OOV → null → c=0) + one partial-agg groupBy.
+    * Linear, no collect, no broadcast assumption on the LM itself. */
+  def textEntropyHoldout(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(normalize(col("text")))).as("tok"))
+    val train = toks.filter(col("doc_id") % 5 =!= 0)
+    val lm = train.groupBy("tok").agg(count(lit(1)).as("c"))
+    val stats = lm.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    toks.filter(col("doc_id") % 5 === 0)
+      .join(lm, Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("c1", coalesce(col("c"), lit(0L)) + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("c").isNull.cast("long")), 6).as("oov_rate"),
+        round(avg((log((col("n") + col("v") + 1).cast("double"))
+          - log(col("c1").cast("double"))) / log(lit(2.0))), 4).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  val textEntropyHoldoutSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(${tokensSql(normalizeSql("text"))}) AS tok FROM documents),
+       |lm AS (SELECT tok, count(*) AS c FROM toks WHERE doc_id % 5 != 0 GROUP BY tok),
+       |stats AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM lm)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  round(avg(CASE WHEN lm.c IS NULL THEN 1 ELSE 0 END), 6) AS oov_rate,
+       |  round(avg((ln(CAST(n + v + 1 AS DOUBLE))
+       |    - ln(CAST(coalesce(lm.c, 0) + 1 AS DOUBLE))) / ln(2.0)), 4) AS xent
+       |FROM (SELECT * FROM toks WHERE doc_id % 5 = 0) s
+       |LEFT JOIN lm USING (tok), stats
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val textEntropy2Sql: String =
     s"""WITH toks AS (SELECT doc_id, pos, tok FROM (
        |    SELECT doc_id, unnest(${tokensSql(normalizeSql("text"))}) AS tok,

@@ -151,4 +151,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(clusters.count() == Tables.documents(spark, sf).count())
     assert(clusters.filter(col("cluster_id") > col("doc_id")).count() == 0)
   }
+
+  test("precomputed-label overloads reproduce the derive-everything queries") {
+    // the 100-TB shape: cluster labels / filter survivors / contamination
+    // / mixture are persisted once per crawl and REUSED — the overloads
+    // taking those frames must be byte-identical to the one-shot ops
+    val labels = Pipeline.dedupClusters(spark, sf).select("doc_id", "cluster_id")
+    val quality = graft.text.TextQueries.textQuality(spark, sf)
+      .select(col("doc_id"), col("quality_score"))
+    val viaLabels = Pipeline.dedupKeepBest(labels, quality).collect().map(_.toSeq).toSeq
+    val oneShot = Pipeline.dedupKeepBest(spark, sf).collect().map(_.toSeq).toSeq
+    assert(viaLabels == oneShot)
+
+    val docs = Tables.documents(spark, sf)
+    val viaFrames = Pipeline.corpusManifest(
+      docs,
+      Pipeline.corpusFilter(spark, sf),
+      graft.pipeline.Contamination.decontaminate(docs)
+        .select(col("doc_id"), col("contamination")),
+      Pipeline.corpusMix(spark, sf)
+        .select(col("lang"), col("lang_tokens"), col("alloc_tokens")))
+      .collect().map(_.toSeq).toSeq
+    val manifest = Pipeline.corpusManifest(spark, sf).collect().map(_.toSeq).toSeq
+    assert(viaFrames == manifest)
+  }
 }

@@ -236,4 +236,84 @@ class StreamingSpec extends AnyFunSuite {
       assert(fs.forall(r => r.getDouble(5) > 30 && r.getDouble(5) < 200))
     }
   }
+
+  /** Write the events table as `nFiles` single-file parquets under a
+    * flat dir, rows assigned by `filePart`, in file order 0..n-1 (the
+    * file stream + maxFilesPerTrigger=1 then replays them as separate
+    * micro-batches in that order). */
+  private def writeEventFiles(dir: String, nFiles: Int,
+      filePart: org.apache.spark.sql.Column): Unit = {
+    val ev = Tables.events(spark, sf).withColumn("_p", filePart)
+    (0 until nFiles).foreach { i =>
+      val tmp = s"$dir/_t$i"
+      ev.filter(col("_p") === i).drop("_p")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(f"$dir/f$i%02d.parquet"))
+    }
+  }
+
+  private def streamedFunnelCounts(dir: String, delay: String,
+      sink: String): Map[Int, Long] = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Streaming.funnelStreamEventTime(src, delay)
+      .toDF.writeStream.outputMode("update")
+      .format("memory").queryName(sink).start()
+    q.processAllAvailable(); q.stop()
+    // provisional stages are monotone in the event set → max is final
+    spark.table(sink)
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("stage").as("stage"))
+      .collect().map(_.getInt(1)).groupBy(identity)
+      .map { case (s, xs) => s -> xs.length.toLong }
+  }
+
+  test("event-time funnel: exact batch parity under fully shuffled arrival") {
+    // events scattered across 5 micro-batches by hash — maximal
+    // cross-batch lateness; the large watermark delay keeps every
+    // event inside the pending window, so re-sorting must reconstruct
+    // exact event-time semantics (this input breaks the arrival-order
+    // funnelStream by construction)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wmfunnel").toString
+    writeEventFiles(dir, 5,
+      pmod(graft.text.TextFunctions.hash64(col("event_id").cast("string")), lit(5)))
+    val stages = streamedFunnelCounts(dir, "90 days", "wmfunnel_shuffled")
+    val batch = graft.analytics.Queries.eventsFunnel(spark, sf)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    def atLeast(s: Int) = stages.collect { case (st, n) if st >= s => n }.sum
+    assert(atLeast(1) == batch("view"), s"stages=$stages batch=$batch")
+    assert(atLeast(2) == batch("click"))
+    assert(atLeast(3) == batch("purchase"))
+  }
+
+  test("event-time funnel: drain path (bounded state) keeps batch parity") {
+    // files are time-ordered quintiles (shuffled inside each), delay
+    // shorter than the span — the watermark advances between batches
+    // and the pre-watermark prefix folds into the three set-once longs
+    // (state actually drains) while parity must hold
+    val dir = java.nio.file.Files.createTempDirectory("graft-wmfunnel2").toString
+    writeEventFiles(dir, 5, ntile(5).over(
+      org.apache.spark.sql.expressions.Window.orderBy("ts")) - 1)
+    val stages = streamedFunnelCounts(dir, "2 days", "wmfunnel_drained")
+    val batch = graft.analytics.Queries.eventsFunnel(spark, sf)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    def atLeast(s: Int) = stages.collect { case (st, n) if st >= s => n }.sum
+    assert(atLeast(1) == batch("view"), s"stages=$stages batch=$batch")
+    assert(atLeast(2) == batch("click"))
+    assert(atLeast(3) == batch("purchase"))
+  }
 }

@@ -155,4 +155,29 @@ class TextSpec extends AnyFunSuite {
     assert(out(2L)._1 == 1.0 && out(2L)._2, "verbatim copy must be fully contaminated")
     assert(out(3L)._1 == 0.0 && !out(3L)._2, "disjoint doc must be clean")
   }
+
+  test("held-out entropy: frozen LM, OOV tokens get the smoothed UNK mass") {
+    import graft.text.TextQueries
+    val base = Tables.documents(spark, sf).limit(0)
+    // train split = doc_id % 5 != 0; doc 5 (score) shares train vocab,
+    // doc 10 (score) is pure OOV, doc 0 (score) is half OOV
+    val docs = Seq(
+      (1L, "aa bb aa bb", "en", "src0", 11L),
+      (2L, "aa bb cc cc", "en", "src1", 11L),
+      (5L, "aa bb", "en", "src0", 5L),
+      (10L, "zz yy", "en", "src0", 5L),
+      (0L, "aa zz", "en", "src0", 5L)).toDF(base.columns: _*)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-holdout").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextQueries.textEntropyHoldout(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set(0L, 5L, 10L), "only the score split is emitted")
+    // train: N=8 tokens, V=3 distinct (aa, bb, cc); UNK mass = 1/(N+V+1)
+    val n = 8.0; val v = 3.0
+    def bits(c: Long): Double = (math.log(n + v + 1) - math.log(c + 1.0)) / math.log(2.0)
+    def r4(x: Double): Double = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(5L)._2 == 0.0 && rows(5L)._3 == r4((bits(3) + bits(3)) / 2))
+    assert(rows(10L)._2 == 1.0 && rows(10L)._3 == r4(bits(0)), "pure-OOV doc: all UNK mass")
+    assert(rows(0L)._2 == 0.5 && rows(0L)._3 == r4((bits(3) + bits(0)) / 2))
+  }
 }
