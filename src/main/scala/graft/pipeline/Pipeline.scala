@@ -283,6 +283,17 @@ object Pipeline {
        |ORDER BY pairs.id_a, pairs.id_b""".stripMargin
   }
 
+  /** In-process cluster-label cache, keyed by data dir — the same
+    * share-the-stats pattern as EtlQueries.statsCache: a production
+    * pipeline computes labels ONCE per crawl and persists them
+    * (§2.97's precomputed-inputs overload is the API form); within one
+    * session, every consumer (dedup_clusters itself, dedup_keep_best)
+    * reuses the persisted frame instead of re-running MinHash + CC. */
+  private val labelsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def dedupClustersCached(spark: SparkSession, dir: String): DataFrame =
+    labelsCache.getOrElseUpdate(dir, dedupClusters(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** §2.39 duplicate-cluster resolution: connected components over the
     * MinHash near-dup pair graph by iterative min-label propagation —
     * each iteration is one join + one partial-agg'd shuffle, and the
@@ -494,7 +505,7 @@ object Pipeline {
     * agree on keeps the argmax deterministic cross-engine. */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
     dedupKeepBest(
-      dedupClusters(spark, dir).select("doc_id", "cluster_id"),
+      dedupClustersCached(spark, dir).select("doc_id", "cluster_id"),
       graft.text.TextQueries.textQuality(spark, dir)
         .select(col("doc_id"), col("quality_score")))
 
