@@ -793,4 +793,41 @@ object Queries {
       |UNION ALL SELECT 2, 'click', u2 FROM s
       |UNION ALL SELECT 3, 'purchase', u3 FROM s
       |ORDER BY stage""".stripMargin
+
+  /** §2.111 cohort retention: users grouped by first-activity day (the
+    * cohort), retention(k) = distinct users active k days after their
+    * own cohort day — the standard product-analytics retention matrix,
+    * capped at a 7-day offset window here.
+    *
+    * Scale shape: cohort assignment is a partial-agg'd min per user
+    * (map-side combine collapses each user's events before the
+    * shuffle), the events⋈cohort join is an ordinary equi-join AQE can
+    * skew-split (a hot user is ONE row on the cohort side), and the
+    * final per-(cohort, offset) distinct-user count is Spark's
+    * two-phase distinct aggregate — a single countDistinct plans no
+    * Expand (the Expand pathology needs ≥2 distinct groups, see
+    * dq_report). Everything linear; no windows. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(cohort, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset").between(0, 7))
+      // midnight timestamp, not DATE: the checker compares DateType as
+      // opaque objects (same convention as time_series' date_trunc)
+      .groupBy(col("cohort_day").cast("timestamp").as("cohort_day"), col("day_offset"))
+      .agg(countDistinct("user_id").as("users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+      |  CAST(e.day - f.cohort_day AS BIGINT) AS day_offset,
+      |  count(DISTINCT e.user_id) AS users
+      |FROM e JOIN f ON e.user_id = f.user_id
+      |WHERE e.day - f.cohort_day BETWEEN 0 AND 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -82,4 +82,24 @@ class AnalyticsSpec extends AnyFunSuite {
     val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).length
     assert(userExchanges == 1, s"expected 1 user_id exchange, plan:\n$plan")
   }
+
+  test("cohort retention: offset-0 equals cohort size, later offsets never exceed it") {
+    val rows = graft.analytics.Queries.eventsRetention(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+    val cohorts = rows.keys.map(_._1).toSet
+    // every user is active on their own cohort day → offset 0 exists
+    // per cohort and bounds every later offset's distinct-user count
+    cohorts.foreach { c =>
+      val base = rows((c, 0L))
+      assert(base > 0)
+      (1L to 7L).foreach { k =>
+        rows.get((c, k)).foreach(u => assert(u <= base, s"cohort $c offset $k: $u > $base"))
+      }
+    }
+    // total cohort sizes = total distinct users
+    val totalUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(cohorts.toSeq.map(c => rows((c, 0L))).sum == totalUsers)
+  }
 }
