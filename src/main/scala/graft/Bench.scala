@@ -14,6 +14,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,14 +37,22 @@ object Bench {
     // sweep spacing makes the medians robust to a contention burst
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     var failed = Set.empty[String]
-    for (_ <- 1 to reps; (name, fn) <- ordered if !failed.contains(name)) {
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
-      } catch { case e: Throwable =>
-        System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-        failed += name
+    for (_ <- 1 to reps) {
+      // drop memoized per-dir results (imputation stats, cluster labels)
+      // so every rep times query EXECUTION — otherwise reps 2+ of
+      // dedup_clusters/medians_modes would measure a persisted-cache hit
+      // and the median would understate real cost. Within one rep,
+      // consumers still share (the production once-per-crawl shape).
+      Caches.clearAll()
+      for ((name, fn) <- ordered if !failed.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+        } catch { case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          failed += name
+        }
       }
     }
     def median(xs: List[Double]): Double = {

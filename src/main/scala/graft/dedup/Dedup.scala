@@ -151,6 +151,14 @@ object Dedup {
   val ChunkBits = 12
   val Chunks = 4
 
+  // Same soundness guard as Multimodal's pHash blocking: the pigeonhole
+  // argument needs the chunk layout to cover every signature bit and
+  // maxDist (default 3) < Chunks — raising SimBits without reworking
+  // the chunks would silently miss qualifying pairs.
+  require(Chunks * ChunkBits >= SimBits && 3 < Chunks,
+    s"simhash blocking unsound: $Chunks chunks x $ChunkBits bits must cover " +
+      s"SimBits=$SimBits and default maxDist=3 < chunks")
+
   /** First index in [0, chunks) where the two signatures' `bits`-wide
     * chunks agree — the distinct-free pair emitter: a qualifying pair
     * (Hamming ≤ maxDist < chunks, pigeonhole ⇒ ≥1 equal chunk) can
@@ -175,6 +183,8 @@ object Dedup {
     * chunk equi-join itself and the Hamming + first-match predicates
     * run inside the join. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < Chunks,
+      s"pigeonhole blocking misses pairs when maxDist=$maxDist >= Chunks=$Chunks")
     val sigs = docs
       .select(col("doc_id"),
         graft.functions.native.simhash(

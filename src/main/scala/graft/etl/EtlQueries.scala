@@ -54,10 +54,10 @@ object EtlQueries {
     * consumer (`mediansModes` report AND `silverPipeline` imputation) —
     * the production shape: a single stats job feeds both the stats
     * report and the transform, instead of each entry re-scanning. */
-  private val statsCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Map[String, Double], Map[String, String])]
+  private val statsCache =
+    new graft.MemoCache[(Map[String, Double], Map[String, String])](8)(_ => ())
   private def lineitemStats(spark: SparkSession, dir: String) =
-    statsCache.getOrElseUpdate(dir,
+    statsCache.getOrElseUpdate(spark, dir)(
       Silver.stats(Tables.lineitem(spark, dir), liNumCols, liCatCols))
 
   /** §2.3 imputation stats: exact medians + deterministic modes. */

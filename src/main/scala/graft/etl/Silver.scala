@@ -28,6 +28,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object Silver {
 
+  /** Backtick-quote an interpolated column name so names with dots,
+    * spaces, or hyphens survive the SQL parser (`stack` below builds
+    * raw SQL; the Column API would misread dots as struct access). */
+  private def sqlIdent(c: String): String = "`" + c.replace("`", "``") + "`"
+
+  /** Escape a column name used as a Spark SQL STRING literal label. */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** NaN-safe double view of a column: NaN → null, so min/max/count and
+    * the bucket math below never see NaN (Spark sorts NaN above every
+    * double, so an unfiltered NaN poisons pass-1 max and every bucket
+    * expression). Medians are therefore over non-null, non-NaN values. */
+  private def nanSafe(c: String): Column = {
+    val v = col(sqlIdent(c)).cast("double")
+    when(!isnan(v), v)
+  }
+
   /** Exact medians for ALL columns, distributed — no single-threaded
     * value buffer, no distinct-value shuffle. Spark's built-in
     * `median`/`percentile` is an object aggregate that ships every
@@ -56,9 +74,10 @@ object Silver {
   def medians(df: DataFrame, cols: Seq[String], buckets: Int = 1000): Map[String, Double] = {
     val B = buckets
     // pass 1: min/max/count per column (count(col) skips nulls)
-    val statAggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast("double").as(s"mn_$c"),
-        max(col(c)).cast("double").as(s"mx_$c"), count(col(c)).as(s"n_$c")))
+    val statAggs = cols.flatMap { c =>
+      val v = nanSafe(c)
+      Seq(min(v).as(s"mn_$c"), max(v).as(s"mx_$c"), count(v).as(s"n_$c"))
+    }
     val sr = df.agg(statAggs.head, statAggs.tail: _*).head()
     val stats = cols.zipWithIndex.map { case (c, i) =>
       c -> (if (sr.isNullAt(3 * i)) (0.0, 0.0, 0L)
@@ -68,8 +87,9 @@ object Silver {
     if (live.isEmpty)
       return cols.map(c => c -> (if (stats(c)._3 == 0) Double.NaN else stats(c)._1)).toMap
     val stacked = df.select(expr(
-        s"stack(${live.size}, ${live.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ")}) AS (_c, v)"))
-      .filter(col("v").isNotNull)
+        s"stack(${live.size}, ${live.map(c =>
+          s"${sqlLit(c)}, CAST(${sqlIdent(c)} AS DOUBLE)").mkString(", ")}) AS (_c, v)"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
     // per-column equi-width bucket id, one CASE expression shared by
     // the subtotal pass and the target-bucket filter
     val bExpr = live.foldLeft(lit(-1L)) { (acc, c) =>
@@ -173,7 +193,8 @@ object Silver {
     * the naive variant (the reference computes each in pandas). */
   def modes(df: DataFrame, cols: Seq[String]): Map[String, String] = {
     val counts = df.select(
-      expr(s"stack(${cols.size}, ${cols.map(c => s"'$c', $c").mkString(", ")}) AS (_c, _v)"))
+      expr(s"stack(${cols.size}, ${cols.map(c =>
+        s"${sqlLit(c)}, ${sqlIdent(c)}").mkString(", ")}) AS (_c, _v)"))
       .filter(col("_v").isNotNull)
       .groupBy("_c", "_v").agg(count(lit(1)).as("cnt"))
     val maxes = counts.groupBy("_c").agg(max("cnt").as("mx"))

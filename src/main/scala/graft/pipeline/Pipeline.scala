@@ -288,10 +288,14 @@ object Pipeline {
     * pipeline computes labels ONCE per crawl and persists them
     * (§2.97's precomputed-inputs overload is the API form); within one
     * session, every consumer (dedup_clusters itself, dedup_keep_best)
-    * reuses the persisted frame instead of re-running MinHash + CC. */
-  private val labelsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    * reuses the persisted frame instead of re-running MinHash + CC.
+    * Keyed by (session, dir) and bounded — eviction unpersists (see
+    * [[graft.MemoCache]]); Bench clears all memo caches between reps
+    * so the benchmark times label computation, not cache hits. */
+  private val labelsCache =
+    new graft.MemoCache[DataFrame](4)(_.unpersist(blocking = false))
   def dedupClustersCached(spark: SparkSession, dir: String): DataFrame =
-    labelsCache.getOrElseUpdate(dir, dedupClusters(spark, dir)
+    labelsCache.getOrElseUpdate(spark, dir)(dedupClusters(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** §2.39 duplicate-cluster resolution: connected components over the

@@ -150,10 +150,19 @@ class DedupSpec extends AnyFunSuite {
       val joined = Dedup.bandIndex(all.filter(col("doc_id") % 5 === 4))
         .withColumnRenamed("doc_id", "new_id").withColumnRenamed("sigs", "new_sigs")
         .join(spark.table("dedup_band_idx2"), Seq("bkey"))
+      // materialize THIS frame's own QueryExecution first (collect, not
+      // count — count wraps a fresh plan), then inspect the FINAL
+      // adaptive plan: pre-execution AQE plans need not show the real
+      // exchange count
+      assert(joined.collect().length > 0)
+      // AdaptiveSparkPlan.toString prints Final AND Initial plan
+      // sections — count exchanges in the FINAL section only
       val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
       assert(exchanges == 1, s"want 1 exchange (batch side only), got $exchanges:\n$plan")
-      assert(joined.count() > 0)
+      assert(plan.contains("Bucketed: true"),
+        s"index side must read its bucketed layout:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
