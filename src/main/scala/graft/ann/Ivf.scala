@@ -39,7 +39,7 @@ object Ivf {
   /** vectors with double-cast embedding + norm (shared shape; the
     * widening is the compiled ToDoubleArray kernel — exact, and off
     * the interpreted-HOF path the corpus scans every Lloyd round). */
-  private def vecsD(embeddings: DataFrame): DataFrame =
+  private[graft] def vecsD(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
       graft.functions.native.to_double_array(col("embedding")).as("e"))
       .withColumn("nrm", normCol(col("e")))
@@ -50,7 +50,7 @@ object Ivf {
     * cos, then highest −cid = lowest cid) but one partial-agg shuffle
     * instead of a sort+window pass. The oracle keeps its row_number
     * form; the semantics are identical. */
-  private def assignNearest(v: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assignNearest(v: DataFrame, cent: DataFrame): DataFrame =
     v.crossJoin(broadcast(cent))
       .withColumn("cos", dotCol(col("e"), col("ce")) / (col("nrm") * col("cn")))
       .groupBy("vec_id")
@@ -85,32 +85,40 @@ object Ivf {
 
   /** Train the coarse quantizer: init = first K vectors, `Iters` fixed
     * Lloyd rounds. Returns the final centroid frame (cid, ce, cn). */
-  def trainCentroids(embeddings: DataFrame): DataFrame = {
+  def trainCentroids(embeddings: DataFrame, iters: Int = Iters): DataFrame = {
     val spark = embeddings.sparkSession
     val v = vecsD(embeddings)
     var cent = v.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-    for (_ <- 0 until Iters)
+    for (_ <- 0 until iters)
       cent = centFrame(spark, lloydRound(v, cent))
     cent
   }
 
   /** §2.73 IVF top-k: probe the `NProbe` nearest inverted lists per
     * query vector (vec_id < nq), exact cosine within candidates. */
-  def ivfTopK(embeddings: DataFrame, nq: Int = 5, k: Int = 10): DataFrame = {
-    val v = vecsD(embeddings)
-    val cent = trainCentroids(embeddings)
-    // final assignment: every vector into exactly one inverted list
-    val assigned = assignNearest(v, cent)
-    // probe lists: nprobe nearest centroids per query
+  /** Probe lists: the `NProbe` nearest centroids per query vector
+    * (q_id, qe, qn, cid) — factored out so the sf1 invariant checker
+    * (tools/InvariantCheck) can verify the reported top-k against the
+    * exact candidate set of the probed cells. */
+  private[graft] def probeTable(v: DataFrame, cent: DataFrame, nq: Int): DataFrame = {
     val pw = Window.partitionBy("q_id").orderBy(desc("qcos"), asc("cid"))
-    val probes = v.filter(col("vec_id") < nq)
+    v.filter(col("vec_id") < nq)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
       .crossJoin(broadcast(cent))
       .withColumn("qcos", dotCol(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("prk", row_number().over(pw))
       .filter(col("prk") <= NProbe)
       .select(col("q_id"), col("qe"), col("qn"), col("cid"))
+  }
+
+  def ivfTopK(embeddings: DataFrame, nq: Int = 5, k: Int = 10): DataFrame = {
+    val v = vecsD(embeddings)
+    val cent = trainCentroids(embeddings)
+    // final assignment: every vector into exactly one inverted list
+    val assigned = assignNearest(v, cent)
+    // probe lists: nprobe nearest centroids per query
+    val probes = probeTable(v, cent, nq)
     // search only the probed lists
     val sw = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
     assigned.join(broadcast(probes), Seq("cid"))

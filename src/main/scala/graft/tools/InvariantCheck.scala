@@ -1,0 +1,249 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-correctness invariant checker for the 5 iterative operators
+  * (`dedup_clusters`, `dedup_clusters_star`, `dedup_keep_best`,
+  * `ann_ivf`, `bpe_merges`) whose DuckDB oracle replays are infeasible
+  * past sf0.1 (recursive CTEs / k-means over 6 M rows run >25 min).
+  * Instead of replaying, verify INVARIANTS that pin the outputs as
+  * tightly as the replay would, each computed in Spark in a few linear
+  * passes — so the same gate the oracle provides at sf≤0.1 extends to
+  * sf1/sf5 in seconds:
+  *
+  *  - connected components: one label per doc; every MinHash edge
+  *    connects equal labels (⟺ the labels are a fixed point of
+  *    min-propagation); each cluster_id IS the minimum member of its
+  *    cluster; and the propagation labels equal the big-star/small-star
+  *    labels EXACTLY — two independent algorithms agreeing rules out
+  *    over- and under-merging together with the edge/min checks.
+  *  - keep-best: exactly one kept doc per cluster; the kept doc is the
+  *    (quality_score desc, doc_id asc) argmax of its cluster; labels
+  *    match dedup_clusters.
+  *  - IVF: final centroids equal an INDEPENDENTLY computed mean of
+  *    their assigned vectors under the previous round's centroids
+  *    (posexplode + avg + reassembly — a different code path from the
+  *    VectorMean aggregate the operator uses); every reported cosine
+  *    re-derived directly from the embeddings table; every reported
+  *    neighbor lies in a probed cell; and NO unreported candidate in a
+  *    probed cell beats the k-th reported neighbor (exact top-k over
+  *    the probed cells, verified without re-running the ranking).
+  *  - BPE: each round's (pair, n) replayed with a DIFFERENT merge
+  *    implementation (regexp over the space-joined symbol string vs
+  *    the compiled BpeMergeFold kernel) and a different pair counter
+  *    (HOF over sequence vs the compiled adjacent_pairs kernel).
+  *    Interpreted HOFs are fine here: the vocab table is ~31 rows.
+  *
+  * Usage: `sbt "runMain graft.tools.InvariantCheck <dataDir>"`.
+  * Prints one `INVARIANT <name> PASS|FAIL <detail>` line each plus a
+  * JSON summary; exits nonzero on any failure. The same checks run in
+  * InvariantSpec at sf0.01 on every `sbt test`.
+  */
+object InvariantCheck {
+
+  final case class Res(name: String, pass: Boolean, detail: String)
+
+  private def res(name: String, bad: Long, context: String): Res =
+    Res(name, bad == 0, if (bad == 0) context else s"$bad violations ($context)")
+
+  // ---- connected components + keep-best ----
+
+  def checkClusters(spark: SparkSession, dir: String): Seq[Res] = {
+    val docs = graft.Tables.documents(spark, dir)
+    val prop = graft.pipeline.Pipeline.dedupClusters(spark, dir).cache()
+    val star = graft.pipeline.Pipeline.dedupClustersStar(spark, dir).cache()
+    val pairs = graft.dedup.Dedup.minhashPairs(docs)
+      .select("id_a", "id_b").cache()
+    val nDocs = docs.count()
+    val nLab = prop.count()
+    val nIds = prop.select("doc_id").distinct().count()
+    val partitionOk = Res("cc_partition", nLab == nDocs && nIds == nDocs,
+      s"docs=$nDocs labeled=$nLab distinct=$nIds")
+    // edge consistency ⟺ fixed point: if every edge joins equal labels,
+    // min over self ∪ neighbors changes nothing (and vice versa)
+    val la = prop.select(col("doc_id").as("id_a"), col("cluster_id").as("ca"))
+    val lb = prop.select(col("doc_id").as("id_b"), col("cluster_id").as("cb"))
+    val badEdge = pairs.join(la, "id_a").join(lb, "id_b")
+      .filter(col("ca") =!= col("cb")).count()
+    // the label is a member, and the smallest one
+    val badMin = prop.groupBy("cluster_id").agg(min("doc_id").as("mn"))
+      .filter(col("mn") =!= col("cluster_id")).count()
+    val badCanon = prop
+      .filter(col("is_canonical") =!= (col("doc_id") === col("cluster_id")))
+      .count()
+    // cross-algorithm agreement (propagation vs big-star/small-star)
+    val p2 = prop.select("doc_id", "cluster_id")
+    val s2 = star.select("doc_id", "cluster_id")
+    val badAlgo = p2.exceptAll(s2).count() + s2.exceptAll(p2).count()
+
+    // keep-best on top of the same labels
+    val kb = graft.pipeline.Pipeline.dedupKeepBest(spark, dir).cache()
+    val badKeptCnt = kb.groupBy("cluster_id")
+      .agg(sum(when(col("is_kept"), 1).otherwise(0)).as("k"))
+      .filter(col("k") =!= 1).count()
+    val best = kb.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"), struct(col("quality_score"), -col("doc_id")))
+        .as("best_id"))
+    val badArgmax = kb.filter(col("is_kept")).join(best, "cluster_id")
+      .filter(col("doc_id") =!= col("best_id")).count()
+    val k2 = kb.select("doc_id", "cluster_id")
+    val badKbLab = k2.exceptAll(p2).count() + p2.exceptAll(k2).count()
+
+    val out = Seq(
+      partitionOk,
+      res("cc_edges_fixed_point", badEdge, s"${pairs.count()} minhash edges"),
+      res("cc_label_is_min_member", badMin, "per-cluster min(doc_id)=cluster_id"),
+      res("cc_canonical_flag", badCanon, "is_canonical = (doc_id=cluster_id)"),
+      res("cc_cross_algorithm", badAlgo, "propagation = big-star/small-star"),
+      res("kb_one_kept_per_cluster", badKeptCnt, "sum(is_kept)=1 per cluster"),
+      res("kb_kept_is_argmax", badArgmax, "kept = max(quality, -doc_id)"),
+      res("kb_labels_match", badKbLab, "keep_best labels = dedup_clusters"))
+    prop.unpersist(); star.unpersist(); pairs.unpersist(); kb.unpersist()
+    out
+  }
+
+  // ---- IVF ----
+
+  def checkIvf(spark: SparkSession, dir: String,
+      nq: Int = 5, k: Int = 10): Seq[Res] = {
+    import graft.ann.{Ann, Ivf}
+    val emb = graft.Tables.embeddings(spark, dir)
+    val v = Ivf.vecsD(emb).cache()
+    val centPrev = Ivf.trainCentroids(emb, Ivf.Iters - 1).cache()
+    val cent = Ivf.trainCentroids(emb, Ivf.Iters).cache()
+    // final centroid = 6dp-rounded mean of the vectors assigned to it
+    // under the previous round's centroids — recomputed WITHOUT the
+    // VectorMean aggregate: posexplode to (cid, pos, x), avg per
+    // component, reassemble with array_agg sorted by pos
+    val indep = Ivf.assignNearest(v, centPrev)
+      .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(avg("x").as("m"))
+      .withColumn("m", round(col("m"), 6))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), col("pm.m").as("ce2"))
+    val badCent = cent.join(indep, "cid")
+      .filter(col("ce") =!= col("ce2")).count()
+    val nCent = cent.count()
+    val nIndep = indep.count()
+
+    val out = Ivf.ivfTopK(emb, nq, k).cache()
+    // reported cosine re-derived straight from the embeddings table
+    val qv = v.select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val nv = v.select(col("vec_id"), col("e").as("ne"), col("nrm").as("nn"))
+    val badCos = out.join(qv, "q_id").join(nv, "vec_id")
+      .withColumn("cos2",
+        round(Ann.dotCol(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
+      .filter(col("cosine") =!= col("cos2")).count()
+    // candidate set = probed cells under the final assignment
+    val assigned = Ivf.assignNearest(v, cent)
+    val probes = Ivf.probeTable(v, cent, nq)
+    val cand = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(Ann.dotCol(col("qe"), col("e")) / (col("qn") * col("nrm")), 6))
+      .select("q_id", "vec_id", "cos").cache()
+    val badContain = out.select("q_id", "vec_id")
+      .join(cand, Seq("q_id", "vec_id"), "left_anti").count()
+    // completeness: no unreported candidate beats the k-th reported
+    // (strict struct compare on the operator's (cosine desc, vec_id
+    // asc) order) — together with containment + correct cosines this
+    // IS exact top-k over the probed cells
+    // struct fields aliased identically on both sides — struct
+    // comparison requires matching field names
+    val kth = out.groupBy("q_id").agg(
+      min(struct(col("cosine").as("s"), (-col("vec_id")).as("t"))).as("kth"),
+      count(lit(1)).as("nrep"))
+    val badComplete = cand
+      .join(out.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
+      .join(kth, "q_id")
+      .filter(col("nrep") >= k &&
+        struct(col("cos").as("s"), (-col("vec_id")).as("t")) > col("kth")).count()
+    val r = Seq(
+      res("ivf_centroid_is_mean", badCent,
+        s"$nCent centroids vs $nIndep independent means"),
+      res("ivf_reported_cosines", badCos, "recomputed from embeddings"),
+      res("ivf_neighbors_in_probed_cells", badContain, "containment"),
+      res("ivf_topk_complete", badComplete, "no unreported candidate beats k-th"))
+    v.unpersist(); centPrev.unpersist(); cent.unpersist()
+    out.unpersist(); cand.unpersist()
+    r
+  }
+
+  // ---- BPE ----
+
+  /** Space-joined greedy merge: regexp replaces non-overlapping
+    * left-to-right, which is exactly BpeMergeFold's greedy semantics
+    * ("a a a" + (a,a) → "aa a"). Symbols never contain whitespace, so
+    * the \s boundaries are sound. */
+  private def regexMerge(s: Column, a: String, b: String): Column = {
+    val pat = "(?<=^|\\s)" + java.util.regex.Pattern.quote(a) + "\\s" +
+      java.util.regex.Pattern.quote(b) + "(?=\\s|$)"
+    regexp_replace(s, pat, java.util.regex.Matcher.quoteReplacement(a + b))
+  }
+
+  def checkBpe(spark: SparkSession, dir: String): Seq[Res] = {
+    import graft.text.{TextFunctions => TF, TextQueries => TQ}
+    val reported = TQ.bpeMerges(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // independent replay over the (tiny) distinct-token table: string
+    // symbols + regexp merges + interpreted-HOF pair counts
+    val tc = graft.Tables.documents(spark, dir)
+      .select(explode(TF.tokens(TF.normalize(col("text")))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    var syms = tc.withColumn("s", concat_ws(" ", split(col("tok"), "")))
+      .select("c", "s").cache()
+    val results = scala.collection.mutable.ArrayBuffer[Res]()
+    for ((round, pair, n) <- reported.sortBy(_._1)) {
+      val top = syms
+        .select(col("c"), explode(expr(
+          """transform(sequence(1, size(split(s, ' ')) - 1),
+            |  i -> struct(element_at(split(s, ' '), i) AS a,
+            |              element_at(split(s, ' '), i + 1) AS b))"""
+            .stripMargin)).as("p"))
+        .groupBy("p").agg(sum("c").as("n"))
+        .orderBy(desc("n"), asc("p.a"), asc("p.b")).limit(1)
+        .select("p.a", "p.b", "n").head()
+      val (a, b, n2) = (top.getString(0), top.getString(1), top.getLong(2))
+      val ok = pair == s"$a $b" && n == n2
+      results += Res(s"bpe_round_$round", ok,
+        if (ok) s"pair='$pair' n=$n replayed"
+        else s"reported ('$pair', $n) vs independent ('$a $b', $n2)")
+      val next = syms.withColumn("s", regexMerge(col("s"), a, b)).cache()
+      next.count()
+      syms.unpersist()
+      syms = next
+    }
+    syms.unpersist()
+    results.toSeq
+  }
+
+  def runAll(spark: SparkSession, dir: String): Seq[Res] =
+    checkClusters(spark, dir) ++ checkIvf(spark, dir) ++ checkBpe(spark, dir)
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/testdata/sf1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val rs = runAll(spark, dir)
+    val secs = (System.nanoTime() - t0) / 1e9
+    rs.foreach(r => println(
+      s"INVARIANT ${r.name} ${if (r.pass) "PASS" else "FAIL"} ${r.detail}"))
+    val nf = rs.count(!_.pass)
+    println(s"""{"invariants":${rs.size},"failed":$nf,"dir":"$dir","sec":${math.round(secs * 10) / 10.0}}""")
+    spark.stop()
+    if (nf > 0) sys.exit(1)
+  }
+}
