@@ -167,6 +167,128 @@ object Ann {
       .orderBy("q_id", "rk")
   }
 
+  // ---- multi-probe (round 5, §2.112) ----
+
+  /** Probe budget and flip-plane bound for [[lshTopKMultiProbe]].
+    * `MaxFlipPlanes` caps perturbation enumeration to the L
+    * lowest-margin planes (2^L − 1 candidate masks) — the planes a
+    * near neighbor is actually likely to disagree on are exactly the
+    * low-|projection| ones, and a FIXED L keeps the enumeration
+    * constant-size however many planes the corpus needs (23 planes at
+    * 100 TB would make full 2^planes enumeration impossible). */
+  val DefaultProbes = 16
+  val MaxFlipPlanes = 6
+
+  /** Plane coefficient c(p,d) — [[coefExpr]] evaluated ahead of time
+    * (exact: the integer products stay far below 2^53, and both
+    * engines perform the identical % and ÷ on the same values). */
+  private def coef(p: Int, d: Int): Double =
+    ((1103515245L * (p * Dim + d) + 12345L) % 2147483647L) / 2147483647.0 - 0.5
+
+  /** §2.112 multi-probe sign-LSH ANN: single-probe recall at 8 planes
+    * is floored at (1 − θ/π)⁸ (≈ 0.43 at θ = 18°; measured in
+    * AnnRecallSpec) because ONE disagreeing sign bit hides the
+    * neighbor. Instead of coarsening the buckets (which re-grows the
+    * within-bucket join), probe the Q − 1 most likely neighboring
+    * buckets as well: rank perturbation masks over the L
+    * lowest-|margin| planes by the summed margin of their flipped
+    * planes (the standard multi-probe order — flipping a low-margin
+    * plane is cheap in probability), and search bucket ⊕ mask for the
+    * top Q − 1 masks. All probed buckets are distinct, so candidate
+    * sets are disjoint — no dedup shuffle — and the probe table stays
+    * ≤ nq·Q rows, broadcast to the one scan of the corpus. Candidates
+    * grow monotonically in Q (ranked masks are a prefix), so recall is
+    * a monotone knob exactly like `planes`. Margin arithmetic is the
+    * same compiled fold as the bucket kernel, so the DuckDB oracle
+    * ranks identical doubles. */
+  def lshTopKMultiProbe(embeddings: DataFrame, nq: Int = 5, k: Int = 5,
+      planes: Int = DefaultPlanes, nProbes: Int = DefaultProbes,
+      flipPlanes: Int = MaxFlipPlanes): DataFrame = {
+    val L = math.min(flipPlanes, planes)
+    require(nProbes >= 1 && nProbes <= (1 << L),
+      s"nProbes=$nProbes needs 1..${1 << L} (L=$L flip planes)")
+    val v = vecs(embeddings).withColumn("bucket", bucketCol(planes))
+    val q0 = v.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+    // per-plane |projection| margins, sorted ascending — query side
+    // only (nq rows), literal coefficient arrays, compiled fold
+    val margins = array((0 until planes).map { p =>
+      val cs = (0 until Dim).map(d => coef(p, d))
+      struct(abs(dotCol(typedLit(cs), col("qe"))).as("m"), lit(p).as("p"))
+    }: _*)
+    val q1 = q0.withColumn("_sorted", array_sort(margins))
+    // ranked masks: subset s of sorted positions 1..L; score folds the
+    // flipped margins in position order (identical to the oracle's
+    // full fold — its +0.0 identity terms drop out exactly); mask sums
+    // the distinct plane bits (integer-exact)
+    val subsets = (1 until (1 << L)).map { s =>
+      val bits = (0 until L).filter(i => (s >> i & 1) == 1)
+      val score = bits.foldLeft(lit(0.0): Column)((acc, i) =>
+        acc + expr(s"element_at(_sorted, ${i + 1}).m"))
+      val mask = bits.map(i =>
+          expr(s"shiftleft(CAST(1 AS BIGINT), element_at(_sorted, ${i + 1}).p)"))
+        .reduce[Column](_ + _)
+      struct(score.as("sc"), lit(s).as("s"), mask.as("mask"))
+    }
+    val q2 = q1.withColumn("_ranked", array_sort(array(subsets: _*)))
+    val probeCols = (0 until nProbes).map { i =>
+      if (i == 0) col("bucket")
+      else col("bucket").bitwiseXOR(expr(s"element_at(_ranked, $i).mask"))
+    }
+    val qp = q2.withColumn("pb", explode(array(probeCols: _*)))
+      .select(col("q_id"), col("qe"), col("qn"), col("pb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+    v.join(broadcast(qp), col("bucket") === col("pb"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(dotCol(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "bucket", "rk", "vec_id", "cosine")
+      .orderBy("q_id", "rk")
+  }
+
+  def lshTopKMultiProbeSql(nq: Int = 5, k: Int = 5,
+      planes: Int = DefaultPlanes, nProbes: Int = DefaultProbes,
+      flipPlanes: Int = MaxFlipPlanes): String = {
+    val L = math.min(flipPlanes, planes)
+    s"""WITH v AS (SELECT vec_id, embedding, nrm, ${bucketSql(planes)} AS bucket
+       |  FROM ($vecsSql) t0),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, bucket
+       |  FROM v WHERE vec_id < $nq),
+       |proj AS (SELECT q_id, p,
+       |    abs(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, $Dim),
+       |        d -> ${coefExpr("p", "(d - 1)")} * CAST(qe[d] AS DOUBLE))), (x, y) -> x + y)) AS m
+       |  FROM q, unnest(generate_series(0, ${planes - 1})) AS t(p)),
+       |srt AS (SELECT q_id, list(m ORDER BY m, p) AS ml, list(p ORDER BY m, p) AS pl
+       |  FROM proj GROUP BY q_id),
+       |ranked AS (SELECT q_id, s,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, $L),
+       |      i -> CASE WHEN ((s >> (i - 1)) & 1) = 1 THEN ml[i] ELSE CAST(0 AS DOUBLE) END)),
+       |      (x, y) -> x + y) AS sc,
+       |    list_sum(list_transform(generate_series(1, $L),
+       |      i -> CASE WHEN ((s >> (i - 1)) & 1) = 1 THEN CAST(1 AS BIGINT) << pl[i] ELSE CAST(0 AS BIGINT) END)) AS mask
+       |  FROM srt, unnest(generate_series(1, ${(1 << L) - 1})) AS t(s)),
+       |ord AS (SELECT q_id, mask,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sc, s) AS rk FROM ranked),
+       |pr AS (SELECT q_id, bucket AS pb FROM q
+       |  UNION ALL
+       |  SELECT o.q_id, xor(q.bucket, o.mask) AS pb
+       |  FROM ord o JOIN q ON o.q_id = q.q_id WHERE o.rk <= ${nProbes - 1}),
+       |scored AS (SELECT q.q_id, v.bucket, v.vec_id,
+       |    round(${dotSql("q.qe", "v.embedding")} / (q.qn * v.nrm), 6) AS cosine
+       |  FROM pr JOIN v ON v.bucket = pr.pb
+       |    JOIN q ON pr.q_id = q.q_id
+       |  WHERE v.vec_id != q.q_id)
+       |SELECT q_id, bucket, rk, vec_id, cosine FROM (
+       |  SELECT q_id, bucket, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM scored) t
+       |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+  }
+
   def lshTopKSql(nq: Int = 5, k: Int = 5, planes: Int = DefaultPlanes): String =
     s"""WITH v AS (SELECT vec_id, embedding, nrm, ${bucketSql(planes)} AS bucket
        |  FROM ($vecsSql) t0),

@@ -159,51 +159,27 @@ object Dedup {
     s"simhash blocking unsound: $Chunks chunks x $ChunkBits bits must cover " +
       s"SimBits=$SimBits and default maxDist=3 < chunks")
 
-  /** First index in [0, chunks) where the two signatures' `bits`-wide
-    * chunks agree — the distinct-free pair emitter: a qualifying pair
-    * (Hamming ≤ maxDist < chunks, pigeonhole ⇒ ≥1 equal chunk) can
-    * match in up to `chunks` buckets, and instead of DISTINCT-ing the
-    * multiset of (pair × matching-chunk) rows we keep each pair only
-    * where it matched its FIRST agreeing chunk. A per-row predicate
-    * (folded into the join's post-condition by Catalyst) replaces a
-    * full shuffle of the candidate multiset — the sf1 bench measured
-    * that distinct at 166 s for dedup_simhash (the 31-word-vocab
-    * corpus makes SimHash chunk values low-entropy, so chunk buckets
-    * are hot AND qualifying pairs are themselves quadratic-dense). */
-  private[graft] def firstMatchingChunk(a: Column, b: Column,
-      chunks: Int, bits: Int): Column =
-    (0 until chunks).foldRight(lit(chunks): Column) { (c, els) =>
-      when(shiftright(a, c * bits) % (1 << bits) ===
-           shiftright(b, c * bits) % (1 << bits), lit(c)).otherwise(els)
-    }
-
-  /** §2.23 SimHash near-dup pairs: 8-bit chunk blocking → Hamming ≤
-    * maxDist. Pairs are emitted exactly once via
-    * [[firstMatchingChunk]] — no distinct, so the only shuffle is the
-    * chunk equi-join itself and the Hamming + first-match predicates
-    * run inside the join. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  /** §2.23 SimHash near-dup pairs: 12-bit chunk blocking → Hamming ≤
+    * maxDist, via the shared [[ChunkBlocking]] engine — distinct-free
+    * exactly-once emission plus round-5 hot-bucket splitting (buckets
+    * over [[ChunkBlocking.HotBucketCap]] rows re-block on outside-bits
+    * sub-chunks, bounding the per-bucket quadratic join term on
+    * correlated corpora). The only data-sized shuffle is the blocking-
+    * key equi-join; the Hamming + first-match predicates run inside
+    * the join (the sf1 bench measured the DISTINCT alternative at
+    * 166 s: the 31-word-vocab corpus makes chunk values low-entropy,
+    * so chunk buckets are hot AND qualifying pairs quadratic-dense). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      hotCap: Int = ChunkBlocking.HotBucketCap): DataFrame = {
     require(maxDist < Chunks,
       s"pigeonhole blocking misses pairs when maxDist=$maxDist >= Chunks=$Chunks")
     val sigs = docs
       .select(col("doc_id"),
         graft.functions.native.simhash(
-          graft.functions.native.token_poly_hashes(col("text")), SimBits).as("sim"))
-    val chunks = sigs.select(col("doc_id"), col("sim"),
-      explode(array((0 until Chunks).map(c =>
-        struct(lit(c).as("chunk"),
-          expr(s"(shiftright(sim, ${c * ChunkBits}) % ${1 << ChunkBits})").as("cv"))): _*)).as("e"))
-      .select(col("doc_id"), col("sim"), col("e.chunk"), col("e.cv"))
-    val a = chunks.select(col("doc_id").as("id_a"), col("sim").as("sim_a"),
-      col("chunk"), col("cv"))
-    val b = chunks.select(col("doc_id").as("id_b"), col("sim").as("sim_b"),
-      col("chunk"), col("cv"))
-    a.join(b, Seq("chunk", "cv"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
-      .filter(col("hamming") <= maxDist &&
-        col("chunk") === firstMatchingChunk(col("sim_a"), col("sim_b"), Chunks, ChunkBits))
-      .select("id_a", "id_b", "sim_a", "sim_b", "hamming")
+          graft.functions.native.token_poly_hashes(col("text")), SimBits).as("sig"))
+    ChunkBlocking.pairs(sigs, SimBits, ChunkBits, Chunks, maxDist, hotCap)
+      .select(col("id_a"), col("id_b"), col("sig_a").as("sim_a"),
+        col("sig_b").as("sim_b"), col("hamming"))
       .orderBy("id_a", "id_b")
   }
 

@@ -230,27 +230,15 @@ object Multimodal {
       .select(col("doc_id"), hex(col("payload")).as("phex"))
       .withColumn("rhex", graft.functions.native.hex_resize(col("phex"), PHashBits))
       .withColumn("ph", graft.functions.native.hex_phash(col("rhex")))
-      .select("doc_id", "ph")
-    val chunks = sigs.select(col("doc_id"), col("ph"),
-      explode(sequence(lit(0), lit(PHashChunks - 1))).as("c"))
-      .withColumn("chunk", expr(s"shiftright(ph, c * $PHashChunkBits) % ${1 << PHashChunkBits}"))
-    val a = chunks.select(col("c"), col("chunk"),
-      col("doc_id").as("id_a"), col("ph").as("pa"))
-    val b = chunks.select(col("c"), col("chunk"),
-      col("doc_id").as("id_b"), col("ph").as("pb"))
-    // distinct-free emission: keep each pair only at its FIRST agreeing
-    // chunk (graft.dedup.Dedup.firstMatchingChunk — a per-row predicate
-    // inside the join) instead of DISTINCT-ing the pair×matching-chunk
-    // multiset; aHash chunks are low-entropy (bytes straddle the mean),
-    // so hot chunk buckets made that distinct the whole query cost at
-    // sf1 (32 s → join-bound)
-    a.join(b, Seq("c", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
-      .filter(col("hamming") <= MaxHamming &&
-        col("c") === graft.dedup.Dedup.firstMatchingChunk(
-          col("pa"), col("pb"), PHashChunks, PHashChunkBits))
-      .select("id_a", "id_b", "hamming")
+      .select(col("doc_id"), col("ph").as("sig"))
+    // shared blocking engine (graft.dedup.ChunkBlocking): distinct-free
+    // exactly-once emission (the DISTINCT alternative was the whole
+    // query cost at sf1 — aHash chunks are low-entropy, bytes straddle
+    // the mean, so chunk buckets run hot) + round-5 hot-bucket
+    // splitting on the bits outside the chunk
+    graft.dedup.ChunkBlocking.pairs(sigs, PHashBits, PHashChunkBits,
+        PHashChunks, MaxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("id_a", "id_b")
   }
 

@@ -90,4 +90,27 @@ class AnnRecallSpec extends AnyFunSuite {
       s"recall not monotone in planes: r2=$r2 r8=$r8 r12=$r12")
     assert(r2 >= 0.7, s"LSH recall@$K at 2 planes = $r2")
   }
+
+  test("multi-probe lifts the single-probe recall floor, monotone in probes") {
+    val brute = topIds(Ann.bruteForceTopK(planted, NQ, K))
+    def mpRecall(probes: Int): Double =
+      recallVs(brute, topIds(Ann.lshTopKMultiProbe(planted, NQ, K, 8, probes)))
+    val r1 = mpRecall(1)     // = single-probe lshTopK by construction
+    val r4 = mpRecall(4)
+    val r16 = mpRecall(16)
+    val r64 = mpRecall(64)
+    // ranked masks are a prefix: candidates (hence recall) grow with Q
+    assert(r1 <= r4 && r4 <= r16 && r16 <= r64,
+      s"recall not monotone in probes: $r1 $r4 $r16 $r64")
+    // Q=1 equals the measured single-probe floor; a SMALL probe budget
+    // (16 of 256 buckets) must cross 0.9 on the planted clusters
+    assert(r16 >= 0.9, s"multi-probe recall@$K at Q=16 = $r16 (single-probe $r1)")
+    assert(r1 <= 0.7, s"sanity: single-probe should be floored, got $r1")
+  }
+
+  test("multi-probe Q=1 equals single-probe lshTopK exactly") {
+    val sp = Ann.lshTopK(planted, NQ, K, 8).collect().map(_.toSeq)
+    val mp = Ann.lshTopKMultiProbe(planted, NQ, K, 8, 1).collect().map(_.toSeq)
+    assert(sp.toSeq == mp.toSeq)
+  }
 }
