@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Times every `SparkEntry.queries` entry on
   * `SPARK_GRAFT_SF_DIR`, `SPARK_GRAFT_BENCH_REPS` times each
@@ -15,14 +14,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // single config point: tuned defaults + the §5 shuffle-sizing rule
+    val spark = GraftSession.build(s"local[$cpus]", "graft-bench",
+      dataDir = Some(sfDir), cores = cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     // Untimed session warmup: JIT/codegen bootstrap + parquet footers,
     // so the first measured query isn't charged for JVM cold start.

@@ -2,19 +2,64 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Convenience session builder with graft's tuned defaults: AQE on
-  * (runtime re-plan, skew-join splitting), shuffle partitions sized to
-  * the worker count (not the 200 default), UTC for oracle parity,
-  * nanos-parquet handling for the events table, and the graft SQL
-  * functions registered. */
+/** THE single session-config point: every entry main (Bench, Verify,
+  * Plans, Profile, InvariantCheck) builds its session here, so the
+  * tuned defaults — AQE on (runtime re-plan, partition coalescing,
+  * skew-join splitting), UTC for oracle parity, nanos-parquet handling
+  * for the events table, graft SQL functions registered — and the
+  * scale-aware shuffle parallelism rule below cannot drift apart
+  * between tools.
+  */
 object GraftSession {
+
+  /** Scale-aware initial shuffle parallelism (SURVEY §5 rule).
+    *
+    * `ceil(inputBytes × expansion / bytesPerPartition)` clamped to
+    * `[cores, cap]`:
+    *
+    *  - `inputBytes` is the on-disk size of the data directory the run
+    *    will read (local walk here; a cluster deployment uses the
+    *    Hadoop FileSystem's `getContentSummary` — same rule, different
+    *    stat call).
+    *  - `expansion` ≈ 4 covers parquet's encoding+compression ratio:
+    *    32 MB of parquet is ~128 MB of in-memory rows, the classic
+    *    per-partition working-set target that keeps sort/agg spills
+    *    out of the picture.
+    *  - floor at `cores`: below the floor, extra partitions cost
+    *    nothing but scheduling and AQE would coalesce them anyway;
+    *    fewer than `cores` idles executors.
+    *  - `cap` bounds task-launch overhead for one local JVM. On a real
+    *    cluster the cap scales with executor count instead (the rule's
+    *    only deployment-specific constant).
+    *
+    * Overshooting is cheap by design: AQE coalesces small shuffle
+    * partitions back together at runtime, so the initial count only
+    * needs to be HIGH enough that no partition exceeds the working-set
+    * target — the exact value is self-correcting downward, never
+    * upward. That asymmetry is why the rule rounds up.
+    */
+  def shufflePartitionsFor(dataDir: String, cores: Int,
+      bytesPerPartition: Long = 32L << 20, expansion: Double = 4.0,
+      cap: Int = 4096): Int = {
+    val bytes =
+      try org.apache.commons.io.FileUtils.sizeOfDirectory(new java.io.File(dataDir))
+      catch { case _: Exception => 0L }
+    val target = math.ceil(bytes * expansion / bytesPerPartition).toInt
+    math.min(cap, math.max(cores, target))
+  }
+
+  /** Build the tuned session. `dataDir` (when given) drives the
+    * shuffle-parallelism rule above; without it the core count is the
+    * floor and the ceiling both. */
   def build(master: String = "local[*]",
-            shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
-            appName: String = "graft"): SparkSession = {
+            appName: String = "graft",
+            dataDir: Option[String] = None,
+            cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val parts = dataDir.map(shufflePartitionsFor(_, cores)).getOrElse(cores)
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

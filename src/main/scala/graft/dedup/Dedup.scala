@@ -318,6 +318,21 @@ object Dedup {
   def writeBandIndex(docs: DataFrame, table: String, numBuckets: Int = 8): Unit =
     graft.etl.Loader.writeBucketed(bandIndex(docs), table, Seq("bkey"), numBuckets)
 
+  /** Daily maintenance: append a batch's accepted docs to the band
+    * index IN its bucketed layout (shuffle-free future joins), then
+    * compact when the accreted small files per bucket pass the
+    * threshold — each append adds a file per touched bucket, so an
+    * index fed daily crosses it in ~`maxFilesPerBucket` days. The
+    * compaction preserves the bucket spec (catalog-level swap), so the
+    * zero-exchange join plan asserted in DedupSpec survives any number
+    * of append/compact cycles. Returns true when a compaction ran. */
+  def appendBandIndex(docs: DataFrame, table: String, numBuckets: Int = 8,
+      maxFilesPerBucket: Int = 4): Boolean = {
+    graft.etl.Loader.appendBucketed(bandIndex(docs), table, Seq("bkey"), numBuckets)
+    graft.etl.Loader.compactBucketed(docs.sparkSession, table, Seq("bkey"),
+      numBuckets, maxFilesPerBucket)
+  }
+
   /** [[dedupIncremental]] against a persisted [[writeBandIndex]] table:
     * same best-match + verdict contract, but the index side is the
     * pre-bucketed catalog table — only the (comparatively tiny) new

@@ -180,6 +180,73 @@ object Loader {
       .format("parquet")
       .saveAsTable(table)
 
+  /** INSERT INTO an existing bucketed table, preserving its layout:
+    * Spark hashes the new rows into the matching bucket files, so the
+    * table stays joinable shuffle-free as it accretes daily batches.
+    * (Spark validates the bucket spec against the catalog on append.) */
+  def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Count the data files of a catalog table (its physical location). */
+  def dataFileCount(spark: org.apache.spark.sql.SparkSession, table: String): Int = {
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location
+    val dir = new java.io.File(loc)
+    if (!dir.exists) 0
+    else dir.listFiles.count(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
+
+  /** Bucket-preserving compaction of a bucketed catalog table
+    * ([[writeBucketed]]/[[appendBucketed]] tables): every appended
+    * batch adds one file per touched bucket, and the accreting small
+    * files wreck scan parallelism and listing cost long before they
+    * hurt correctness. When files/bucket exceeds `maxFilesPerBucket`,
+    * rewrite the table at one file per bucket and swap it in under the
+    * original name.
+    *
+    * The rewrite `repartition(numBuckets, keys)` first: Spark's task
+    * partition id and its bucket id are the SAME murmur3-pmod
+    * expression, so each task holds exactly one bucket's rows and the
+    * bucketed write emits exactly `numBuckets` files — without the
+    * repartition every task would re-emit one file per bucket it
+    * happens to hold and the "compaction" could multiply files.
+    *
+    * The source is read as a PLAIN parquet path, not `spark.table`:
+    * reading through the catalog, the bucketed scan advertises exactly
+    * the hash distribution the repartition asks for, the optimizer
+    * elides the "redundant" shuffle, and DisableUnnecessaryBucketedScan
+    * then downgrades the scan to a plain multi-file read — leaving
+    * mixed-bucket tasks that re-emit files×buckets (measured: a 4-bucket
+    * rewrite produced 16 files). The path read carries no bucket
+    * metadata, so the aligning shuffle survives planning.
+    *
+    * The swap is DROP + ALTER RENAME through the catalog so the bucket
+    * spec (the zero-exchange join contract) survives — a path-level
+    * rewrite like [[compact]] would silently drop bucketing metadata.
+    *
+    * Returns true when a rewrite happened. */
+  def compactBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+      keys: Seq[String], numBuckets: Int, maxFilesPerBucket: Int = 4): Boolean = {
+    val files = dataFileCount(spark, table)
+    if (files <= numBuckets.toLong * maxFilesPerBucket) return false
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString
+    val tmp = table + "_compact_tmp"
+    val cols = keys.map(org.apache.spark.sql.functions.col)
+    writeBucketed(spark.read.parquet(loc).repartition(numBuckets, cols: _*),
+      tmp, keys, numBuckets)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    true
+  }
+
   /** Per-batch load report: row counts + basic stats, grouped by the
     * lineage columns added at bronze ingest. */
   def report(df: DataFrame, groupCols: Seq[String], keyCol: String,

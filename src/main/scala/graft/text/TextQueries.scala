@@ -438,25 +438,58 @@ object TextQueries {
        |  ${polyHashSql(normalizeSql("text"))} AS fp_poly
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Zipf head/tail LM join (§5): token frequencies are Zipfian, so
+    * the top-K LM rows ("head") cover most of the token MASS while
+    * staying broadcast-sized no matter how large the vocabulary grows.
+    * Broadcast-join the head, then hash-join ONLY the head-misses
+    * against the remaining tail — at 100 TB this turns the dominant
+    * whole-corpus shuffle of the token stream into a map-side join for
+    * the bulk of tokens, shuffling just the rare-token residue.
+    *
+    * Semantics-preserving by construction: head ∪ tail partitions the
+    * LM, a `_h` marker (never null on a hit — LM value columns are
+    * counts) routes each probe row to exactly one side, and the union
+    * of (head hits) and (misses ⋈ tail) equals the direct join for
+    * both `inner` and `left` types. Head selection is deterministic:
+    * ties on the frequency column break by key. */
+  private def zipfHeadTailJoin(big: DataFrame, lm: DataFrame,
+      keys: Seq[String], freqCol: String, joinType: String,
+      headK: Int = ZipfHeadK): DataFrame = {
+    require(joinType == "inner" || joinType == "left", joinType)
+    val valCols = lm.columns.filterNot(keys.contains).toSeq
+    val head = lm.orderBy((col(freqCol).desc +: keys.map(col)): _*).limit(headK)
+    val tail = lm.join(broadcast(head.select(keys.map(col): _*)), keys, "left_anti")
+    val withHead = big.join(broadcast(head.withColumn("_h", lit(true))), keys, "left")
+    val hits = withHead.filter(col("_h")).drop("_h")
+    val misses = withHead.filter(col("_h").isNull).drop(("_h" +: valCols): _*)
+    hits.unionByName(misses.join(tail, keys, joinType))
+  }
+
+  /** Head size: bounded (broadcast-safe at any corpus size) yet big
+    * enough that a Zipfian corpus resolves almost all tokens map-side. */
+  private val ZipfHeadK = 4096
+
   /** §2.95 unigram cross-entropy scoring: per-document mean −log₂ p(tok)
     * under the corpus's own unigram LM — the perplexity-style quality
     * signal LLM pipelines threshold on (low = repetitive/templated,
     * high = rare-token soup; both tails get dropped). Every token is in
     * the LM by construction (it IS the corpus), so no OOV smoothing.
     *
-    * Scale shape: one shuffle to build the LM (tok → count), one
-    * shuffle join toks⋈lm on tok (both sides hash-partitioned — the LM
-    * can exceed broadcast size at corpus scale), one partial-agg
-    * groupBy(doc_id). All linear; no collect. −log₂ p is rendered as
-    * (ln N − ln c)/ln 2 IDENTICALLY on both engines, and the per-doc
-    * mean is rounded to 4 dp to absorb libm last-ulp and
-    * summation-order differences (same tolerance class as corr_stats). */
+    * Scale shape: one shuffle to build the LM (tok → count), then the
+    * [[zipfHeadTailJoin]] — the broadcast head resolves the Zipf bulk
+    * of tokens map-side and only rare-token residue hash-joins the
+    * tail (the LM can exceed broadcast size at corpus scale, its top-K
+    * head cannot) — then one partial-agg groupBy(doc_id). All linear;
+    * no collect. −log₂ p is rendered as (ln N − ln c)/ln 2 IDENTICALLY
+    * on both engines, and the per-doc mean is rounded to 4 dp to
+    * absorb libm last-ulp and summation-order differences (same
+    * tolerance class as corr_stats). */
   def textEntropy(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(normalize(col("text")))).as("tok"))
     val lm = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val tot = lm.agg(sum("c").cast("double").as("n"))
-    toks.join(lm, "tok")
+    zipfHeadTailJoin(toks, lm, Seq("tok"), "c", "inner")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -486,8 +519,11 @@ object TextQueries {
     *
     * Scale shape: one window shuffle per doc_id for lag(), one
     * shuffle to count bigrams, a context rollup OF the bigram table
-    * (vocab-sized), shuffle joins back on (prev, tok) — everything
-    * hash-partitioned and linear, no broadcast assumption on the LM. */
+    * (vocab-sized), then [[zipfHeadTailJoin]] twice — bigram
+    * frequencies are even more skewed than unigrams, so the broadcast
+    * heads of the bigram LM and the context rollup resolve the bulk of
+    * the stream map-side; only rare-bigram residue hash-joins the
+    * tails. No broadcast assumption on either full LM. */
   def textEntropy2(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -497,10 +533,12 @@ object TextQueries {
     val bi = toks
       .withColumn("prev", lag(col("tok"), 1).over(w))
       .filter(col("prev").isNotNull)
+      .select("doc_id", "prev", "tok")
     val blm = bi.groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
     val ctx = blm.groupBy("prev").agg(sum("cb").as("cc"))
-    bi.join(blm, Seq("prev", "tok"))
-      .join(ctx, Seq("prev"))
+    zipfHeadTailJoin(
+        zipfHeadTailJoin(bi, blm, Seq("prev", "tok"), "cb", "inner"),
+        ctx, Seq("prev"), "cc", "inner")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg((log(col("cc").cast("double")) - log(col("cb").cast("double")))
@@ -521,17 +559,18 @@ object TextQueries {
     * IEEE computation on both engines; 4 dp absorbs summation order.
     *
     * Scale shape: LM build = one hash-partitioned groupBy over the
-    * train split; (N, V) is a 1-row broadcast; scoring is a LEFT hash
-    * join toks⋈lm (OOV → null → c=0) + one partial-agg groupBy.
-    * Linear, no collect, no broadcast assumption on the LM itself. */
+    * train split; (N, V) is a 1-row broadcast; scoring is a LEFT
+    * [[zipfHeadTailJoin]] toks⋈lm (OOV → miss the broadcast head AND
+    * the tail → null → c=0) + one partial-agg groupBy. Linear, no
+    * collect, no broadcast assumption on the LM itself. */
   def textEntropyHoldout(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(normalize(col("text")))).as("tok"))
     val train = toks.filter(col("doc_id") % 5 =!= 0)
     val lm = train.groupBy("tok").agg(count(lit(1)).as("c"))
     val stats = lm.agg(sum("c").as("n"), count(lit(1)).as("v"))
-    toks.filter(col("doc_id") % 5 === 0)
-      .join(lm, Seq("tok"), "left")
+    zipfHeadTailJoin(toks.filter(col("doc_id") % 5 === 0), lm,
+        Seq("tok"), "c", "left")
       .crossJoin(broadcast(stats))
       .withColumn("c1", coalesce(col("c"), lit(0L)) + 1)
       .groupBy("doc_id")

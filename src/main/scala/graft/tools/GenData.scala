@@ -145,6 +145,109 @@ object GenData {
   private def tsOfDay(epochDay: Long): java.sql.Timestamp =
     new java.sql.Timestamp(epochDay * 86400L * 1000L)
 
+  // ---- dirty spotify-tracks generator (deterministic fault injection) ----
+  //
+  // The generated TPC-H-ish corpus is clean, so the DQ/quarantine/gate
+  // paths were only ever exercised by tiny hand-written spec fixtures.
+  // This section manufactures the reference's spotify_tracks shape AT
+  // SCALE with injected faults at fixed per-row rates — every fault is
+  // a pure function of the row id (same splitmix64 discipline as the
+  // tables above), so a spec can re-derive exactly which rows are bad
+  // and assert the DQ reports' counts and sample_keys to the row.
+
+  private val Genres = Array("rock", "jazz", "pop", "classical", "metal",
+    "folk", "ambient", "techno")
+
+  /** Fault classes, disjoint by construction (one uniform draw per row
+    * walks the cumulative thresholds — a row has at most ONE fault, so
+    * expected counts are exact and independently assertable). */
+  object TrackFault extends Enumeration {
+    val None, NullTrackId, NullArtists, NullTrackName, DanceOutOfRange,
+        LoudnessOutOfRange, NullPopularity, PopularityOverMax, DupTrackId = Value
+  }
+
+  /** The fault planted on row `id` — pure, so specs re-derive it. */
+  def trackFault(id: Long): TrackFault.Value = {
+    if (id < 10) return TrackFault.None // keep a clean head (dup sources)
+    val u = rng("trackfault", id).nextDouble()
+    if (u < 0.002) TrackFault.NullTrackId
+    else if (u < 0.004) TrackFault.NullArtists
+    else if (u < 0.006) TrackFault.NullTrackName
+    else if (u < 0.010) TrackFault.DanceOutOfRange
+    else if (u < 0.014) TrackFault.LoudnessOutOfRange
+    else if (u < 0.030) TrackFault.NullPopularity
+    else if (u < 0.040) TrackFault.PopularityOverMax
+    else if (u < 0.050) TrackFault.DupTrackId
+    else TrackFault.None
+  }
+
+  /** Boxed numerics so injected nulls survive the encoder. */
+  case class Track(index: Long, track_id: String, artists: String,
+      album_name: String, track_name: String, popularity: java.lang.Double,
+      duration_ms: java.lang.Double, danceability: java.lang.Double,
+      energy: java.lang.Double, loudness: java.lang.Double,
+      tempo: java.lang.Double, track_genre: String)
+
+  /** Row `id` of the dirty corpus — clean values first, then the
+    * planted fault overrides one field. */
+  def trackRow(id: Long): Track = {
+    val r = rng("track", id)
+    val clean = Track(id, f"tr$id%08d", s"artist-${r.nextInt(500)}",
+      s"alb${r.nextInt(800)}", s"song$id", round2(r.nextDouble() * 100),
+      (60000 + r.nextInt(240000)).toDouble, r.nextDouble(), r.nextDouble(),
+      round2(-60 + r.nextDouble() * 60), round2(60 + r.nextDouble() * 120),
+      Genres(r.nextInt(Genres.length)))
+    trackFault(id) match {
+      case TrackFault.None               => clean
+      case TrackFault.NullTrackId        => clean.copy(track_id = null)
+      case TrackFault.NullArtists        => clean.copy(artists = null)
+      case TrackFault.NullTrackName      => clean.copy(track_name = null)
+      case TrackFault.DanceOutOfRange    => clean.copy(danceability = 1.0 + r.nextDouble())
+      case TrackFault.LoudnessOutOfRange => clean.copy(loudness = round2(1 + r.nextDouble() * 10))
+      case TrackFault.NullPopularity     => clean.copy(popularity = null)
+      case TrackFault.PopularityOverMax  => clean.copy(popularity = round2(101 + r.nextDouble() * 50))
+      case TrackFault.DupTrackId         => clean.copy(track_id = f"tr${id - 1}%08d")
+    }
+  }
+
+  /** Distributed dirty-tracks frame: `n` rows, faults at the
+    * [[trackFault]] rates (~0.2% null ids, ~0.4% range violations, ...,
+    * ~5% total). Scale-shaped like the main generator — spark.range +
+    * a pure row function, no driver materialization. */
+  def dirtyTracks(spark: SparkSession, n: Long,
+      numPartitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, numPartitions).map(trackRow(_)).toDF
+  }
+
+  /** Corrupt-CSV twin for the quarantine path: the same rows rendered
+    * as CSV, plus structurally corrupt lines (non-numeric popularity) at
+    * a deterministic ~1% rate. Written distributed (spark text sink);
+    * corrupt ids are `isCsvCorrupt`, so specs assert exact splits. */
+  def isCsvCorrupt(id: Long): Boolean =
+    id >= 10 && rng("trackcsv", id).nextDouble() < 0.01
+
+  def writeDirtyTracksCsv(spark: SparkSession, path: String, n: Long,
+      numPartitions: Int = 8): Unit = {
+    import spark.implicits._
+    val header = spark.createDataset(Seq(
+      "index,track_id,artists,album_name,track_name,popularity,duration_ms," +
+      "danceability,energy,loudness,tempo,track_genre"))
+    val body = spark.range(0, n, 1, numPartitions).map { id =>
+      if (isCsvCorrupt(id)) s"$id,tr_corrupt,artist,alb,song,NOT_A_NUMBER,x,y,z,w,v,rock"
+      else {
+        val t = trackRow(id)
+        def d(x: java.lang.Double) = if (x == null) "" else x.toString
+        Seq(t.index.toString, Option(t.track_id).getOrElse(""),
+          Option(t.artists).getOrElse(""), t.album_name,
+          Option(t.track_name).getOrElse(""), d(t.popularity), d(t.duration_ms),
+          d(t.danceability), d(t.energy), d(t.loudness), d(t.tempo),
+          t.track_genre).mkString(",")
+      }
+    }
+    header.union(body).coalesce(1).write.mode(SaveMode.Overwrite).text(path)
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = args(0).toDouble
     val outDir = args(1)

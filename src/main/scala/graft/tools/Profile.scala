@@ -11,15 +11,12 @@ object Profile {
     val name = if (args.nonEmpty) args(0) else "bpe_merges"
     val reps = if (args.length > 1) args(1).toInt else 3
     val noAqe = args.contains("noaqe")
-    val builder = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-    if (noAqe) builder.config("spark.sql.adaptive.enabled", "false")
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.GraftSession.build("local[32]", "graft-profile",
+      dataDir = Some(dir), cores = 32)
+    // AQE is a runtime-settable SQL conf; toggle on the built session
+    if (noAqe) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
     (1 to reps).foreach { r =>
       val t0 = System.nanoTime()
