@@ -136,6 +136,50 @@ object Dedup {
        |FROM hashed JOIN canon ON hashed.content_hash = canon.content_hash
        |ORDER BY doc_id""".stripMargin
 
+  /** §2.113 bloom-prefiltered incremental exact dedup: the 100 TB
+    * daily-increment shape. The new batch (doc_id % 5 == 4, the
+    * [[dedupIncremental]] convention) is the small side; its content
+    * hashes build a [[graft.functions.BloomAgg]] bloom (one mergeable
+    * aggregate — map-side partial blooms OR-ed in the reduce), and the
+    * 1-row bloom broadcasts over the corpus-sized index scan, pruning
+    * it to rows that MIGHT match before any shuffle. Blooms have no
+    * false negatives, so the downstream exact-join verdicts are
+    * identical to the bloom-free formulation (the oracle) — at 1%
+    * false-positive sizing the index side of the equi-join shrinks
+    * from |corpus| to ≈ |matches| + 1% of |corpus|, which is the
+    * difference between shuffling 100 TB and shuffling a day's worth.
+    * Spark's AQE runtime bloom join applies the same trick only when
+    * its cost model fires; building it explicitly makes the pruning
+    * unconditional and the bloom reusable across the day's queries. */
+  def dedupBloom(docs: DataFrame): DataFrame = {
+    import graft.functions.BloomFilter.{bloom_agg, bloom_contains}
+    val isNew = col("doc_id") % 5 === 4
+    val hashed = docs.select(col("doc_id"),
+      hash64(normalize(col("text"))).as("content_hash"))
+    val nw = hashed.filter(isNew)
+    val idx = hashed.filter(!isNew)
+    val bloom = nw.agg(bloom_agg(col("content_hash")).as("bf"))
+    val candIdx = idx.crossJoin(broadcast(bloom)) // 1-row tiny-stat broadcast
+      .filter(bloom_contains(col("bf"), col("content_hash")))
+    val matches = candIdx.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("match_id"))
+    // |matches| ≤ |new batch| + bloom false positives — always small
+    nw.join(broadcast(matches), Seq("content_hash"), "left")
+      .select(col("doc_id"), col("match_id").isNotNull.as("is_duplicate"),
+        col("match_id"))
+      .orderBy("doc_id")
+  }
+
+  val dedupBloomSql: String =
+    s"""WITH hashed AS (SELECT doc_id, ${hash64Sql(normalizeSql("text"))} AS content_hash
+       |  FROM documents),
+       |m AS (SELECT content_hash, min(doc_id) AS match_id
+       |  FROM hashed WHERE doc_id % 5 != 4 GROUP BY content_hash)
+       |SELECT n.doc_id, m.match_id IS NOT NULL AS is_duplicate, m.match_id
+       |FROM hashed n LEFT JOIN m ON n.content_hash = m.content_hash
+       |WHERE n.doc_id % 5 = 4
+       |ORDER BY n.doc_id""".stripMargin
+
   // ---- SimHash ----
   /** Signature width. SimHash bits must scale like ~2·log₂(n) to hold
     * the random-pair false-positive rate constant: at 32 bits this

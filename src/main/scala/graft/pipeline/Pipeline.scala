@@ -198,6 +198,58 @@ object Pipeline {
        |        FROM documents) t0) t1
        |ORDER BY lang, doc_id""".stripMargin
 
+  /** §2.112 context-window chunking: split each document into
+    * fixed-width token windows with overlap (window 64, stride 48 →
+    * 16-token overlap), the preprocessing step that turns documents
+    * into model-context-sized training sequences while preserving
+    * cross-boundary context. Emits (doc_id, chunk_idx, chunk_start,
+    * chunk_tokens, chunk_hash) — the hash is the portable md5-based
+    * fingerprint so downstream chunk-level exact dedup composes
+    * directly. One scan, zero shuffle: the explode is per-row fan-out
+    * (≤ n/stride + 1 chunks per doc) and every chunk column is
+    * codegen'd arithmetic over the token array — at 100 TB this is a
+    * map-only stage that pipelines into the corpus writer.
+    *
+    * Boundary semantics: a doc with n ≤ window tokens is exactly one
+    * chunk (possibly short); otherwise chunk i starts at i·stride and
+    * the last chunk starts at stride·⌈(n−window)/stride⌉, covering the
+    * tail (possibly shorter than window, never empty). */
+  val ChunkWindow = 64
+  val ChunkStride = 48
+
+  def docChunk(spark: SparkSession, dir: String): DataFrame = {
+    val lastIdx = greatest(
+      ceil((col("n_toks") - lit(ChunkWindow)).cast("double") / ChunkStride)
+        .cast("long"), lit(0L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), lastIdx)))
+      .withColumn("chunk", slice(col("toks"),
+        (col("chunk_idx") * ChunkStride + 1).cast("int"), lit(ChunkWindow)))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).as("chunk_start"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        hash64(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val docChunkSql: String = {
+    val sliceE = s"list_slice(toks, chunk_idx * $ChunkStride + 1, " +
+      s"chunk_idx * $ChunkStride + $ChunkWindow)"
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |e AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+       |c AS (SELECT doc_id, toks,
+       |    unnest(generate_series(0, greatest(
+       |      CAST(ceil((n_toks - $ChunkWindow) / ${ChunkStride}.0) AS BIGINT), 0))) AS chunk_idx
+       |  FROM e)
+       |SELECT doc_id, chunk_idx, chunk_idx * $ChunkStride AS chunk_start,
+       |  CAST(len($sliceE) AS BIGINT) AS chunk_tokens,
+       |  ${hash64Sql(s"array_to_string($sliceE, ' ')")} AS chunk_hash
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** §2.60 the corpus-construction flagship: one composed pass that a
     * training-data pipeline actually runs — language-consistency
     * filter × quality threshold × exact-dedup-canonical × deterministic

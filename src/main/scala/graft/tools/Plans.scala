@@ -44,7 +44,11 @@ object Plans {
         graft.Caches.clearAll() // per-query cost, not memoized reuse
         val df = fn(spark, dir)
         if (executed) {
-          df.count() // materialize so AQE finalizes every sub-plan
+          // Execute THIS dataframe's physical plan (toRdd = the plan's own
+          // execute()); df.count() would build a separate QueryExecution and
+          // leave this one's AdaptiveSparkPlan unfinalized (isFinalPlan=false,
+          // no runtime broadcast conversions / coalescing / skew splits).
+          df.queryExecution.toRdd.count()
           // executedPlan.toString prints the FINAL plan first, then the
           // initial plan section — keep only the final section
           sb.append(df.queryExecution.executedPlan.toString

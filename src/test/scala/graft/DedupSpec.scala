@@ -211,4 +211,25 @@ class DedupSpec extends AnyFunSuite {
       assert(plan.contains("Bucketed: true"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("dedup_bloom: verdicts identical to the bloom-free exact formulation") {
+    import graft.text.TextFunctions.{hash64, normalize}
+    val docs = Tables.documents(spark, sf)
+    val got = Dedup.dedupBloom(docs).collect().map(_.toSeq).toSeq
+    // bloom-free reference: plain left join new-batch hashes against
+    // index hashes (the oracle formulation)
+    val hashed = docs.select(col("doc_id"),
+      hash64(normalize(col("text"))).as("content_hash"))
+    val isNew = col("doc_id") % 5 === 4
+    val want = hashed.filter(isNew)
+      .join(hashed.filter(!isNew).groupBy("content_hash")
+        .agg(min("doc_id").as("match_id")), Seq("content_hash"), "left")
+      .select(col("doc_id"), col("match_id").isNotNull.as("is_duplicate"),
+        col("match_id"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // the batch has planted near-dup COPIES (GenData/driver corpus), so
+    // some exact dups must exist for the test to be non-vacuous at sf
+    assert(got.nonEmpty)
+  }
 }

@@ -101,4 +101,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(vm == Seq(1.0, 1.0))
     assert(kmv.length == 4 && kmv == kmv.sorted)
   }
+
+  test("bloom filter: no false negatives, low false-positive rate, partition-invariant") {
+    import graft.functions.BloomFilter.{bloom_agg, bloom_contains}
+    val members = (0 until 1000).map(i => i * 7919L + 13L)
+    val bloomDf = members.toDF("h").agg(bloom_agg(col("h")).as("bf"))
+    val bloom = bloomDf.head().getAs[Array[Byte]](0)
+    // no false negatives: every member must be contained
+    val missed = members.toDF("h").crossJoin(broadcast(bloomDf))
+      .filter(!bloom_contains(col("bf"), col("h"))).count()
+    assert(missed == 0, "bloom reported a member absent — false negative")
+    // false positives: 2^20 bits, k=5, n=1000 → fpp ≈ (1-e^(-5k/m))^5 ~ 1e-11;
+    // allow a generous margin over 10k non-members
+    val nonMembers = (0 until 10000).map(i => i * 104729L + 7L)
+      .filterNot(members.contains(_))
+    val fp = nonMembers.toDF("h").crossJoin(broadcast(bloomDf))
+      .filter(bloom_contains(col("bf"), col("h"))).count()
+    assert(fp <= 5, s"false-positive count $fp too high for this sizing")
+    // merge correctness: the bloom is a bitwise OR, so partitioning must
+    // not change the result (map-side partials merge losslessly)
+    val bloom8 = members.toDF("h").repartition(8)
+      .agg(bloom_agg(col("h")).as("bf")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(bloom, bloom8),
+      "bloom bytes differ under repartitioning — merge is not lossless")
+  }
 }

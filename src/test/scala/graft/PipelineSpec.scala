@@ -175,4 +175,60 @@ class PipelineSpec extends AnyFunSuite {
     val manifest = Pipeline.corpusManifest(spark, sf).collect().map(_.toSeq).toSeq
     assert(viaFrames == manifest)
   }
+
+  test("doc_chunk: window/stride boundary semantics") {
+    import graft.text.TextFunctions.tokens
+    val W = Pipeline.ChunkWindow
+    val S = Pipeline.ChunkStride
+    val chunks = Pipeline.docChunk(spark, sf)
+    val nToks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+    val joined = chunks.join(nToks, "doc_id").cache()
+    try {
+      // every chunk starts at idx*stride and holds 1..W tokens
+      assert(joined.filter(col("chunk_start") =!= col("chunk_idx") * S).count() == 0)
+      assert(joined.filter(col("chunk_tokens") < 1 || col("chunk_tokens") > W).count() == 0)
+      // chunk count per doc = 1 + ceil(max(n-W,0)/S)
+      val bad = joined.groupBy("doc_id").agg(
+          count(lit(1)).as("got"), first("n").as("n"))
+        .withColumn("want", lit(1) +
+          greatest(ceil((col("n") - W).cast("double") / S), lit(0.0)).cast("long"))
+        .filter(col("got") =!= col("want"))
+      assert(bad.count() == 0)
+      // the last chunk reaches exactly the end of the doc
+      val lastBad = joined.groupBy("doc_id").agg(
+          max(col("chunk_start") + col("chunk_tokens")).as("covered"),
+          first("n").as("n"))
+        .filter(col("covered") =!= col("n"))
+      assert(lastBad.count() == 0)
+      // short docs (n <= W) are exactly one whole-doc chunk
+      val short1 = joined.filter(col("n") <= W)
+      assert(short1.filter(col("chunk_idx") =!= 0).count() == 0)
+      assert(short1.filter(col("chunk_tokens") =!= col("n")).count() == 0)
+    } finally joined.unpersist()
+  }
+
+  test("doc_chunk hashes match independently sliced token windows") {
+    import graft.text.TextFunctions.{hash64, tokens}
+    val W = Pipeline.ChunkWindow
+    val S = Pipeline.ChunkStride
+    // recompute each chunk hash from the raw text with a separate
+    // slice expression (posexplode over starts instead of sequence)
+    val docs = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val want = docs
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        greatest(ceil((col("n") - W).cast("double") / S).cast("long"), lit(0L)))))
+      .select(col("doc_id"), col("chunk_idx"),
+        hash64(concat_ws(" ",
+          slice(col("toks"), (col("chunk_idx") * S + 1).cast("int"), lit(W))))
+          .as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = Pipeline.docChunk(spark, sf)
+      .join(docs.select("doc_id"), "doc_id")
+      .select("doc_id", "chunk_idx", "chunk_hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
 }
