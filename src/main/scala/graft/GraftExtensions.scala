@@ -105,6 +105,12 @@ object GraftFunctions {
     ("graft_to_double_array",
       new ExpressionInfo(classOf[ToDoubleArray].getName, "graft_to_double_array"),
       (es: Seq[Expression]) => ToDoubleArray(es.head)),
+    ("graft_quantize_i8",
+      new ExpressionInfo(classOf[QuantizeI8].getName, "graft_quantize_i8"),
+      (es: Seq[Expression]) => QuantizeI8(es.head)),
+    ("graft_bloom_contains",
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      (es: Seq[Expression]) => BloomContains(es.head, es(1))),
     // aggregates: the analyzer wraps a returned AggregateFunction in
     // AggregateExpression automatically
     ("graft_kmv",
@@ -115,7 +121,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => MinKStrings(es.head, intArg(es(1), "k"))),
     ("graft_vector_mean",
       new ExpressionInfo(classOf[VectorMean].getName, "graft_vector_mean"),
-      (es: Seq[Expression]) => VectorMean(es.head, intArg(es(1), "scale"))))
+      (es: Seq[Expression]) => VectorMean(es.head, intArg(es(1), "scale"))),
+    ("graft_bloom_agg",
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
+      (es: Seq[Expression]) => BloomAgg(es.head, intArg(es(1), "numBits"),
+        BloomContains.NumHashes)))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

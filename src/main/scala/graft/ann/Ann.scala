@@ -106,6 +106,54 @@ object Ann {
        |  FROM scored) t
        |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
 
+  /** §2.120 int8 scalar-quantized brute-force top-k (the FAISS-SQ8
+    * memory-bandwidth path): every vector is symmetric-quantized once
+    * (scale = 127/max|xᵢ|, components round half-away-from-zero — the
+    * compiled [[graft.functions.QuantizeI8]] kernel), and scoring runs
+    * entirely on the quantized representation — cosine = q_a·q_b /
+    * (|q_a||q_b|), exact integer dots folded in the DotProductFold
+    * kernel. At 100 TB of float32 embeddings the scan is memory-bound,
+    * and the int8 codebook is 4× smaller — the standard first rung of
+    * the ANN compression ladder (before PQ), here with its recall
+    * MEASURED against the exact scan (AnnRecallSpec) instead of
+    * assumed. Same plan shape as [[bruteForceTopK]]: nq query rows
+    * broadcast against one linear scan, per-query top-k window. */
+  def sq8TopK(embeddings: DataFrame, nq: Int = 5, k: Int = 10): DataFrame = {
+    val v = embeddings.select(col("vec_id"),
+      graft.functions.native.quantize_i8(col("embedding")).as("q"))
+      .withColumn("qn", sqrt(dotCol(col("q"), col("q"))))
+    val q = v.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("qn").as("qqn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("qcosine"), asc("vec_id"))
+    v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("qcosine",
+        round(dotCol(col("qq"), col("q")) / (col("qqn") * col("qn")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "vec_id", "qcosine")
+      .orderBy("q_id", "rk")
+  }
+
+  def sq8TopKSql(nq: Int = 5, k: Int = 10): String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings),
+       |m AS (SELECT vec_id, ed,
+       |    list_max(list_transform(ed, x -> abs(x))) AS mx FROM e),
+       |v AS (SELECT vec_id, list_transform(ed,
+       |    x -> round(x * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END))) AS q
+       |  FROM m),
+       |n AS (SELECT vec_id, q, sqrt(${dotSql("q", "q")}) AS qn FROM v),
+       |qs AS (SELECT vec_id AS q_id, q AS qq, qn AS qqn FROM n WHERE vec_id < $nq),
+       |scored AS (SELECT qs.q_id, n.vec_id,
+       |    round(${dotSql("qs.qq", "n.q")} / (qs.qqn * n.qn), 6) AS qcosine
+       |  FROM n JOIN qs ON n.vec_id != qs.q_id)
+       |SELECT q_id, rk, vec_id, qcosine FROM (
+       |  SELECT q_id, vec_id, qcosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY qcosine DESC, vec_id) AS rk
+       |  FROM scored) t
+       |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+
   // ---- deterministic random-hyperplane LSH ----
 
   /** Default plane count for the test corpus (sf ≤ 0.1: n ≈ 5000

@@ -131,7 +131,12 @@ object Ivf {
       .orderBy("q_id", "rk")
   }
 
-  def ivfTopKSql(nq: Int = 5, k: Int = 10): String = {
+  /** The shared oracle-SQL prefix: vector widening, deterministic
+    * k-means init + `Iters` Lloyd rounds, and the final `assigned`
+    * inverted-list CTE. Returns (CTE body, final-centroid CTE name) so
+    * both [[ivfTopKSql]] and [[SemDedup.semanticDedupSql]] replay the
+    * SAME training. */
+  private[ann] def lloydPrefixSql: (String, String) = {
     val vSql =
       s"""SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
          |    ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nrm
@@ -153,14 +158,21 @@ object Ivf {
       roundSql(if (i == 0) "c0n" else s"c${i}n", s"a$i", s"c${i + 1}")
     }.mkString(",\n")
     val fin = s"c${Iters}n"
-    s"""WITH v AS ($vSql),
-       |c0n AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < $K),
-       |$rounds,
-       |assigned AS (SELECT vec_id, cid, e, nrm FROM (
-       |  SELECT v.vec_id, c.cid, v.e, v.nrm,
-       |    row_number() OVER (PARTITION BY v.vec_id
-       |      ORDER BY ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC, c.cid) AS rk
-       |  FROM v CROSS JOIN $fin c) t WHERE rk = 1),
+    val body =
+      s"""v AS ($vSql),
+         |c0n AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < $K),
+         |$rounds,
+         |assigned AS (SELECT vec_id, cid, e, nrm FROM (
+         |  SELECT v.vec_id, c.cid, v.e, v.nrm,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC, c.cid) AS rk
+         |  FROM v CROSS JOIN $fin c) t WHERE rk = 1)""".stripMargin
+    (body, fin)
+  }
+
+  def ivfTopKSql(nq: Int = 5, k: Int = 10): String = {
+    val (prefix, fin) = lloydPrefixSql
+    s"""WITH $prefix,
        |probes AS (SELECT q_id, qe, qn, cid FROM (
        |  SELECT v.vec_id AS q_id, v.e AS qe, v.nrm AS qn, c.cid,
        |    row_number() OVER (PARTITION BY v.vec_id

@@ -1,0 +1,94 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import Ann.{dotCol, dotSql}
+
+/** Semantic (embedding-space) deduplication, SemDeDup-style —
+  * SURVEY.md §2 item 119.
+  *
+  * The third dedup modality next to lexical (MinHash/SimHash) and
+  * LSH-bucketed cosine ([[Ann.embedCosinePairs]]): cluster the corpus
+  * with the IVF coarse quantizer ([[Ivf.trainCentroids]] — k-means is
+  * the published SemDeDup blocking choice precisely because semantic
+  * duplicates land in the same cell far more reliably than in a random
+  * hyperplane bucket), then within each cluster mark every member that
+  * has a MORE CENTRAL near-duplicate (pair cosine ≥ θ) as a duplicate
+  * of its best such neighbor. "More central" = higher cosine to the
+  * shared centroid, ties to the lower vec_id — so each dense semantic
+  * neighborhood keeps exactly its most prototypical member, and the
+  * decision is a deterministic total order (no iteration, unlike
+  * connected components; a chain a→b→c resolves greedily per member,
+  * the documented SemDeDup behavior).
+  *
+  * Scale shape: centroid training + assignment are the linear
+  * broadcast-centroid scans of §2.73; the only pair work is the
+  * in-cluster self-join — candidates O(n · n/K) with K chosen so
+  * n/K stays constant as n grows (the same blocking law as LSH
+  * buckets/chunks; SemDeDup at 5 B docs uses K ≈ 10⁵ for exactly this
+  * reason). A hot cluster is genuine semantic mass: its pair output is
+  * itself dense, and AQE skew-split divides the join work. Centrality
+  * and pair cosines are 6 dp-rounded IEEE doubles, identical in the
+  * DuckDB oracle's replay of the full deterministic k-means.
+  */
+object SemDedup {
+
+  val MinCos = 0.25
+
+  /** §2.119 per-vector semantic-dedup verdicts:
+    * (vec_id, cid, cent_cos, is_dup, dup_of, dup_cos), ordered by id.
+    * `dup_of` = the most central qualifying neighbor (cent_cos desc,
+    * vec_id asc) among in-cluster members more central than this one;
+    * null ⇒ this member is kept. */
+  def semanticDedup(embeddings: DataFrame, minCos: Double = MinCos): DataFrame = {
+    val v = Ivf.vecsD(embeddings)
+    val cent = Ivf.trainCentroids(embeddings)
+    val wc = Ivf.assignNearest(v, cent)
+      .join(broadcast(cent), "cid")
+      .withColumn("cent_cos",
+        round(dotCol(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
+      .select("cid", "vec_id", "e", "nrm", "cent_cos")
+    val a = wc.select(col("cid"), col("vec_id").as("id_a"), col("e").as("ea"),
+      col("nrm").as("na"), col("cent_cos").as("ca"))
+    val b = wc.select(col("cid"), col("vec_id").as("id_b"), col("e").as("eb"),
+      col("nrm").as("nb"), col("cent_cos").as("cb"))
+    // qualifying deferrals: b strictly outranks a in the centrality order
+    val best = a.join(b, Seq("cid"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(struct(col("cb"), -col("id_b")) > struct(col("ca"), -col("id_a")))
+      .withColumn("cosine",
+        round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= minCos)
+      .groupBy("id_a")
+      .agg(max_by(struct(col("id_b"), col("cosine")),
+        struct(col("cb"), -col("id_b"))).as("m"))
+      .select(col("id_a").as("vec_id"), col("m.id_b").as("dup_of"),
+        col("m.cosine").as("dup_cos"))
+    wc.join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("cent_cos"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"), col("dup_cos"))
+      .orderBy("vec_id")
+  }
+
+  def semanticDedupSql(minCos: Double = MinCos): String = {
+    val (prefix, fin) = Ivf.lloydPrefixSql
+    s"""WITH $prefix,
+       |wc AS (SELECT a.cid, a.vec_id, a.e, a.nrm,
+       |    round(${dotSql("a.e", "c.ce")} / (a.nrm * c.cn), 6) AS cent_cos
+       |  FROM assigned a JOIN $fin c ON a.cid = c.cid),
+       |prs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, y.cent_cos AS cb,
+       |    round(${dotSql("x.e", "y.e")} / (x.nrm * y.nrm), 6) AS cosine
+       |  FROM wc x JOIN wc y ON x.cid = y.cid AND x.vec_id != y.vec_id
+       |  WHERE (y.cent_cos > x.cent_cos
+       |         OR (y.cent_cos = x.cent_cos AND y.vec_id < x.vec_id))
+       |    AND round(${dotSql("x.e", "y.e")} / (x.nrm * y.nrm), 6) >= $minCos),
+       |best AS (SELECT id_a, id_b AS dup_of, cosine AS dup_cos FROM (
+       |  SELECT id_a, id_b, cosine,
+       |    row_number() OVER (PARTITION BY id_a ORDER BY cb DESC, id_b) AS rk
+       |  FROM prs) t WHERE rk = 1)
+       |SELECT w.vec_id, w.cid, w.cent_cos,
+       |  b.dup_of IS NOT NULL AS is_dup, b.dup_of, b.dup_cos
+       |FROM wc w LEFT JOIN best b ON w.vec_id = b.id_a
+       |ORDER BY w.vec_id""".stripMargin
+  }
+}

@@ -566,6 +566,46 @@ case class DotProductFold(left: Expression, right: Expression)
       l: Expression, r: Expression): DotProductFold = copy(l, r)
 }
 
+/** Symmetric int8 scalar quantization of an embedding (FAISS-SQ8
+  * shape): scale = 127 / max|xᵢ| per vector, qᵢ = round(xᵢ·scale)
+  * half-away-from-zero ∈ [−127, 127]. Emits the quantized components
+  * as INTEGER-VALUED doubles so the existing [[DotProductFold]] kernel
+  * scores them exactly (|q·q| ≤ 127²·dim ≪ 2⁵³) and the DuckDB oracle
+  * replays the identical computation — the on-disk representation of
+  * this codebook is a byte array (4× smaller than float32, the point
+  * at 100 TB of embeddings); the double rendering is the compute
+  * format. Half-away-from-zero matches BOTH Spark's `round` (BigDecimal
+  * HALF_UP) and DuckDB's `round` on doubles. An all-zero vector
+  * quantizes to all zeros (scale 0), never NaN. */
+case class QuantizeI8(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def compute(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+      if (x > mx) mx = x
+      i += 1
+    }
+    val scale = if (mx == 0.0) 0.0 else 127.0 / mx
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val x = (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) * scale
+      out(i) = if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): QuantizeI8 =
+    copy(child = c)
+}
+
 /** Count of positions where two long arrays agree — the MinHash
   * signature-agreement statistic (est_jaccard numerator), replacing
   * the interpreted aggregate(zip_with(sa, sb, equal?1:0), 0, +) fold.
@@ -625,4 +665,5 @@ object native {
     column(LongSliceJoin(expression(c), start0, len, sep))
   def poly_hash_chars(c: Column): Column = column(PolyHashChars(expression(c)))
   def to_double_array(c: Column): Column = column(ToDoubleArray(expression(c)))
+  def quantize_i8(c: Column): Column = column(QuantizeI8(expression(c)))
 }

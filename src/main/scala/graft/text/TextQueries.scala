@@ -451,11 +451,15 @@ object TextQueries {
     * counts) routes each probe row to exactly one side, and the union
     * of (head hits) and (misses ⋈ tail) equals the direct join for
     * both `inner` and `left` types. Head selection is deterministic:
-    * ties on the frequency column break by key. */
-  private def zipfHeadTailJoin(big: DataFrame, lm: DataFrame,
+    * ties on the frequency column break by key.
+    *
+    * `split = false` degenerates to the direct `big ⋈ lm` join — see
+    * [[useZipfSplit]] for when and why. */
+  private[graft] def zipfHeadTailJoin(big: DataFrame, lm: DataFrame,
       keys: Seq[String], freqCol: String, joinType: String,
-      headK: Int = ZipfHeadK): DataFrame = {
+      split: Boolean = true, headK: Int = ZipfHeadK): DataFrame = {
     require(joinType == "inner" || joinType == "left", joinType)
+    if (!split) return big.join(lm, keys, joinType)
     val valCols = lm.columns.filterNot(keys.contains).toSeq
     val head = lm.orderBy((col(freqCol).desc +: keys.map(col)): _*).limit(headK)
     val tail = lm.join(broadcast(head.select(keys.map(col): _*)), keys, "left_anti")
@@ -468,6 +472,30 @@ object TextQueries {
   /** Head size: bounded (broadcast-safe at any corpus size) yet big
     * enough that a Zipfian corpus resolves almost all tokens map-side. */
   private val ZipfHeadK = 4096
+
+  /** Stats-driven strategy gate for the head/tail split — the decision
+    * a cost-based optimizer makes from table stats, made here from the
+    * input size the session already stats for shuffle sizing (§5).
+    *
+    * The split only PAYS when the full LM exceeds the broadcast
+    * threshold: below it, Spark broadcasts the whole LM anyway (the
+    * direct join is already map-side and shuffle-free) and the split's
+    * extra stages (top-K selection, anti-join, two-branch union) are
+    * pure overhead — measured at sf1 on this 31-word-vocabulary
+    * corpus: text_entropy 6.3→8.0 s, text_entropy2 4.0→8.6 s (§6
+    * round-5 negative result). A corpus big enough to push vocabulary
+    * past broadcast size (empirically ≥ ~1 GB of raw text → ≥ ~10⁶
+    * distinct tokens ≈ tens of MB of LM) flips the economics: the
+    * direct join must hash-shuffle the ENTIRE token stream, and the
+    * split's broadcast head resolves the Zipf bulk map-side. Falls
+    * back to the split (the safe-at-scale choice) when the local stat
+    * call fails (e.g. non-local filesystem on a cluster, where the
+    * deployment would substitute a `getContentSummary` stat). */
+  private[graft] val ZipfSplitMinDocBytes: Long = 1L << 30
+  private[graft] def useZipfSplit(dir: String): Boolean =
+    (try org.apache.commons.io.FileUtils.sizeOf(
+        new java.io.File(s"$dir/documents.parquet"))
+     catch { case _: Exception => Long.MaxValue }) >= ZipfSplitMinDocBytes
 
   /** §2.95 unigram cross-entropy scoring: per-document mean −log₂ p(tok)
     * under the corpus's own unigram LM — the perplexity-style quality
@@ -489,7 +517,7 @@ object TextQueries {
       .select(col("doc_id"), explode(tokens(normalize(col("text")))).as("tok"))
     val lm = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val tot = lm.agg(sum("c").cast("double").as("n"))
-    zipfHeadTailJoin(toks, lm, Seq("tok"), "c", "inner")
+    zipfHeadTailJoin(toks, lm, Seq("tok"), "c", "inner", useZipfSplit(dir))
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -537,8 +565,8 @@ object TextQueries {
     val blm = bi.groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
     val ctx = blm.groupBy("prev").agg(sum("cb").as("cc"))
     zipfHeadTailJoin(
-        zipfHeadTailJoin(bi, blm, Seq("prev", "tok"), "cb", "inner"),
-        ctx, Seq("prev"), "cc", "inner")
+        zipfHeadTailJoin(bi, blm, Seq("prev", "tok"), "cb", "inner", useZipfSplit(dir)),
+        ctx, Seq("prev"), "cc", "inner", useZipfSplit(dir))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg((log(col("cc").cast("double")) - log(col("cb").cast("double")))
@@ -570,7 +598,7 @@ object TextQueries {
     val lm = train.groupBy("tok").agg(count(lit(1)).as("c"))
     val stats = lm.agg(sum("c").as("n"), count(lit(1)).as("v"))
     zipfHeadTailJoin(toks.filter(col("doc_id") % 5 === 0), lm,
-        Seq("tok"), "c", "left")
+        Seq("tok"), "c", "left", useZipfSplit(dir))
       .crossJoin(broadcast(stats))
       .withColumn("c1", coalesce(col("c"), lit(0L)) + 1)
       .groupBy("doc_id")

@@ -113,4 +113,23 @@ class AnnRecallSpec extends AnyFunSuite {
     val mp = Ann.lshTopKMultiProbe(planted, NQ, K, 8, 1).collect().map(_.toSeq)
     assert(sp.toSeq == mp.toSeq)
   }
+
+  test("sq8 quantized scan: recall@10 >= 0.95, quantized cosines within SQ8 error") {
+    val brute = topIds(Ann.bruteForceTopK(planted, NQ, K))
+    val sq8 = Ann.sq8TopK(planted, NQ, K)
+    val rec = recallVs(brute, topIds(sq8))
+    // int8 symmetric quantization of 64-dim unit vectors perturbs each
+    // cosine by ~||ε|| ≈ (1/127)·√(dim)/√12 ≈ 0.02 — far below the
+    // planted 0.95-vs-random gap, so the exact top-k survives
+    assert(rec >= 0.95, s"SQ8 recall@$K = $rec")
+    // quantized cosine tracks the exact cosine within the error bound
+    val exact = Ann.bruteForceTopK(planted, NQ, K).select("q_id", "vec_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = sq8.select("q_id", "vec_id", "qcosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val common = exact.keySet.intersect(approx.keySet)
+    assert(common.nonEmpty)
+    val maxErr = common.map(k => math.abs(exact(k) - approx(k))).max
+    assert(maxErr <= 0.05, s"max |cos - qcos| = $maxErr")
+  }
 }

@@ -48,4 +48,43 @@ class IvfSpec extends AnyFunSuite {
     val b = Ivf.ivfTopK(Tables.embeddings(spark, sf)).collect().toSeq
     assert(a == b)
   }
+
+  test("semantic dedup: verdicts are sound, complete, and keep the most central") {
+    import graft.ann.SemDedup
+    val emb = Tables.embeddings(spark, sf)
+    val out = SemDedup.semanticDedup(emb)
+    val rows = out.collect()
+    assert(rows.length == emb.count())
+    val dups = rows.filter(_.getBoolean(3))
+    assert(dups.nonEmpty, "planted near-dup embeddings must produce duplicates")
+    // brute-force reference: recompute every in-cluster qualifying pair
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap // vec_id -> (cid, cent_cos)
+    val v = Ivf.vecsD(emb).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1).toArray, r.getDouble(2))).toMap
+    def cos(i: Long, j: Long): Double = {
+      val (ei, ni) = v(i); val (ej, nj) = v(j)
+      val d = ei.zip(ej).map { case (x, y) => x * y }.sum
+      BigDecimal(d / (ni * nj)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ord = Ordering.Tuple2[Double, Long]
+    def rank(id: Long): (Double, Long) = (byId(id)._2, -id) // higher = more central
+    for (r <- rows) {
+      val id = r.getLong(0); val cid = r.getLong(1)
+      val better = byId.collect { case (j, (cj, _)) if cj == cid && j != id &&
+        ord.gt(rank(j), rank(id)) && cos(id, j) >= SemDedup.MinCos => j }.toSeq
+      if (r.getBoolean(3)) {
+        val dupOf = r.getLong(4)
+        assert(better.contains(dupOf), s"$id defers to non-qualifying $dupOf")
+        assert(rank(dupOf) == better.map(rank).max(ord), s"$id not deferring to best")
+        assert(r.getDouble(5) == cos(id, dupOf))
+      } else {
+        assert(better.isEmpty, s"$id kept despite more-central near-dup")
+      }
+    }
+    // the most central member of each cluster can never be a duplicate
+    rows.groupBy(_.getLong(1)).values
+      .map(_.maxBy(r => (r.getDouble(2), -r.getLong(0)))(ord))
+      .foreach(r => assert(!r.getBoolean(3)))
+  }
 }

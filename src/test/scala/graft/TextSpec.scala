@@ -180,4 +180,46 @@ class TextSpec extends AnyFunSuite {
     assert(rows(10L)._2 == 1.0 && rows(10L)._3 == r4(bits(0)), "pure-OOV doc: all UNK mass")
     assert(rows(0L)._2 == 0.5 && rows(0L)._3 == r4((bits(3) + bits(0)) / 2))
   }
+
+  test("zipf head/tail split: identical to the direct join, head is broadcast") {
+    import graft.text.TextFunctions.{normalize, tokens}
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(tokens(normalize(col("text")))).as("tok"))
+    val lm = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // tiny headK forces a NON-EMPTY tail (vocab > 3), exercising both
+    // branches of the union — the production shape where the LM
+    // exceeds broadcast size and only its head broadcasts
+    val split = TextQueries.zipfHeadTailJoin(toks, lm, Seq("tok"), "c",
+        "inner", split = true, headK = 3)
+      .groupBy("doc_id").agg(sum("c").as("s"), count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    val direct = TextQueries.zipfHeadTailJoin(toks, lm, Seq("tok"), "c",
+        "inner", split = false)
+      .groupBy("doc_id").agg(sum("c").as("s"), count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(split == direct)
+    // left-join parity with probe keys missing from the LM (OOV shape)
+    val probe = toks.unionByName(Seq((-1L, "zz-oov")).toDF("doc_id", "tok"))
+    val sL = TextQueries.zipfHeadTailJoin(probe, lm, Seq("tok"), "c",
+        "left", split = true, headK = 3)
+      .groupBy("doc_id").agg(sum(coalesce(col("c"), lit(0L))).as("s"))
+      .collect().map(_.toSeq).toSet
+    val dL = TextQueries.zipfHeadTailJoin(probe, lm, Seq("tok"), "c",
+        "left", split = false)
+      .groupBy("doc_id").agg(sum(coalesce(col("c"), lit(0L))).as("s"))
+      .collect().map(_.toSeq).toSet
+    assert(sL == dL)
+    // the split's head join must be a broadcast on the probe side —
+    // that map-side resolution is the entire point at scale
+    val plan = TextQueries.zipfHeadTailJoin(toks, lm, Seq("tok"), "c",
+      "inner", split = true, headK = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("zipf split gate: off at local test scale, on past the byte threshold") {
+    assert(!TextQueries.useZipfSplit(sf),
+      "tiny test corpus must use the direct join")
+    assert(TextQueries.useZipfSplit("/nonexistent/dir"),
+      "unstatable input must fall back to the safe-at-scale split")
+  }
 }
