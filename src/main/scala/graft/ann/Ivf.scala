@@ -83,15 +83,28 @@ object Ivf {
     rows.toSeq.toDF("cid", "ce").withColumn("cn", normCol(col("ce")))
   }
 
-  /** Train the coarse quantizer: init = first K vectors, `Iters` fixed
-    * Lloyd rounds. Returns the final centroid frame (cid, ce, cn). */
-  def trainCentroids(embeddings: DataFrame, iters: Int = Iters): DataFrame = {
+  /** Train the coarse quantizer: init = first `k` vectors, `Iters`
+    * fixed Lloyd rounds. Returns the final centroid frame
+    * (cid, ce, cn). `k` defaults to the oracle-pinned [[K]];
+    * [[SemDedup]] passes its scaled count.
+    *
+    * `trainStride` > 1 trains on the deterministic vec_id % stride == 0
+    * subsample — standard coarse-quantizer practice (FAISS trains on
+    * 30–256 points per centroid): Lloyd cost drops from O(n·k) per
+    * round to O(sample·k) while the centroids stay representative;
+    * the full corpus still gets its one exact assignment pass.
+    * Stride 1 (the default, and always the oracle-SF case) is
+    * bit-identical to full training. Init filters WITHIN the sample so
+    * the seed vectors are sample members. */
+  def trainCentroids(embeddings: DataFrame, iters: Int = Iters,
+      k: Int = K, trainStride: Long = 1): DataFrame = {
     val spark = embeddings.sparkSession
     val v = vecsD(embeddings)
-    var cent = v.filter(col("vec_id") < K)
+    val t = if (trainStride <= 1) v else v.filter(col("vec_id") % trainStride === 0)
+    var cent = t.filter(col("vec_id") < k.toLong * trainStride)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
     for (_ <- 0 until iters)
-      cent = centFrame(spark, lloydRound(v, cent))
+      cent = centFrame(spark, lloydRound(t, cent))
     cent
   }
 

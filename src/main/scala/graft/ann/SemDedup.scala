@@ -35,6 +35,32 @@ object SemDedup {
 
   val MinCos = 0.25
 
+  /** Cluster-count sizing rule — the blocking law (§5): the in-cluster
+    * self-join generates O(Σ|cell|²) candidates, so cells must stay
+    * CONSTANT-sized as the corpus grows: K = ⌈n / targetCell⌉, total
+    * pair work O(n · targetCell) — linear. Floors at [[Ivf.K]], which
+    * makes the rule coincide with the DuckDB oracle's pinned K = 8 at
+    * the oracle SF (n = 500 → K = 8), the same fixed-vs-scaled
+    * coupling [[Ann.planesFor]] documents for LSH planes. At true
+    * corpus scale the O(n·K) assignment scan itself outgrows brute
+    * force — a deployment then assigns via a coarse ANN over the
+    * centroids (hierarchical k-means), changing nothing downstream. */
+  val TargetCell = 625
+  def kFor(n: Long, targetCell: Int = TargetCell): Int =
+    math.max(Ivf.K, math.ceil(n.toDouble / targetCell).toInt)
+
+  /** Lloyd-training subsample stride: cap the training set at
+    * max(5000, 50·K) vectors (≥50 points per centroid, the FAISS
+    * band), full set below the cap — so the oracle SF (n = 500)
+    * always trains on everything and replays exactly, while the
+    * per-round Lloyd cost at scale is O(cap·K), not O(n·K). The
+    * corpus-wide assignment stays one exact O(n·K) pass (its
+    * deployment-scale successor is an ANN lookup over the centroids —
+    * hierarchical k-means — which changes blocking quality only,
+    * never pair correctness). */
+  def strideFor(n: Long, k: Int): Long =
+    math.max(1L, n / math.max(5000L, 50L * k))
+
   /** §2.119 per-vector semantic-dedup verdicts:
     * (vec_id, cid, cent_cos, is_dup, dup_of, dup_cos), ordered by id.
     * `dup_of` = the most central qualifying neighbor (cent_cos desc,
@@ -42,7 +68,11 @@ object SemDedup {
     * null ⇒ this member is kept. */
   def semanticDedup(embeddings: DataFrame, minCos: Double = MinCos): DataFrame = {
     val v = Ivf.vecsD(embeddings)
-    val cent = Ivf.trainCentroids(embeddings)
+    // one metadata-cheap count (tiny-stat class) drives the K rule
+    val n = embeddings.count()
+    val k = kFor(n)
+    val cent = Ivf.trainCentroids(embeddings, k = k,
+      trainStride = strideFor(n, k))
     val wc = Ivf.assignNearest(v, cent)
       .join(broadcast(cent), "cid")
       .withColumn("cent_cos",

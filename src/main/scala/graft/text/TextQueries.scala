@@ -353,12 +353,13 @@ object TextQueries {
     * earlier rounds, the same lineage-cut ccBigSmallStar uses. The
     * DuckDB oracle replays each round's fold with a recursive CTE over
     * symbol positions. */
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val tc = Tables.documents(spark, dir)
-      .select(explode(tokens(normalize(col("text")))).as("tok"))
-      .filter(length(col("tok")) >= 2)
-      .groupBy("tok").agg(count(lit(1)).as("c"))
+  /** The shared BPE induction loop: `BpeRounds` top-pair selections +
+    * greedy folds over the distinct-token table. `foldLast` controls
+    * whether the final round's merge is applied to the symbols frame —
+    * [[bpeMerges]] only reports the picked pairs (the last fold has no
+    * consumer there); [[bpeEncode]] consumes the fully-merged symbols. */
+  private def learnAndFold(tc: DataFrame, foldLast: Boolean)
+      : (Seq[(Int, String, Long)], DataFrame) = {
     // lazy checkpoints: the materialization piggybacks each round's
     // top-pair job instead of running a second job per round
     var syms = tc.withColumn("symbols", split(col("tok"), ""))
@@ -372,14 +373,30 @@ object TextQueries {
         .select("p.a", "p.b", "n").head()
       val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((r, s"$a $b", n))
-      if (r < BpeRounds) // the last round's merge output has no consumer
+      if (r < BpeRounds || foldLast)
         syms = syms.withColumn("symbols", mergeCol(a, b)(col("symbols")))
           .localCheckpoint(eager = false)
     }
-    merges.toSeq.toDF("round", "pair", "n").orderBy("round")
+    (merges.toSeq, syms)
   }
 
-  val bpeMergesSql: String = {
+  private def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(normalize(col("text")))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, _) = learnAndFold(bpeTokenCounts(spark, dir), foldLast = false)
+    merges.toDF("round", "pair", "n").orderBy("round")
+  }
+
+  /** The shared oracle chain: tc + syms_0 + per-round (top pair, fold)
+    * CTEs — the WITH RECURSIVE body both [[bpeMergesSql]] and
+    * [[bpeEncodeSql]] build on (`syms_$BpeRounds` is the fully-merged
+    * vocabulary). */
+  private val bpeChainSql: String = {
     // one merge round: input CTE (tok, c, symbols LIST) → top pair +
     // fold via recursive CTE over symbol positions → output CTE
     def round(r: Int, in: String): String =
@@ -409,19 +426,69 @@ object TextQueries {
     val rounds = (1 to BpeRounds)
       .map(r => round(r, if (r == 1) "syms_0" else s"syms_${r - 1}"))
       .mkString(",\n")
-    val out = (1 to BpeRounds)
-      .map(r => s"SELECT $r AS round, a || ' ' || b AS pair, n FROM tp_$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH RECURSIVE tc AS (
+    s"""tc AS (
        |  SELECT tok, count(*) AS c FROM (
        |    SELECT unnest(${tokensSql(normalizeSql("text"))}) AS tok
        |    FROM documents) t
        |  WHERE length(tok) >= 2 GROUP BY tok),
        |syms_0 AS (SELECT tok, c, string_split(tok, '') AS symbols FROM tc),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val bpeMergesSql: String = {
+    val out = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS round, a || ' ' || b AS pair, n FROM tp_$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH RECURSIVE $bpeChainSql
        |$out
        |ORDER BY round""".stripMargin
   }
+
+  /** §2.121 BPE tokenizer application — the missing half of the
+    * §2.89/90 induction loop: encode every document with the learned
+    * merge table and measure the compression it buys. The encoding
+    * runs over the DISTINCT-token vocabulary only (the same
+    * fold-over-vocab trick as training: at 100 TB the corpus stream
+    * is trillions of tokens but the vocabulary is ~10⁶ rows, so the
+    * per-token symbol counts are computed once per distinct token and
+    * joined back — the token→dict join is the vocab-sized hash join
+    * every tokenizer-application pipeline has). Sub-2-char tokens
+    * bypass training (they have no pairs) and encode as themselves.
+    * Output per doc: token/char/symbol counts + symbols-per-char
+    * ratio (< 1 once merges bite; the corpus-mean ratio is the
+    * training objective BPE greedily descends). */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(normalize(col("text")))).as("tok"))
+    val (_, syms) = learnAndFold(bpeTokenCounts(spark, dir), foldLast = true)
+    val dict = syms.select(col("tok"), size(col("symbols")).cast("long").as("n_syms"))
+    // every >= 2-char token is in the dict by construction; sub-2-char
+    // tokens (no pairs, untouched by merges) encode as themselves via
+    // the left-join miss — no extra corpus-wide DISTINCT for them
+    toks.join(dict, Seq("tok"), "left")
+      .withColumn("n_syms", coalesce(col("n_syms"), length(col("tok")).cast("long")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok"))).cast("long").as("n_chars"),
+        sum(col("n_syms")).as("n_symbols"))
+      .withColumn("ratio",
+        round(col("n_symbols").cast("double") / col("n_chars"), 6))
+      .select("doc_id", "n_tokens", "n_chars", "n_symbols", "ratio")
+      .orderBy("doc_id")
+  }
+
+  val bpeEncodeSql: String =
+    s"""WITH RECURSIVE $bpeChainSql,
+       |dict AS (
+       |  SELECT tok, CAST(len(symbols) AS BIGINT) AS n_syms FROM syms_$BpeRounds),
+       |dtoks AS (SELECT doc_id, unnest(${tokensSql(normalizeSql("text"))}) AS tok
+       |  FROM documents)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+       |  CAST(sum(coalesce(n_syms, length(tok))) AS BIGINT) AS n_symbols,
+       |  round(sum(coalesce(n_syms, length(tok))) / CAST(sum(length(tok)) AS DOUBLE), 6) AS ratio
+       |FROM dtoks LEFT JOIN dict USING (tok)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** §2.31 document fingerprints: md5-derived 60-bit id + polynomial
     * rolling hash over the normalized character stream. */

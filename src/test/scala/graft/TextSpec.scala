@@ -216,6 +216,38 @@ class TextSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("bpe_encode matches an independent re-application of the learned merges") {
+    import graft.text.TextFunctions.{normalize, tokens}
+    val enc = TextQueries.bpeEncode(spark, sf)
+    // learned pairs from the sibling query (same training data/rounds)
+    val pairs = TextQueries.bpeMerges(spark, sf).collect()
+      .map(_.getString(1).split(" ")).map(p => (p(0), p(1)))
+    // independent recompute: apply the merges to EVERY corpus token
+    // occurrence directly (no distinct-vocab trick, no dict join)
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(tokens(normalize(col("text")))).as("tok"))
+    val merged = pairs.foldLeft(split(col("tok"), "")) { case (c, (a, b)) =>
+      TextQueries.testMerge(a, b)(c)
+    }
+    val want = toks
+      .withColumn("n_syms", when(length(col("tok")) >= 2, size(merged))
+        .otherwise(length(col("tok"))).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok"))).cast("long").as("n_chars"),
+        sum("n_syms").as("n_symbols"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = enc.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+    // merges only shrink, and every token is at least one symbol
+    enc.collect().foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "n_symbols > n_chars")
+      assert(r.getLong(3) >= r.getLong(1), "n_symbols < n_tokens")
+      assert(r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("zipf split gate: off at local test scale, on past the byte threshold") {
     assert(!TextQueries.useZipfSplit(sf),
       "tiny test corpus must use the direct join")
