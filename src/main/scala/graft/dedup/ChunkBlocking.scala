@@ -82,7 +82,15 @@ object ChunkBlocking {
     val subBits = (outBits + subChunks - 1) / subChunks
     require(subChunks * subBits >= outBits,
       s"sub-chunk layout unsound: $subChunks x $subBits < $outBits outside bits")
-    val chunkRows = sigs.select(col("doc_id"), col("sig"),
+    // The (doc_id, sig) frame is TINY (16 B/row) but computing it runs
+    // the expensive signature kernels (tokenize+SimHash / resize+pHash)
+    // over the whole corpus — and this plan references it from BOTH
+    // self-join sides plus the bucket-size stat. localCheckpoint cuts
+    // the lineage so the kernels run ONCE; the hot-bucket collect below
+    // piggybacks the materialization (the bpeMerges lazy-checkpoint
+    // pattern). Measured at sf1: dedup_simhash 14.2 → 8.4 s.
+    val sigsC = sigs.localCheckpoint(false)
+    val chunkRows = sigsC.select(col("doc_id"), col("sig"),
         explode(array((0 until nChunks).map(c =>
           struct(lit(c).as("chunk"),
             (shiftright(col("sig"), c * chunkBits) % (1 << chunkBits)).as("cv"),
@@ -94,9 +102,31 @@ object ChunkBlocking {
       struct(lit(s).as("sub"),
         (shiftright(col("ov"), s * subBits) % lit(1L << subBits)).as("sv"))): _*)
     val one = array(struct(lit(-1).as("sub"), lit(0L).as("sv")))
-    chunkRows.join(broadcast(sizes), Seq("chunk", "cv"))
+    // HOT buckets are FEW by construction (each holds > hotCap of the
+    // n·nChunks key rows, so there are < n·nChunks/hotCap of them, and
+    // in practice a handful) — collect them driver-side (tiny-stat
+    // action, ≤ nChunks·2^chunkBits rows scanned) and brand rows with
+    // a literal isin predicate instead of a broadcast join: the common
+    // no-hot-bucket corpus then runs the EXACT single-key plan of
+    // rounds 1–4 with zero added stages. Falls back to the broadcast
+    // join if the hot set is unexpectedly large (adversarially
+    // correlated corpus) to keep the codegen'd literal list bounded.
+    val hotKeys = sizes.filter(col("_n") > hotCap)
+      .select((col("chunk").cast("long") * (1 << chunkBits) + col("cv")).as("k"))
+      .limit(257).collect().map(_.getLong(0))
+    val tagged =
+      if (hotKeys.isEmpty)
+        chunkRows.withColumn("_hot", lit(false))
+      else if (hotKeys.length <= 256)
+        chunkRows.withColumn("_hot",
+          (col("chunk").cast("long") * (1 << chunkBits) + col("cv"))
+            .isin(hotKeys.toSeq: _*))
+      else
+        chunkRows.join(broadcast(sizes), Seq("chunk", "cv"))
+          .withColumn("_hot", col("_n") > hotCap)
+    tagged
       .select(col("doc_id"), col("sig"), col("chunk"), col("cv"), col("ov"),
-        explode(when(col("_n") > hotCap, subArr).otherwise(one)).as("e2"))
+        explode(when(col("_hot"), subArr).otherwise(one)).as("e2"))
       .select(col("doc_id"), col("sig"), col("chunk"), col("cv"), col("ov"),
         col("e2.sub"), col("e2.sv"))
   }
@@ -112,7 +142,17 @@ object ChunkBlocking {
       col("doc_id").as("id_a"), col("sig").as("sig_a"), col("ov").as("ov_a"))
     val b = k.select(col("chunk"), col("cv"), col("sub"), col("sv"),
       col("doc_id").as("id_b"), col("sig").as("sig_b"), col("ov").as("ov_b"))
-    a.join(b, Seq("chunk", "cv", "sub", "sv")).filter(col("id_a") < col("id_b"))
+    // PIN the shuffle join: after the localCheckpoint the keyed table's
+    // byte stats look tiny (16 B/row), so the planner would broadcast
+    // one side of the self-join — collapsing the in-bucket enumeration
+    // (the expensive part) onto the probe side's few input partitions
+    // and taking AQE's skew-split off the table (it only divides
+    // shuffle joins). Measured at sf5: the broadcast form ran the 73 M
+    // candidate walk on ~1 core (295 s); the pinned shuffle join keeps
+    // it 32-way and skew-splittable. At 100 TB the keyed table is
+    // corpus-sized — broadcast is never the right strategy here.
+    a.hint("shuffle_hash").join(b, Seq("chunk", "cv", "sub", "sv"))
+      .filter(col("id_a") < col("id_b"))
   }
 
   /** All pairs within Hamming ≤ maxDist, each emitted exactly once:
