@@ -287,6 +287,48 @@ object Streaming {
       }
       .start()
 
+  /** §2.122 streaming incremental dedup — the daily-crawl loop as a
+    * stream, closing the §2.87/108/114 triangle: each micro-batch of
+    * arriving documents is checked against the PERSISTED bkey-bucketed
+    * band index (zero exchange on the index side, §2.108), the
+    * verdicts are appended to a parquet log, and the batch's ACCEPTED
+    * docs are appended to the index in its bucketed layout — with
+    * bucket-preserving compaction past the file threshold (§2.114) —
+    * so micro-batch N+1 dedups against everything batch N accepted,
+    * across restarts (checkpointed source + on-disk index). At 100 TB
+    * the only per-batch work is hashing/banding the batch itself plus
+    * the bucket-aligned probe — the corpus-sized index is never
+    * re-shuffled, which is what makes an always-on dedup service
+    * affordable. Exactly-once note: foreachBatch can re-run a batch on
+    * failure; the verdict append is idempotent per (batch_id, doc_id)
+    * downstream, and index appends use the batch's accepted set, so a
+    * replayed batch re-appends — production would fence by batchId in
+    * a table format with atomic commit (same caveat as
+    * [[foreachBatchUpsert]]'s local-FS swap). */
+  def dedupStreamIndexed(docs: DataFrame, indexTable: String,
+      verdictDir: String, checkpointDir: String,
+      minEstJaccard: Double = 0.25): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist() // read twice: verdicts + index append
+        try {
+          val verdicts = graft.dedup.Dedup
+            .dedupIncrementalIndexed(spark, b, indexTable, minEstJaccard)
+            .withColumn("batch_id", lit(batchId))
+            .persist()
+          try {
+            verdicts.write.mode("append").parquet(verdictDir)
+            val accepted = b.join(
+              verdicts.filter(!col("is_duplicate")).select("doc_id"), "doc_id")
+            graft.dedup.Dedup.appendBandIndex(accepted, indexTable)
+            ()
+          } finally { verdicts.unpersist(); () }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   /** §2.85 streaming DQ drift: per micro-batch, bin `value` into
     * fixed-width histograms and compute each bin's PSI term against a
     * static reference histogram (e.g. last week's accepted load) —

@@ -221,8 +221,67 @@ object InvariantCheck {
     results.toSeq
   }
 
+  // ---- semantic dedup (§2.119) ----
+
+  /** Pins dedup_semantic's output from the embeddings table + its own
+    * reported clustering: (a) one verdict per vector; (b) every dup's
+    * deferral target is in the SAME cluster, strictly more central
+    * ((cent_cos, −id) order), with the reported pair cosine exactly
+    * re-derived from the embeddings and ≥ θ; (c) completeness — no
+    * KEPT member has any more-central same-cluster neighbor within θ
+    * (the full in-cluster pair join, same cost class as the query).
+    * The cluster assignment itself is pinned by the shared-code IVF
+    * centroid checks above on the K=8 path. */
+  def checkSemantic(spark: SparkSession, dir: String): Seq[Res] = {
+    import graft.ann.{Ann, Ivf, SemDedup}
+    val emb = graft.Tables.embeddings(spark, dir)
+    val out = SemDedup.semanticDedup(emb).cache()
+    val v = Ivf.vecsD(emb)
+    val n = emb.count()
+    val nOut = out.count()
+    val nIds = out.select("vec_id").distinct().count()
+    val partitionOk = Res("sem_partition", nOut == n && nIds == n,
+      s"vectors=$n verdicts=$nOut distinct=$nIds")
+    val results = scala.collection.mutable.ArrayBuffer[Res](partitionOk)
+    val vA = v.select(col("vec_id").as("vec_id"), col("e").as("ea"), col("nrm").as("na"))
+    val vB = v.select(col("vec_id").as("dup_of"), col("e").as("eb"), col("nrm").as("nb"))
+    val tgt = out.select(col("vec_id").as("dup_of"), col("cid").as("cid_t"),
+      col("cent_cos").as("ct"))
+    val cosAB = round(Ann.dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+    val badDup = out.filter(col("is_dup"))
+      .join(tgt, "dup_of").join(vA, "vec_id").join(vB, "dup_of")
+      .withColumn("rc", cosAB)
+      .filter(col("cid_t") =!= col("cid") ||
+        !(col("ct") > col("cent_cos") ||
+          (col("ct") === col("cent_cos") && col("dup_of") < col("vec_id"))) ||
+        col("rc") =!= col("dup_cos") || col("rc") < SemDedup.MinCos)
+      .count()
+    results += res("sem_dup_edges", badDup,
+      s"${out.filter(col("is_dup")).count()} duplicate verdicts re-derived")
+    // completeness: kept members must have NO qualifying better neighbor
+    val kept = out.filter(!col("is_dup"))
+      .select(col("vec_id").as("id_k"), col("cid"), col("cent_cos").as("ck"))
+    val memb = out.select(col("vec_id").as("id_m"), col("cid"),
+      col("cent_cos").as("cm"))
+    val vK = v.select(col("vec_id").as("id_k"), col("e").as("ek"), col("nrm").as("nk"))
+    val vM = v.select(col("vec_id").as("id_m"), col("e").as("em"), col("nrm").as("nm"))
+    val badKept = kept.join(memb, "cid")
+      .filter(col("id_m") =!= col("id_k"))
+      .filter(col("cm") > col("ck") ||
+        (col("cm") === col("ck") && col("id_m") < col("id_k")))
+      .join(vK, "id_k").join(vM, "id_m")
+      .filter(round(Ann.dotCol(col("ek"), col("em")) / (col("nk") * col("nm")), 6)
+        >= SemDedup.MinCos)
+      .count()
+    results += res("sem_kept_complete", badKept,
+      s"${kept.count()} kept members checked against all better neighbors")
+    out.unpersist()
+    results.toSeq
+  }
+
   def runAll(spark: SparkSession, dir: String): Seq[Res] =
-    checkClusters(spark, dir) ++ checkIvf(spark, dir) ++ checkBpe(spark, dir)
+    checkClusters(spark, dir) ++ checkIvf(spark, dir) ++ checkBpe(spark, dir) ++
+      checkSemantic(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata/sf1")

@@ -28,6 +28,10 @@ class InvariantSpec extends AnyFunSuite {
     assertAll(InvariantCheck.checkBpe(spark, sf))
   }
 
+  test("semantic-dedup invariants hold at sf0.01") {
+    assertAll(InvariantCheck.checkSemantic(spark, sf))
+  }
+
   test("invariants detect a planted violation (checker is not vacuous)") {
     // corrupt one cluster label and confirm the edge/min checks would
     // catch it — guard against a checker that trivially passes
