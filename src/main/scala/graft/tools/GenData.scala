@@ -272,10 +272,20 @@ object GenData {
     Files.createDirectories(Paths.get(outDir))
 
     /** Write as ONE plain parquet file at <outDir>/<name>.parquet
-      * (driver layout, readable by duckdb read_parquet). */
+      * (driver layout, readable by duckdb read_parquet).
+      *
+      * Row groups are capped at 16 MB: Spark parallelizes a single
+      * parquet file by assigning row groups to input splits, so a
+      * single-row-group file (the Spark writer's 128 MB default block
+      * produced one 122 MB group for sf5 orders) serializes EVERY scan
+      * of that table onto one core regardless of split count. A real
+      * lake has many files/row groups per table; 16 MB groups restore
+      * that property while keeping the driver's one-file layout. */
     def writeOne(df: DataFrame, name: String): Unit = {
       val tmp = s"$outDir/_tmp_$name"
-      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (8L << 20).toString)
+        .parquet(tmp)
       val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
         .findFirst().get()
       Files.move(part, Paths.get(s"$outDir/$name.parquet"),
