@@ -830,4 +830,168 @@ object Queries {
       |FROM e JOIN f ON e.user_id = f.user_id
       |WHERE e.day - f.cohort_day BETWEEN 0 AND 7
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** §2.124 grid-binned interval-overlap join. Per supplier, count
+    * pairs of shipments whose transit windows [shipdate, shipdate +
+    * quantity days] overlap — the interval/range join Spark has no
+    * native operator for (a naive theta-join plans BroadcastNestedLoop
+    * or a full cartesian per key).
+    *
+    * Grid technique: transit spans are bounded (≤ 50 days), so each
+    * interval lands in at most 2 cells of a 64-day grid. Exploding
+    * intervals to their cells turns the range predicate into an
+    * EQUI-join on (suppkey, cell) — hash-partitioned, AQE-splittable,
+    * ≤ 2× input replication — with the exact overlap test as a
+    * post-filter. Each qualifying pair is counted exactly ONCE: only
+    * in the cell containing the later of the two interval starts (a
+    * cell both intervals provably span). This is the standard
+    * spatial-join binning argument — cell size ≥ max span bounds
+    * replication, per-cell populations stay data-proportional, and
+    * the plan survives any scale-up that keeps span bounded. */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val cell = 64L * 86400L // grid cell (s); ≥ max transit span (50 d)
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      // NTZ → LTZ is identity under the session's UTC timezone
+      col("l_shipdate").cast("timestamp").cast("long").as("t0"),
+      (col("l_shipdate").cast("timestamp").cast("long")
+        + col("l_quantity").cast("long") * 86400L).as("t1"))
+    val binned = li.withColumn("cell",
+      explode(sequence(floor(col("t0") / cell), floor(col("t1") / cell))))
+    val a = binned.alias("a")
+    val b = binned.alias("b")
+    a.join(b,
+        col("a.l_suppkey") === col("b.l_suppkey") &&
+        col("a.cell") === col("b.cell") &&
+        struct(col("a.l_orderkey"), col("a.l_linenumber")) <
+          struct(col("b.l_orderkey"), col("b.l_linenumber")) &&
+        col("a.t0") <= col("b.t1") && col("b.t0") <= col("a.t1") &&
+        col("a.cell") === floor(greatest(col("a.t0"), col("b.t0")) / cell))
+      .groupBy(col("a.l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy("suppkey")
+  }
+
+  val intervalOverlapSql: String =
+    """WITH iv AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    CAST(epoch(l_shipdate) AS BIGINT) AS t0,
+      |    CAST(epoch(l_shipdate) AS BIGINT)
+      |      + CAST(l_quantity AS BIGINT) * 86400 AS t1
+      |  FROM lineitem)
+      |SELECT a.l_suppkey AS suppkey, count(*) AS n_overlaps
+      |FROM iv a JOIN iv b
+      |  ON a.l_suppkey = b.l_suppkey
+      | AND (a.l_orderkey, a.l_linenumber) < (b.l_orderkey, b.l_linenumber)
+      | AND a.t0 <= b.t1 AND b.t0 <= a.t1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** §2.125 two-stage distributed skyline (Pareto frontier): orders
+    * not dominated in (earlier o_orderdate, higher o_totalprice) by
+    * any other order. The multi-objective "best tradeoffs" operator —
+    * and the textbook case for local-then-global pruning.
+    *
+    * Stage 1 collapses the corpus to one max-price row group per
+    * DISTINCT DATE (map-side-combined groupBy — the only corpus-sized
+    * shuffle). Stage 2 runs the running-max scan over that date-sized
+    * frame (thousands of rows at any corpus size, so the single-
+    * partition window is a non-issue — the classic local-skyline/
+    * global-merge decomposition). A date is on the frontier iff its
+    * max price strictly exceeds every earlier date's max; the final
+    * semi-join back to orders recovers ALL orders at a surviving
+    * (date, max-price) point — incomparable ties are each
+    * non-dominated. The oracle deliberately uses the independent
+    * NOT-EXISTS dominance formulation, so the decomposition itself is
+    * what gets verified. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val byDate = o.groupBy("o_orderdate").agg(max("o_totalprice").as("dmax"))
+    val w = Window.orderBy("o_orderdate")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = byDate
+      .withColumn("prevmax", max(col("dmax")).over(w))
+      .filter(col("prevmax").isNull || col("dmax") > col("prevmax"))
+      // fresh names: frontier derives from o, so reusing o's attribute
+      // names in the join condition would be a self-join ambiguity
+      .select(col("o_orderdate").as("f_date"), col("dmax").as("f_price"))
+    o.join(broadcast(frontier), o("o_orderdate") === col("f_date")
+        && o("o_totalprice") === col("f_price"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val skylineSql: String =
+    """SELECT o_orderkey, o_orderdate, o_totalprice
+      |FROM orders a
+      |WHERE NOT EXISTS (SELECT 1 FROM orders b
+      |  WHERE b.o_orderdate <= a.o_orderdate
+      |    AND b.o_totalprice >= a.o_totalprice
+      |    AND (b.o_orderdate < a.o_orderdate
+      |      OR b.o_totalprice > a.o_totalprice))
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** §2.126 MAD anomaly detection: per event type, the robust
+    * median/MAD outlier rule (|x − median| > 3·1.4826·MAD — the
+    * consistency-scaled MAD z-score that, unlike mean/stddev, is not
+    * itself dragged by the outliers it hunts).
+    *
+    * Exact medians WITHOUT per-group sorts: `value` is a round2 grid,
+    * so the per-type value HISTOGRAM (map-side-combined groupBy, ≤
+    * ~10⁵ bins/type regardless of corpus size) carries the full
+    * distribution; the k-th order statistic falls out of a cumulative
+    * window over bins, and the deviation histogram REBINS the value
+    * histogram (bin-level abs/sum — never touches rows again). Three
+    * linear scans total of which two are histogram-sized; the
+    * weighted-median machinery is the same play as etl/Silver's
+    * 3-scan selection, specialized to gridded values. Interpolation
+    * is lo + (hi−lo)·0.5, bit-matching DuckDB's quantile_cont. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
+
+    // weighted median of a (g, v, n) histogram via cumulative counts:
+    // k1 = ⌊(N+1)/2⌋, k2 = ⌊(N+2)/2⌋; median = lo + (hi − lo)/2 where
+    // lo/hi are the k1-th/k2-th order statistics (min v with cum ≥ k)
+    def wmedian(hist: DataFrame, v: String, out: String): DataFrame = {
+      val wc = Window.partitionBy("event_type").orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("n").over(wc))
+      val tot = hist.groupBy("event_type").agg(sum("n").as("ntot"))
+      cum.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+          min(when(col("cum") >= floor((col("ntot") + 1) / 2), col(v))).as("lo"),
+          min(when(col("cum") >= floor((col("ntot") + 2) / 2), col(v))).as("hi"))
+        .select(col("event_type"),
+          (col("lo") + (col("hi") - col("lo")) * 0.5).as(out))
+    }
+
+    val hist = e.groupBy("event_type", "value").agg(count(lit(1)).as("n"))
+    val med = wmedian(hist, "value", "med")
+    val devHist = hist.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), abs(col("value") - col("med")).as("dev"))
+      .agg(sum("n").as("n"))
+    val mad = wmedian(devHist, "dev", "mad")
+    e.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(
+        round(first("med"), 4).as("med_value"),
+        round(first("mad"), 4).as("mad_value"),
+        sum(when(abs(col("value") - col("med"))
+          > lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("event_type")
+  }
+
+  val anomalyMadSql: String =
+    """WITH med AS (SELECT event_type, median(value) AS med
+      |  FROM events GROUP BY 1),
+      |mad AS (SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+      |SELECT e.event_type,
+      |  round(any_value(m.med), 4) AS med_value,
+      |  round(any_value(d.mad), 4) AS mad_value,
+      |  CAST(sum(CASE WHEN abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  count(*) AS n_rows
+      |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1,0 +1,65 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.127 fuzzy matching via deletion-neighborhood blocking — the
+  * entity-resolution join (near-identical customer names = probable
+  * duplicate accounts; cf. the reference's keep-first dedup, which
+  * only catches EXACT key repeats).
+  *
+  * A naive edit-distance join is all-pairs (O(n²) levenshtein calls —
+  * dead at any scale). The SymSpell observation: two strings within
+  * edit distance 1 share a member of their deletion neighborhoods
+  * K(s) = {s} ∪ { s minus one char } — a substitution pair shares the
+  * deletion at the differing position, an insert/delete pair puts the
+  * shorter string itself in the longer one's neighborhood. So emitting
+  * the ≤ len+1 neighborhood keys per string turns the edit-distance
+  * predicate into an EQUI-join on key: hash-partitioned, linear in
+  * n·len, with levenshtein verified only on candidate pairs (the
+  * neighborhood guarantees NO false negatives; false positives — two
+  * DIFFERENT deletions colliding, an edit-distance-2 pair — are
+  * filtered by the exact check). The same index shape serves lookup
+  * (probe one name's keys) and is how spell-checkers scale to 10⁹
+  * dictionaries; here both sides are corpus-sized, the general case.
+  */
+object Fuzzy {
+
+  /** All single-deletion variants plus the string itself, via an
+    * exploded position sequence (codegen'd substring arithmetic — no
+    * interpreted higher-order-function lambdas): position −1 keeps the
+    * whole string, position i ≥ 0 removes the (i+1)-th char. */
+  private def withDeletionKeys(df: DataFrame, name: String): DataFrame =
+    df.withColumn("pos", explode(sequence(lit(-1), length(col(name)) - 1)))
+      .withColumn("bkey", when(col("pos") < 0, col(name))
+        .otherwise(concat(
+          col(name).substr(lit(1), col("pos")),
+          col(name).substr(col("pos") + 2, length(col(name))))))
+      .drop("pos")
+
+  /** Customer pairs with levenshtein(name) ≤ 1, found without any
+    * all-pairs comparison. */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("id"), col("c_name").as("name"))
+    val keys = withDeletionKeys(c, "name")
+    val cand = keys.alias("a").join(keys.alias("b"), Seq("bkey"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("key_a"), col("b.id").as("key_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      // a pair can collide on several keys (e.g. its shared deletions)
+      .dropDuplicates("key_a", "key_b")
+    cand.withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+      .orderBy("key_a", "key_b")
+  }
+
+  val fuzzyMatchSql: String =
+    """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      |  a.c_name AS name_a, b.c_name AS name_b,
+      |  levenshtein(a.c_name, b.c_name) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY key_a, key_b""".stripMargin
+}

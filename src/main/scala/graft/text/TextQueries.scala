@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import TextFunctions._
 
@@ -704,4 +705,56 @@ object TextQueries {
        |  round(avg((ln(CAST(cc AS DOUBLE)) - ln(CAST(cb AS DOUBLE))) / ln(2.0)), 4) AS xent2
        |FROM bi2 JOIN blm USING (prev, tok) JOIN ctx USING (prev)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** §2.123 TF-IDF: top-3 terms per document by tf·idf with smooth
+    * idf = ln((N+1)/(df+1)). The classic relevance/keyword-extraction
+    * primitive the corpus-quality family was missing.
+    *
+    * Scale shape: tf is one map-side-combined groupBy over the token
+    * stream; df derives from tf (NOT a second corpus scan — df = how
+    * many (doc,term) rows each term has) and is vocabulary-sized, so
+    * it broadcast-joins back onto tf; N is a 1-row stat broadcast.
+    * The only corpus-sized shuffles are the tf groupBy and the
+    * per-doc top-3 window (WindowGroupLimit prunes map-side). At a
+    * 100 TB corpus the vocabulary can exceed broadcast size — the
+    * join degrades to a hash join on the same keys, nothing else
+    * changes. Ranking compares the UNROUNDED score (identical IEEE
+    * doubles from integer tf/df/N on both engines); rounding is
+    * display-only. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score"), asc("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfSql: String =
+    s"""WITH words AS (SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (SELECT doc_id, term, tf, df,
+       |    tf * ln((n + 1.0) / (df + 1.0)) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (SELECT doc_id, term, tf, df, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, term) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, term, tf, df, round(score, 6) AS tfidf
+       |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 }

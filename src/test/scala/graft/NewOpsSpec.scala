@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analytics.Queries
+import graft.dedup.Fuzzy
+import graft.text.TextQueries
+
+/** §2.123–127: tfidf, interval_overlap, skyline, anomaly_mad,
+  * fuzzy_match — each verified against an independent brute-force
+  * formulation over the collected sf0.001 tables, plus plan-shape
+  * assertions that the blocking/binning actually removed the
+  * quadratic join. */
+class NewOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("tfidf: ≤3 terms per doc, rank-ordered, score = tf·ln((N+1)/(df+1))") {
+    val rows = TextQueries.tfidf(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      // scores non-increasing down the ranks
+      val scores = sorted.map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y - 1e-9 })
+    }
+    rows.foreach { r =>
+      val expected = r.getLong(3) * math.log((n + 1.0) / (r.getLong(4) + 1.0))
+      assert(math.abs(r.getDouble(5) - expected) < 1e-4,
+        s"doc=${r.getLong(0)} term=${r.getString(2)}")
+    }
+  }
+
+  test("interval_overlap matches the brute-force pair count and plans no cartesian") {
+    // null shipdate/quantity rows yield NULL interval bounds and drop
+    // out of both the Spark join and the DuckDB oracle — mirror that
+    val li = Tables.lineitem(spark, sf).select("l_suppkey", "l_orderkey",
+      "l_linenumber", "l_shipdate", "l_quantity")
+      .filter(col("l_shipdate").isNotNull && col("l_quantity").isNotNull)
+      .collect().map { r =>
+      val t0 = r.getAs[java.time.LocalDateTime]("l_shipdate")
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      (r.getLong(0), (r.getLong(1), r.getInt(2)), t0,
+        t0 + r.getDouble(4).toLong * 86400L)
+    }
+    val brute = li.groupBy(_._1).map { case (supp, xs) =>
+      val s = xs.sortBy(_._2)
+      // strict id inequality: the dirty driver data has DUPLICATED
+      // (orderkey, linenumber) ids, and tuple < pairs none of them
+      supp -> s.indices.flatMap(i => (i + 1 until s.length).map(j => (s(i), s(j))))
+        .count { case (a, b) => a._2 != b._2 && a._3 <= b._4 && b._3 <= a._4 }
+    }.filter(_._2 > 0)
+    val got = Queries.intervalOverlap(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == brute, s"got ${got.size} suppliers, brute ${brute.size}")
+    val plan = Queries.intervalOverlap(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("skyline = exactly the non-dominated orders (NOT-EXISTS brute force)") {
+    val os = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toEpochSecond(java.time.ZoneOffset.UTC),
+        r.getDouble(2)))
+    val brute = os.filter { a =>
+      !os.exists(b => b._2 <= a._2 && b._3 >= a._3 && (b._2 < a._2 || b._3 > a._3))
+    }.map(_._1).toSet
+    val got = Queries.skyline(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("anomaly_mad matches brute-force median/MAD/outlier counts") {
+    val vals = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).sorted }
+    def median(s: Array[Double]): Double = {
+      val lo = s((s.length - 1) / 2); val hi = s(s.length / 2)
+      lo + (hi - lo) * 0.5
+    }
+    val got = Queries.anomalyMad(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == vals.keySet)
+    got.foreach { r =>
+      val s = vals(r.getString(0))
+      val med = median(s)
+      val mad = median(s.map(x => math.abs(x - med)).sorted)
+      val out = s.count(x => math.abs(x - med) > 3.0 * 1.4826 * mad)
+      assert(math.abs(r.getDouble(1) - med) < 1e-3, s"${r.getString(0)} median")
+      assert(math.abs(r.getDouble(2) - mad) < 1e-3, s"${r.getString(0)} mad")
+      assert(r.getLong(3) == out && r.getLong(4) == s.length, s"${r.getString(0)} outliers")
+    }
+  }
+
+  test("fuzzy_match finds exactly the lev≤1 name pairs via the deletion index") {
+    val names = Tables.customer(spark, sf).select("c_custkey", "c_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val brute = (for {
+      (ia, na) <- names; (ib, nb) <- names
+      if ia < ib && lev(na, nb) <= 1
+    } yield (ia, ib)).toSet
+    val df = Fuzzy.fuzzyMatch(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(df.collect().forall(_.getInt(4) <= 1))
+  }
+}
