@@ -757,4 +757,44 @@ object TextQueries {
        |  FROM scored)
        |SELECT doc_id, rk, term, tf, df, round(score, 6) AS tfidf
        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** §2.128 exact heavy hitters at sketch cost: every term with ≥ 3%
+    * of all token occurrences, via SpaceSaving candidates + exact
+    * recount — sketch-pruned but EXACT output.
+    *
+    * The full-vocabulary groupBy a naive HAVING needs shuffles every
+    * distinct term — at 100 TB that is billions of keys, almost all
+    * hopeless losers. [[graft.functions.SpaceSaving]] compresses the
+    * stream to ≤ k = 256 counters per partition partial (mergeable,
+    * O(k) state, NO shuffle — partials meet in one 1-row agg), and its
+    * superset guarantee (any term above N/k survives; 256 ⇒ 7.7×
+    * margin on the 3% threshold) means the ≤ 256 candidates provably
+    * contain every true heavy hitter. The exact pass then recounts
+    * ONLY candidates: a broadcast semi-join prunes the stream map-side
+    * and the recount groupBy shuffles ≤ 256 keys. Threshold compares
+    * in exact integer arithmetic (n·100 ≥ 3·N). */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SpaceSaving.space_saving
+    val words = Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("word"))
+    val cand = words.agg(space_saving(col("word"), 256).as("cands"))
+      .select(explode(col("cands")).as("word"))
+    val total = words.agg(count(lit(1)).as("n_total"))
+    words.join(broadcast(cand), "word", "leftsemi")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * 100 >= col("n_total") * 3)
+      .select(col("word"), col("n"))
+      .orderBy(desc("n"), asc("word"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH words AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents),
+       |tot AS (SELECT count(*) AS n_total FROM words)
+       |SELECT word, count(*) AS n
+       |FROM words, tot
+       |GROUP BY word, n_total
+       |HAVING count(*) * 100 >= n_total * 3
+       |ORDER BY n DESC, word""".stripMargin
 }

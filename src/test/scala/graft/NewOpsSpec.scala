@@ -101,6 +101,31 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy_hitters = the exact >=3% terms; SpaceSaving survives eviction pressure") {
+    // end-to-end: sketch candidates + exact recount == plain HAVING
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+    val n = words.count()
+    val exact = words.groupBy("word").count()
+      .filter(col("count") * 100 >= n * 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = TextQueries.heavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, s"got=$got exact=$exact")
+
+    // eviction + merge under pressure: capacity 8 over a 100-term
+    // stream where two terms hold 20% each — both MUST survive
+    import graft.functions.SpaceSaving.space_saving
+    import SparkTestSession.spark.implicits._
+    val stream = ((1 to 40).map(i => s"rare_$i") ++
+      Seq.fill(30)("hot_a") ++ Seq.fill(30)("hot_b"))
+    val cands = stream.toDF("w").repartition(7)
+      .agg(space_saving(col("w"), 8)).head().getSeq[String](0)
+    assert(cands.size <= 8)
+    assert(cands.contains("hot_a") && cands.contains("hot_b"),
+      s"heavy terms evicted from $cands")
+  }
+
   test("fuzzy_match finds exactly the lev≤1 name pairs via the deletion index") {
     val names = Tables.customer(spark, sf).select("c_custkey", "c_name")
       .collect().map(r => r.getLong(0) -> r.getString(1))
