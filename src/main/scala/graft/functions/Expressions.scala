@@ -637,6 +637,43 @@ case class EqualCount(left: Expression, right: Expression)
       l: Expression, r: Expression): EqualCount = copy(l, r)
 }
 
+/** Bounded edit distance: 0 (equal), 1 (one substitution, insertion,
+  * or deletion apart), −1 (further) — the candidate VERIFIER of the
+  * deletion-neighborhood fuzzy join ([[graft.dedup.Fuzzy]]).
+  *
+  * For a distance bound of 1 the DP matrix is overkill: one
+  * longest-common-prefix scan and one longest-common-suffix scan
+  * decide the answer in O(len) with no allocation — dist ≤ 1 iff
+  * prefix + suffix cover all but ≤ 1 char of the longer string. The
+  * general `levenshtein(a, b, 1)` measured ~20× slower on the join's
+  * verify stage (it still walks its banded matrix and boxes through
+  * the threshold plumbing); at 15 M candidate checks per million
+  * input rows the verifier IS the hot loop. Byte-level comparison:
+  * identical to character edits for ASCII (all candidate keys here);
+  * multi-byte codepoints would count per-byte. */
+case class BoundedLev1(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCodegen2 {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def compute2(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String]
+    val b = r.asInstanceOf[UTF8String]
+    val (la, lb) = (a.numBytes(), b.numBytes())
+    if (math.abs(la - lb) > 1) return java.lang.Integer.valueOf(-1)
+    val minLen = math.min(la, lb)
+    var i = 0
+    while (i < minLen && a.getByte(i) == b.getByte(i)) i += 1 // prefix
+    var k = 0
+    while (k < minLen - i && a.getByte(la - 1 - k) == b.getByte(lb - 1 - k)) k += 1
+    val d =
+      if (la == lb) { if (i == la) 0 else if (la - i - k <= 1) 1 else -1 }
+      else { if (minLen - i - k <= 0) 1 else -1 }
+    java.lang.Integer.valueOf(d)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BoundedLev1 = copy(l, r)
+}
+
 /** Column-level wrappers (Spark 4: Columns wrap ColumnNodes, so
   * Expression-backed Columns go through classic.ExpressionUtils). */
 object native {
@@ -657,6 +694,8 @@ object native {
   def hex_phash(c: Column): Column = column(HexPHash(expression(c)))
   def adjacent_pairs(c: Column): Column = column(AdjacentPairs(expression(c)))
   def char_bigrams(c: Column): Column = column(CharBigrams(expression(c)))
+  def bounded_lev1(a: Column, b: Column): Column =
+    column(BoundedLev1(expression(a), expression(b)))
   def dot_product_fold(a: Column, b: Column): Column =
     column(DotProductFold(expression(a), expression(b)))
   def equal_count(a: Column, b: Column): Column =

@@ -126,6 +126,22 @@ class NewOpsSpec extends AnyFunSuite {
       s"heavy terms evicted from $cands")
   }
 
+  test("BoundedLev1 kernel agrees with DP levenshtein, capped at 1") {
+    val rng = new scala.util.Random(42)
+    def randStr() = (0 until rng.nextInt(8)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+    val cases = Seq.tabulate(4000)(_ => (randStr(), randStr())) ++
+      Seq(("", ""), ("", "a"), ("ab", "ba"), ("aaa", "aa"), ("abc", "abc"))
+    import SparkTestSession.spark.implicits._
+    val got = cases.toDF("a", "b")
+      .select(graft.functions.native.bounded_lev1(col("a"), col("b")))
+      .collect().map(_.getInt(0))
+    cases.zip(got).foreach { case ((a, b), d) =>
+      val exact = lev(a, b)
+      val expected = if (exact > 1) -1 else exact
+      assert(d == expected, s"'$a' vs '$b': got $d, lev=$exact")
+    }
+  }
+
   test("fuzzy_match finds exactly the lev≤1 name pairs via the deletion index") {
     val names = Tables.customer(spark, sf).select("c_custkey", "c_name")
       .collect().map(r => r.getLong(0) -> r.getString(1))
