@@ -16,7 +16,7 @@ import graft.SparkEntry
   *    coalescing, skew-join splitting only appear at runtime — so the
   *    sf1 audit must read the executed plan, not the compiled one.
   *
-  * Usage: runMain graft.tools.Plans [dir] [out] [executed]
+  * Usage: runMain graft.tools.Plans [dir] [out] [executed] [only=<substr>]
   */
 object Plans {
   def main(args: Array[String]): Unit = {
@@ -38,7 +38,10 @@ object Plans {
     val mode = if (executed) s"EXECUTED adaptive plans, $dir, AQE on"
                else s"explain formatted, $dir, AQE off at plan time"
     sb.append(s"# Physical plans ($mode)\n")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val only = args.collectFirst { case a if a.startsWith("only=") => a.drop(5) }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(name.contains) }
+      .foreach { case (name, fn) =>
       sb.append(s"\n## $name\n\n```\n")
       try {
         graft.Caches.clearAll() // per-query cost, not memoized reuse
