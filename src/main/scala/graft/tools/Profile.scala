@@ -18,7 +18,9 @@ object Profile {
     if (noAqe) spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
+    val clear = args.contains("clear") // bench-rep semantics: cold memo caches
     (1 to reps).foreach { r =>
+      if (clear) graft.Caches.clearAll()
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
       println(f"[profile] $name rep$r ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows, aqe=${!noAqe})")
