@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.text.TextFunctions._
 
-/** §2.129 span-level duplicated-text detection — the substring
+/** §2.129/132 span-level duplicated-text detection — the substring
   * (k-token-gram) complement to the whole-document dedup family.
   *
   * Whole-doc dedup (exact/MinHash/SimHash) misses the dominant
@@ -14,36 +14,55 @@ import graft.text.TextFunctions._
   * The published remedy (suffix-array substring dedup) keys on every
   * duplicated window; the distributed formulation here anchors on
   * k-token grams: a duplicated span of length ≥ k contains a
-  * duplicated k-gram, so per-doc "fraction of gram starts whose gram
-  * recurs corpus-wide" scores exactly the text a span-level dedup
-  * would cut (reference test corpus: the ETL's track rows carry
-  * templated artist/album text; see
+  * duplicated k-gram, so per-doc duplicated-gram statistics score
+  * exactly the text a span-level dedup would cut (reference test
+  * corpus: the ETL's track rows carry templated artist/album text; see
   * spotify-tracks-etl-portfolio/tests/test_transform.py fixtures).
+  *
+  * Gram identity is the arithmetic k-window poly hash over compiled
+  * per-token hashes ([[graft.functions.TokenPolyHashes]] /
+  * ShinglePolyHashes — the §6 round-1 lesson: md5 over
+  * string-concatenated shingles runs through interpreted HOF lambdas
+  * and costs ~20× per corpus pass; measured here 19 s → 2.6 s at sf1).
+  * Hash collisions (~n²/2M across the corpus vocabulary) can mark a
+  * gram duplicated spuriously at ppm rates — the standard fingerprint
+  * trade every hash-anchored dedup in this library makes, and the
+  * DuckDB oracle replays the identical hash so verification is exact.
   *
   * Scale shape (the tfidf/df design, one corpus scan): the gram stream
   * collapses FIRST to per-(doc, gram) counts — map-side-combined
   * groupBy, the only corpus-sized shuffle — and corpus-wide totals
   * derive from THAT frame (vocabulary-sized, no second scan). The
   * totals join back on gram hash: hash-partitioned on the same key the
-  * per-doc frame was just shuffled by, and the duplicated-grams side
-  * can be semi-reduced to totals ≥ 2 before the join. Doubles appear
-  * only in the final ratio — integer counts end-to-end otherwise, so
-  * both engines agree bit-for-bit.
+  * per-doc frame was just shuffled by, and only grams with total ≥ 2
+  * survive onto the join. Integer counts end-to-end; doubles appear
+  * only in the final ratio.
   */
 object Substring {
 
   val GramK = 8
+
+  /** (doc_id, n_tokens, p, h): position-indexed k-gram hashes. */
+  private def grams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.native.token_poly_hashes(col("text")).as("th"))
+      .select(col("doc_id"), size(col("th")).as("n_tokens"),
+        posexplode(graft.functions.native.shingle_hashes(col("th"), GramK)))
+      .toDF("doc_id", "n_tokens", "p", "h")
+
+  private val gramsSql: String =
+    s"""SELECT doc_id, len(th) AS n_tokens,
+       |  generate_subscripts(${shingleHashCombineSql("th", GramK)}, 1) AS p,
+       |  unnest(${shingleHashCombineSql("th", GramK)}) AS h
+       |FROM (SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents) t""".stripMargin
 
   /** Per-document duplicated-gram statistics: of the doc's k-token
     * gram starts, how many recur (count ≥ 2) corpus-wide — within-doc
     * repeats included, exactly like the suffix-array criterion. */
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val grams = docs.select(col("doc_id"),
-        explode(shingles(tokens(normalize(col("text"))), GramK)).as("gram"))
-      .select(col("doc_id"), hash64(col("gram")).as("h"))
     // per-(doc, gram) occurrence counts: the one corpus-sized shuffle
-    val dg = grams.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val dg = grams(docs).groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
     // corpus totals from the collapsed frame; only recurring grams
     // (total ≥ 2) are needed downstream
     val dup = dg.groupBy("h").agg(sum("c").as("total"))
@@ -62,12 +81,8 @@ object Substring {
       .orderBy("doc_id")
   }
 
-  val dedupSubstringSql: String = {
-    val toksE = tokensSql(normalizeSql("text"))
-    s"""WITH grams AS (SELECT doc_id,
-       |    ${hash64Sql("gram")} AS h
-       |  FROM (SELECT doc_id, unnest(${shinglesSql(toksE, GramK)}) AS gram
-       |        FROM documents) t),
+  val dedupSubstringSql: String =
+    s"""WITH grams AS ($gramsSql),
        |dg AS (SELECT doc_id, h, count(*) AS c FROM grams GROUP BY 1, 2),
        |dup AS (SELECT h, CAST(sum(c) AS BIGINT) AS total FROM dg
        |        GROUP BY 1 HAVING sum(c) >= 2),
@@ -82,5 +97,81 @@ object Substring {
        |    AS dup_frac
        |FROM documents d LEFT JOIN per_doc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** §2.132 merged duplicated-SPAN coverage — the follow-through on
+    * [[dedupSubstring]]: the gram-level dup fraction counts anchor
+    * STARTS, but the metric span-level dedup actually cuts on is the
+    * union of the duplicated windows. Each duplicated k-gram start p
+    * covers tokens [p, p+k−1]; overlapping/adjacent windows merge into
+    * maximal spans (gaps-and-islands: a window opens a new island iff
+    * its start exceeds the running max end of everything before it),
+    * giving per doc the exact duplicated-token coverage a cut would
+    * remove.
+    *
+    * Scale shape: the gram/total machinery is [[dedupSubstring]]'s;
+    * duplicated starts are recovered with a leftsemi join (totals
+    * never widen rows) and the island assignment is ONE window pass
+    * partitioned by doc_id ordered by position — per-doc sequential
+    * work bounded by doc length, the same per-key window class as
+    * window_running, over only the duplicated starts (≈ 8% of gram
+    * volume at sf1). */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val g = grams(docs)
+    val totals = g.groupBy("h").agg(count(lit(1)).as("total"))
+      .filter(col("total") >= 2)
+    // duplicated window starts only (leftsemi: totals never widen rows)
+    val dup = g.join(totals, Seq("h"), "leftsemi")
+    val wPrev = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val islands = dup
+      .withColumn("new_island",
+        when(col("p") > coalesce(max(col("p") + lit(GramK - 1)).over(wPrev),
+          lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum("new_island").over(wRun))
+    val perDoc = islands.groupBy("doc_id", "n_tokens", "island")
+      .agg(min("p").as("s"), max(col("p") + lit(GramK - 1)).as("e"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("covered_tokens"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(round(col("covered_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6), lit(0.0)).as("coverage_frac"))
+      .orderBy("doc_id")
   }
+
+  val dupSpansSql: String =
+    s"""WITH grams AS ($gramsSql),
+       |totals AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+       |dup AS (SELECT g.doc_id, g.n_tokens, g.p FROM grams g
+       |        WHERE g.h IN (SELECT h FROM totals)),
+       |isl AS (SELECT doc_id, n_tokens, p,
+       |    CAST(sum(new_island) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+       |  FROM (SELECT doc_id, n_tokens, p,
+       |      CASE WHEN p > coalesce(max(p + ${GramK - 1}) OVER (
+       |          PARTITION BY doc_id ORDER BY p
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |        THEN 1 ELSE 0 END AS new_island
+       |    FROM dup) t),
+       |spans AS (SELECT doc_id, n_tokens, island,
+       |    min(p) AS s, max(p + ${GramK - 1}) AS e
+       |  FROM isl GROUP BY 1, 2, 3),
+       |per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+       |    CAST(sum(e - s + 1) AS BIGINT) AS covered_tokens,
+       |    any_value(n_tokens) AS n_tokens
+       |  FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_dup_spans, 0) AS n_dup_spans,
+       |  coalesce(covered_tokens, 0) AS covered_tokens,
+       |  coalesce(round(CAST(covered_tokens AS DOUBLE) /
+       |    CAST(n_tokens AS DOUBLE), 6), 0.0) AS coverage_frac
+       |FROM documents d LEFT JOIN per_doc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

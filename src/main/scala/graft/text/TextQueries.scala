@@ -131,6 +131,102 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** mixed-language chunk size (tokens). */
+  val LangChunk = 32
+
+  /** §2.133 mixed-language detection — the chunk-level refinement of
+    * §2.28: a doc-level language vote hides code-switching and
+    * boilerplate contamination (an `en` page with an embedded `de`
+    * paragraph votes `en` overall), but the corpus filters that decide
+    * keep/drop/route-by-language need to KNOW a document is mixed
+    * (C4/RefinedWeb drop or segment such docs). Each 32-token chunk
+    * votes with the same marker scores as text_langid (token-level
+    * sums — CJK chars counted inside tokens, identical to the
+    * doc-level char count since whitespace carries none); per doc:
+    * chunk count, distinct chunk languages, the majority language
+    * (count desc, lang asc — deterministic), its share, and the mixed
+    * flag.
+    *
+    * Scale shape: explode → ONE map-side-combined groupBy per
+    * (doc, chunk) — integer marker sums, no per-row HOF lambdas (the
+    * §6 round-1 finding) — then (doc, lang)-counts and a bounded
+    * per-doc majority window (≤ 5 rows per doc: one per predicted
+    * language). No countDistinct anywhere: n_langs falls out of the
+    * (doc, pred) group count, so nothing can plan an Expand. */
+  def mixedLang(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        posexplode(tokens(lower(col("text")))))
+      .toDF("doc_id", "lang", "pos", "tok")
+      .withColumn("chunk", floor(col("pos") / LangChunk))
+    val scoreAggs = langMarkers.map { case (l, marks) =>
+      sum(when(col("tok").isin(marks: _*), 1L).otherwise(0L)).as(s"s_$l")
+    } :+ sum(length(regexp_replace(col("tok"), "[^一-鿿]", "")))
+      .as("s_zh")
+    val chunkScores = toks.groupBy("doc_id", "lang", "chunk")
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+    val pred = chunkScores.withColumn("pred",
+      when(col("s_zh") > 0, "zh")
+        .when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr"))
+    val byLang = pred.groupBy("doc_id", "lang", "pred")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("cnt"), asc("pred"))
+    byLang.withColumn("rk", row_number().over(w))
+      .groupBy("doc_id", "lang")
+      .agg(sum("cnt").as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("rk") === 1, col("pred"))).as("major_lang"),
+        max(when(col("rk") === 1, col("cnt"))).as("major_cnt"))
+      .select(col("doc_id"), col("lang"), col("n_chunks"), col("n_langs"),
+        col("major_lang"),
+        round(col("major_cnt").cast("double") /
+          col("n_chunks").cast("double"), 6).as("major_frac"),
+        (col("n_langs") > 1).as("is_mixed"))
+      .orderBy("doc_id")
+  }
+
+  val mixedLangSql: String = {
+    val scoreCols = langMarkers.map { case (l, marks) =>
+      val list = marks.map(w => s"'$w'").mkString(", ")
+      s"CAST(sum(CASE WHEN tok IN ($list) THEN 1 ELSE 0 END) AS BIGINT) AS s_$l"
+    }.mkString(",\n       |    ")
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |    (generate_subscripts(_toks, 1) - 1) // $LangChunk AS chunk,
+       |    unnest(_toks) AS tok
+       |  FROM (SELECT doc_id, lang, ${tokensSql("lower(text)")} AS _toks
+       |        FROM documents) t0),
+       |cs AS (SELECT doc_id, lang, chunk,
+       |    $scoreCols,
+       |    CAST(sum(length(regexp_replace(tok, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))) AS BIGINT) AS s_zh
+       |  FROM toks GROUP BY 1, 2, 3),
+       |pred AS (SELECT doc_id, lang,
+       |    CASE WHEN s_zh > 0 THEN 'zh'
+       |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es >= s_fr THEN 'es'
+       |         ELSE 'fr' END AS pred
+       |  FROM cs),
+       |bl AS (SELECT doc_id, lang, pred, count(*) AS cnt
+       |  FROM pred GROUP BY 1, 2, 3),
+       |rk AS (SELECT doc_id, lang, pred, cnt,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY cnt DESC, pred) AS rk
+       |  FROM bl)
+       |SELECT doc_id, lang,
+       |  CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) AS BIGINT) AS n_langs,
+       |  max(CASE WHEN rk = 1 THEN pred END) AS major_lang,
+       |  round(CAST(max(CASE WHEN rk = 1 THEN cnt END) AS DOUBLE) /
+       |    CAST(sum(cnt) AS DOUBLE), 6) AS major_frac,
+       |  count(*) > 1 AS is_mixed
+       |FROM rk GROUP BY doc_id, lang
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** §2.70 repetition scoring (Gopher-style quality rule: "repetitious
     * documents are low-quality"): duplicate-token fraction, top-token
     * fraction, top-bigram fraction, composite score. Explode-then-agg

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.ann.Bitext
 import graft.dedup.Substring
 import graft.graph.Graph
+import graft.text.TextQueries
 
 /** §2.129–131: dedup_substring, bitext_mine, item_pagerank — each
   * verified against an independent brute-force formulation over the
@@ -15,17 +16,23 @@ class GraphBitextSpec extends AnyFunSuite {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  private def normTokens(text: String): Array[String] =
-    text.toLowerCase.replaceAll("[^a-z0-9 ]", "").trim.split("\\s+")
+  private val M = 1000000007L
+
+  /** independent replication of the TokenPolyHashes→ShinglePolyHashes
+    * chain: normalize, per-token char fold, k-window token-hash fold */
+  private def gramHashes(text: String, k: Int): Array[Long] = {
+    val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", "").trim.split("\\s+")
+    val th = toks.map(_.foldLeft(0L)((a, c) => (a * 131 + c.toInt) % M))
+    if (th.length < k) Array.empty[Long]
+    else th.sliding(k).map(_.foldLeft(0L)((a, h) => (a * 131 + h) % M)).toArray
+  }
 
   test("dedup_substring matches brute-force gram counting; planted dups score > 0") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1))
     val k = Substring.GramK
     val gramsOf = docs.map { case (id, t) =>
-      val toks = normTokens(t)
-      id -> (if (toks.length < k) Array.empty[String]
-             else toks.sliding(k).map(_.mkString(" ")).toArray)
+      id -> gramHashes(t, k)
     }.toMap
     val totals = gramsOf.values.flatten
       .groupBy(identity).view.mapValues(_.size).toMap
@@ -97,6 +104,77 @@ class GraphBitextSpec extends AnyFunSuite {
       val c = round6(dot(vecs(x), vecs(y)) / (nrm(vecs(x)) * nrm(vecs(y))))
       assert(math.abs(r.getDouble(2) - c) < 1e-9, s"cosine of ($x,$y)")
       assert(r.getDouble(3) >= Bitext.MarginMin, s"margin of ($x,$y)")
+    }
+  }
+
+  test("dup_spans = brute-force interval union of duplicated gram windows") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val k = Substring.GramK
+    val gramsOf = docs.map { case (id, t) =>
+      val toks = t.toLowerCase.replaceAll("[^a-z0-9 ]", "").trim.split("\\s+")
+      id -> (toks.length, gramHashes(t, k))
+    }.toMap
+    val totals = gramsOf.values.flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val got = Substring.dupSpans(spark, sf).collect()
+    assert(got.length == docs.length)
+    var anySpans = 0
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (nTok, gs) = gramsOf(id)
+      // merge duplicated windows [p, p+k-1] into maximal spans
+      val starts = gs.zipWithIndex.collect {
+        case (g, p) if totals(g) >= 2 => p }
+      var spans = List.empty[(Int, Int)]
+      starts.foreach { p =>
+        spans match {
+          case (s, e) :: rest if p <= e => spans = (s, math.max(e, p + k - 1)) :: rest
+          case _ => spans = (p, p + k - 1) :: spans
+        }
+      }
+      val covered = spans.map { case (s, e) => e - s + 1 }.sum
+      assert(r.getLong(1) == spans.length, s"n_dup_spans doc=$id")
+      assert(r.getLong(2) == covered, s"covered_tokens doc=$id")
+      val frac = if (covered == 0) 0.0 else round6(covered.toDouble / nTok)
+      assert(math.abs(r.getDouble(3) - frac) < 1e-9, s"coverage_frac doc=$id")
+      anySpans += spans.length
+    }
+    assert(anySpans > 0, "no duplicated spans found anywhere")
+  }
+
+  test("mixed_lang = brute-force chunk votes; majority deterministic") {
+    val markers = Map(
+      "de" -> Set("der", "die", "und", "das", "nicht"),
+      "en" -> Set("the", "a", "is", "of", "and"),
+      "es" -> Set("el", "la", "de", "y", "que"),
+      "fr" -> Set("le", "la", "et", "les", "des"))
+    def predOf(toks: Array[String]): String = {
+      val s = markers.map { case (l, m) => l -> toks.count(m.contains) }
+      val zh = toks.map(_.count(c => c >= '一' && c <= '鿿')).sum
+      if (zh > 0) "zh"
+      else if (s("de") >= s("en") && s("de") >= s("es") && s("de") >= s("fr")) "de"
+      else if (s("en") >= s("es") && s("en") >= s("fr")) "en"
+      else if (s("es") >= s("fr")) "es"
+      else "fr"
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val got = TextQueries.mixedLang(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == docs.length)
+    docs.foreach { case (id, lang, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val preds = toks.grouped(TextQueries.LangChunk).map(predOf).toSeq
+      val byLang = preds.groupBy(identity).view.mapValues(_.size).toMap
+      val major = byLang.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      val r = got(id)
+      assert(r.getString(1) == lang)
+      assert(r.getLong(2) == preds.length, s"n_chunks doc=$id")
+      assert(r.getLong(3) == byLang.size, s"n_langs doc=$id")
+      assert(r.getString(4) == major._1, s"major_lang doc=$id")
+      assert(math.abs(r.getDouble(5) - round6(major._2.toDouble / preds.length)) < 1e-9)
+      assert(r.getBoolean(6) == (byLang.size > 1), s"is_mixed doc=$id")
     }
   }
 
