@@ -190,6 +190,60 @@ object EtlQueries {
       |  ORDER BY _version DESC, _src DESC) AS rn FROM unioned) t
       |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
 
+  /** §2.134 SCD Type-2 history construction — the dimension-load
+    * semantic §2.6's latest-wins upsert does NOT cover: instead of
+    * overwriting, every attribute change opens a new versioned row
+    * with a validity interval, so any past state can be joined
+    * as-of-then (the warehouse pattern the reference's MySQL
+    * dimension loads would grow into; the Kimball SCD2 shape).
+    *
+    * The change stream is events per user under the (ts, event_id)
+    * total order (the §2.98 funnel convention); the tracked attribute
+    * is event_type ("status"). Consecutive same-status updates
+    * COLLAPSE (a re-assertion of the current value is not a new
+    * version — the defining SCD2 rule, and gaps-and-islands again:
+    * lag ≠ current opens a version); valid_from = first ts of the
+    * run, valid_to = next version's valid_from (half-open, NULL on
+    * the current version), version = per-user ordinal.
+    *
+    * Scale shape: ONE hash exchange on user_id feeds every window
+    * (lag → filter → row_number → lead all share the same partition
+    * ordering — one sort, no extra shuffle), then per-user work is
+    * linear. A hot user is one sorted run; the output is
+    * change-sized, not event-sized. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("status"))
+      .withColumn("prev", lag("status", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+    val wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes
+      .withColumn("version", row_number().over(wv))
+      .withColumn("valid_to", lead("ts", 1).over(wv))
+      .select(col("user_id"), col("version"), col("status"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val scd2HistorySql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    event_type AS status FROM events),
+      |ch AS (SELECT * FROM (SELECT user_id, ts, event_id, status,
+      |    lag(status) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM e) t WHERE prev IS NULL OR prev <> status)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS INT) AS version,
+      |  status, ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  lead(ts) OVER w IS NULL AS is_current
+      |FROM ch
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   /** §2.7 load report: per-group row counts + key/ts stats. */
   def loadReport(spark: SparkSession, dir: String): DataFrame =
     Loader.report(Tables.events(spark, dir), Seq("event_type"), "user_id", "ts")
