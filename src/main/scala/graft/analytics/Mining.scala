@@ -1,0 +1,164 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Behavioral / association-mining analytics — SURVEY.md §2.136–138:
+  * market-basket association rules, Markov event transitions, and
+  * time-series gap filling. All exact, all oracle-replayable.
+  */
+object Mining {
+
+  /** Minimum co-occurrence count for a pair to be reported (and the
+    * a-priori item prune threshold — an item in fewer baskets than
+    * this provably cannot be in a qualifying pair). */
+  val MinPairCount = 2
+
+  /** §2.136 market-basket association mining: part pairs co-purchased
+    * within an order, with support and lift — the classic
+    * recommendation primitive (A-Priori, Agrawal & Srikant VLDB'94)
+    * over the lineitem basket stream.
+    *
+    * Scale shape: baskets are BOUNDED (an order has a handful of
+    * lines), so the per-order pair fanout is a constant factor, not a
+    * quadratic blowup — the self-join on okey is a hash-partitioned
+    * equi-join whose output is Σ C(basket,2) ≈ linear in orders, and
+    * AQE can split a hot basket key. Before pairing, the A-PRIORI
+    * prune drops items in < MinPairCount baskets (they cannot reach
+    * pair support by monotonicity) — on a long-tail catalog this
+    * eliminates most of the item stream before the only expensive
+    * join. Counts are exact integers; support/lift divide as doubles
+    * identically in both engines, 6 dp display rounding. */
+  def marketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+      .distinct()
+    val freq = items.groupBy("pkey").agg(count(lit(1)).as("icnt"))
+      .filter(col("icnt") >= MinPairCount)
+    val pruned = items.join(freq, "pkey")
+    val a = pruned.select(col("okey"), col("pkey").as("part_a"),
+      col("icnt").as("cnt_a"))
+    val b = pruned.select(col("okey"), col("pkey").as("part_b"),
+      col("icnt").as("cnt_b"))
+    val n = items.agg(count_distinct(col("okey")).as("n_orders"))
+    a.join(b, Seq("okey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b", "cnt_a", "cnt_b")
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= MinPairCount)
+      .crossJoin(broadcast(n))
+      .withColumn("support", round(col("pair_count") / col("n_orders"), 6))
+      .withColumn("lift", round(
+        (col("pair_count") * col("n_orders")) /
+          (col("cnt_a") * col("cnt_b")).cast("double"), 6))
+      .select("part_a", "part_b", "pair_count", "support", "lift")
+      .orderBy(desc("pair_count"), col("part_a"), col("part_b"))
+  }
+
+  val marketBasketSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+       |    FROM lineitem),
+       |freq AS (SELECT pkey, count(*) AS icnt FROM items GROUP BY 1
+       |    HAVING count(*) >= $MinPairCount),
+       |pruned AS (SELECT i.okey, i.pkey, f.icnt
+       |    FROM items i JOIN freq f USING (pkey)),
+       |n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+       |pairs AS (SELECT a.pkey AS part_a, b.pkey AS part_b,
+       |    a.icnt AS cnt_a, b.icnt AS cnt_b
+       |  FROM pruned a JOIN pruned b ON a.okey = b.okey AND a.pkey < b.pkey)
+       |SELECT part_a, part_b, count(*) AS pair_count,
+       |  round(count(*) / n_orders, 6) AS support,
+       |  round((count(*) * n_orders) / CAST(cnt_a * cnt_b AS DOUBLE), 6) AS lift
+       |FROM pairs CROSS JOIN n
+       |GROUP BY part_a, part_b, cnt_a, cnt_b, n_orders
+       |HAVING count(*) >= $MinPairCount
+       |ORDER BY pair_count DESC, part_a, part_b""".stripMargin
+
+  /** §2.137 Markov event-transition matrix: for each ordered pair of
+    * event types, how often does one directly follow the other within
+    * a user's stream, and with what conditional probability — the
+    * first-order behavioral model behind next-action prediction and
+    * anomalous-flow detection (a transition whose observed p collapses
+    * week-over-week is a funnel break).
+    *
+    * Scale shape: ONE hash exchange on user_id for the lag window
+    * (same sort the §2.134 SCD2 build shares), then the (prev, next)
+    * groupBy partial-aggregates map-side into a transition matrix
+    * bounded by |event_type|² — the per-prev normalization window runs
+    * over that matrix, not the corpus. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wp = Window.partitionBy("prev")
+    Tables.events(spark, dir)
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum("n").over(wp), 6))
+      .orderBy("prev", "next")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH tr AS (SELECT * FROM (
+      |    SELECT lag(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS prev,
+      |      event_type AS next
+      |    FROM events) t WHERE prev IS NOT NULL),
+      |m AS (SELECT prev, next, count(*) AS n FROM tr GROUP BY 1, 2)
+      |SELECT prev, next, n,
+      |  round(n / sum(n) OVER (PARTITION BY prev), 6) AS p
+      |FROM m ORDER BY prev, next""".stripMargin
+
+  /** §2.138 time-series gap filling: the daily revenue series per
+    * event type, with missing days materialized from a date spine and
+    * forward-filled from the last observed day — the resample/ffill
+    * step every downstream trend model needs (a absent day must read
+    * as "carried value", not silently vanish from the series).
+    *
+    * The fill uses the portable grouping trick — grp = running count
+    * of non-null observations, fill = max within (type, grp) — instead
+    * of IGNORE NULLS last_value, so both engines execute the identical
+    * formulation. Scale shape: the corpus collapses to a (type, day)
+    * aggregate in one map-side-combined groupBy; the spine explode and
+    * both windows run over day-granularity frames (bounded by calendar
+    * span × |event_type| at ANY corpus size — a 100 TB decade is
+    * ~3 650 rows per type). */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 4).as("day_value"))
+    val spine = daily.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val wg = Window.partitionBy("event_type").orderBy("day")
+    val wf = Window.partitionBy("event_type", "grp")
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("grp", count("day_value").over(wg))
+      .withColumn("value_ffill", max("day_value").over(wf))
+      .withColumn("is_gap", col("day_value").isNull)
+      .select("event_type", "day", "value_ffill", "is_gap")
+      .orderBy("event_type", "day")
+  }
+
+  val gapFillSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    round(sum(value), 4) AS day_value
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (SELECT event_type,
+      |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      |  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |      FROM daily GROUP BY 1) t),
+      |j AS (SELECT s.event_type, s.day, d.day_value,
+      |    count(d.day_value) OVER (PARTITION BY s.event_type
+      |      ORDER BY s.day) AS grp
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.event_type = d.event_type AND s.day = d.day)
+      |SELECT event_type, day,
+      |  max(day_value) OVER (PARTITION BY event_type, grp) AS value_ffill,
+      |  day_value IS NULL AS is_gap
+      |FROM j ORDER BY event_type, day""".stripMargin
+}

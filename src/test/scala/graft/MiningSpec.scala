@@ -1,0 +1,202 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analytics.Mining
+import graft.pipeline.Splits
+import graft.text.Keywords
+
+/** §2.136–140: market_basket, event_transitions, gap_fill,
+  * split_leakage, chi2_terms — each checked against an independent
+  * brute-force computation over the collected sf0.001 tables. */
+class MiningSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  test("market_basket = brute-force pair counts; a-priori prune is lossless") {
+    val items = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = items.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairCounts = byOrder.values.flatMap { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= Mining.MinPairCount).toMap
+    val itemCounts = items.groupBy(_._2).view.mapValues(_.size).toMap
+    val nOrders = byOrder.size.toDouble
+
+    val got = Mining.marketBasket(spark, sf).collect()
+    assert(got.length == pairCounts.size,
+      "a-priori prune must not lose any qualifying pair")
+    got.foreach { r =>
+      val (pa, pb, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(pairCounts((pa, pb)) == n, s"count for ($pa,$pb)")
+      val lift = (n * nOrders) / (itemCounts(pa).toDouble * itemCounts(pb))
+      assert(math.abs(r.getDouble(4) - lift) < 1e-4, s"lift for ($pa,$pb)")
+      assert(math.abs(r.getDouble(3) - n / nOrders) < 1e-6)
+    }
+  }
+
+  test("event_transitions = brute-force lag pairs; rows of P sum to 1") {
+    val events = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val expected = events.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._2.getTime, e._3)).map(_._4).sliding(2).collect {
+        case Array(p, n) => (p, n)
+      }
+    }.groupBy(x => x).view.mapValues(_.size).toMap
+
+    val got = Mining.eventTransitions(spark, sf).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      == expected)
+    got.groupBy(_.getString(0)).values.foreach { rs =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-3,
+        "per-prev probabilities must sum to 1")
+    }
+  }
+
+  test("gap_fill: dense spine, gaps carry the last observed value") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 4).as("v")).collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)), r.getDouble(2))).toMap
+
+    val got = Mining.gapFill(spark, sf).collect()
+    val dayMs = 86400000L
+    got.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_.getTimestamp(1).getTime)
+      // dense: consecutive days, exactly covering [min, max] observed
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getTimestamp(1).getTime - a.getTimestamp(1).getTime == dayMs)
+        case _ =>
+      }
+      val observedDays = daily.keys.filter(_._1 == et).map(_._2).toSeq
+      assert(sorted.head.getTimestamp(1) == observedDays.minBy(_.getTime))
+      assert(sorted.last.getTimestamp(1) == observedDays.maxBy(_.getTime))
+      // fill semantics: observed day = its own value, gap = last observed
+      var last = Double.NaN
+      sorted.foreach { r =>
+        daily.get((et, r.getTimestamp(1))) match {
+          case Some(v) =>
+            assert(!r.getBoolean(3) && r.getDouble(2) == v); last = v
+          case None =>
+            assert(r.getBoolean(3) && r.getDouble(2) == last,
+              s"gap day must carry the previous value ($et)")
+        }
+      }
+    }
+  }
+
+  test("split_leakage = straddling minhash pairs, tags point the right way") {
+    val pairs = graft.dedup.Dedup
+      .minhashPairs(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def isVal(id: Long): Boolean = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sp:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(15), 16) % 10 >= Splits.ValFrom
+    }
+    val expected = pairs.filter { case (a, b) => isVal(a) != isVal(b) }
+    val got = Splits.splitLeakage(spark, sf).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet
+      == expected.toSet)
+    got.foreach { r =>
+      assert(isVal(r.getLong(3)) && !isVal(r.getLong(4)),
+        "val_doc/train_doc must land on their sides")
+      assert(Set(r.getLong(0), r.getLong(1))
+        == Set(r.getLong(3), r.getLong(4)))
+    }
+  }
+
+  test("chi2_terms: top-3 per lang, matches brute-force chi2") {
+    val words = Tables.documents(spark, sf)
+      .select(col("lang"), explode(graft.text.TextFunctions.tokens(
+        lower(col("text")))).as("term")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = words.length.toDouble
+    val tl = words.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val tt = words.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val lt = words.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    def chi2(lang: String, term: String): Double = {
+      val a = tl.getOrElse((lang, term), 0.0)
+      val d = n - tt(term) - lt(lang) + a
+      val num = a * d - (tt(term) - a) * (lt(lang) - a)
+      n * num * num / (tt(term) * (n - tt(term)) * lt(lang) * (n - lt(lang)))
+    }
+    val got = Keywords.chi2Terms(spark, sf).collect()
+    got.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(Array(1, 2, 3)))
+      // reported terms are the true argmax set under (chi2 desc, term asc)
+      val all = tt.keys.map(t => (t, chi2(lang, t))).toSeq
+        .sortBy { case (t, s) => (-s, t) }.take(3).map(_._1)
+      assert(rs.sortBy(_.getInt(1)).map(_.getString(2)).sameElements(all),
+        s"top-3 for $lang")
+    }
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(4) - chi2(r.getString(0), r.getString(2)))
+        < 1e-3)
+    }
+  }
+
+  test("rfm_segments: cells partition all customers, scores rank correctly") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toLocalDate, r.getDouble(2)))
+    val maxDate = orders.map(_._2).max
+    val per = orders.groupBy(_._1).map { case (_, os) =>
+      val recency = java.time.temporal.ChronoUnit.DAYS.between(
+        os.map(_._2).max, maxDate).toDouble
+      val monetary = BigDecimal(os.map(_._3).sum)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (recency, os.length.toDouble, monetary)
+    }.toSeq
+    def q(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted; val pos = (s.length - 1) * p
+      val lo = s(pos.toInt)
+      if (pos.toInt + 1 < s.length)
+        lo + (s(pos.toInt + 1) - lo) * (pos - pos.toInt)
+      else lo
+    }
+    def score(x: Double, xs: Seq[Double]): Int =
+      1 + Seq(0.25, 0.5, 0.75).count(p => x > q(xs, p))
+    val expected = per.groupBy { case (r, f, m) =>
+      (5 - score(r, per.map(_._1)), score(f, per.map(_._2)),
+        score(m, per.map(_._3)))
+    }.view.mapValues(_.size).toMap
+    val got = analytics.Rfm.rfmSegments(spark, sf).collect()
+    assert(got.map(_.getLong(3)).sum == per.size,
+      "segment cells must partition the customer population")
+    assert(got.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+      r.getLong(3)).toMap == expected)
+  }
+
+  test("collocations: top-20 by brute-force PMI, count floor respected") {
+    val bigrams = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.toLowerCase
+        .split("\\s+").toSeq.sliding(2).collect {
+          case Seq(a, b) => (a, b)
+        })
+    val cab = bigrams.groupBy(x => x).view.mapValues(_.size).toMap
+    val ca = bigrams.groupBy(_._1).view.mapValues(_.size).toMap
+    val cb = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+    val n = bigrams.length.toDouble
+    def pmi(p: (String, String)): Double =
+      (math.log(cab(p)) + math.log(n) - math.log(ca(p._1))
+        - math.log(cb(p._2))) / math.log(2.0)
+    val expected = cab.keys.toSeq
+      .filter(cab(_) >= graft.text.Keywords.CollocMinCount)
+      .sortBy(p => (-pmi(p), p._1, p._2)).take(20)
+    val got = graft.text.Keywords.collocations(spark, sf).collect()
+    assert(got.map(r => (r.getString(1), r.getString(2))).toSeq == expected)
+    got.foreach { r =>
+      assert(r.getLong(3) >= graft.text.Keywords.CollocMinCount)
+      assert(math.abs(r.getDouble(4)
+        - pmi((r.getString(1), r.getString(2)))) < 1e-3)
+    }
+  }
+}
