@@ -143,6 +143,111 @@ object Mining {
       .orderBy("event_type", "day")
   }
 
+  /** §2.144 time-weighted average: per user, the TWA of `value` over
+    * their event timeline — each observation weighted by how long it
+    * held (until the next event), the correct mean for
+    * irregularly-sampled series (a plain avg over-weights bursts; the
+    * financial/IoT standard). The last observation has no holding
+    * interval and is excluded (right-open step function).
+    *
+    * Scale shape: ONE hash exchange on user_id (the lead window —
+    * the §2.134/137 shared-sort family), then row-local weight
+    * arithmetic and a map-side-combined per-user aggregation. Weights
+    * are exact integer seconds on both engines; the weighted sum is
+    * double with engine-local summation order, 4 dp rounding. */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("wt",
+        (col("next_ts").cast("long") - col("ts").cast("long")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("wt").as("span_s"),
+        round(sum(col("value") * col("wt")) / sum("wt"), 4).as("twa"),
+        round(avg("value"), 4).as("plain_avg"))
+      .filter(col("span_s") > 0)
+      .orderBy("user_id")
+  }
+
+  val timeWeightedAvgSql: String =
+    """WITH iv AS (SELECT * FROM (
+      |    SELECT user_id, value,
+      |      date_diff('second', CAST(ts AS TIMESTAMP),
+      |        lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id)) AS wt
+      |    FROM events) t WHERE wt IS NOT NULL)
+      |SELECT user_id, count(*) AS n_intervals,
+      |  CAST(sum(wt) AS BIGINT) AS span_s,
+      |  round(sum(value * wt) / sum(wt), 4) AS twa,
+      |  round(avg(value), 4) AS plain_avg
+      |FROM iv GROUP BY user_id HAVING sum(wt) > 0
+      |ORDER BY user_id""".stripMargin
+
+  /** §2.145 session journey paths: the top-20 most common
+    * within-session event-type sequences (the "user journey" report —
+    * which flows dominate, where do sessions end). Sessions are the
+    * §2.36 30-minute-gap islands, rebuilt here with the same two
+    * windows; the path string joins event types in (ts, event_id)
+    * order via array_sort over (ts, event_id, type) structs — Spark's
+    * collect_list is UNORDERED, so the sort must be explicit for
+    * determinism (DuckDB: string_agg ORDER BY).
+    *
+    * Scale shape: one user_id exchange (shared by both session
+    * windows), one session-grain groupBy (map-side combined), one
+    * path-grain count, and a distributed TakeOrderedAndProject top-20
+    * — no global window, path cardinality never collects. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") >
+            graft.streaming.Streaming.SessionGapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sessions.groupBy("user_id", "session_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path")).limit(20)
+    paths.withColumn("rk", row_number().over(
+        Window.orderBy(desc("n_sessions"), col("path"))))
+      .select("rk", "path", "n_sessions")
+      .orderBy("rk")
+  }
+
+  val sessionPathsSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+       |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+       |           OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w,
+       |                CAST(ts AS TIMESTAMP)) >
+       |             ${graft.streaming.Streaming.SessionGapMinutes * 60}
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_type, ts, event_id,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged),
+       |paths AS (
+       |  SELECT user_id, session_id,
+       |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+       |  FROM sess GROUP BY 1, 2),
+       |counted AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1),
+       |ranked AS (SELECT path, n_sessions,
+       |    row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+       |  FROM counted)
+       |SELECT rk, path, n_sessions FROM ranked WHERE rk <= 20
+       |ORDER BY rk""".stripMargin
+
   val gapFillSql: String =
     """WITH daily AS (SELECT event_type,
       |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,

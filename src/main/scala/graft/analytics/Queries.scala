@@ -680,6 +680,29 @@ object Queries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** §2.143 CUBE aggregation — all 2ⁿ grouping combinations in one
+    * pass, completing the ROLLUP (§2.20) / GROUPING SETS (§2.52)
+    * family; grouping() flags disambiguate "NULL because subtotal"
+    * from data NULLs. Spark plans one Expand (4 replicas here) over a
+    * single map-side-combined aggregation — one corpus scan, one
+    * shuffle, no union of 4 separate groupBys. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"),
+        grouping("l_returnflag").as("g_rf"),
+        grouping("l_linestatus").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val cubeAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n,
+      |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS INT) AS g_ls
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** §2.103 TPC-H Q18 shape (large-volume customers): orders whose
     * lineitems exceed a quantity threshold — the HAVING-subquery /
     * IN-decorrelation pattern — joined back to customer, top-100 by

@@ -60,9 +60,11 @@ object Graph {
       a.unpersist(blocking = false); nd.unpersist(blocking = false)
     })
 
-  /** Final ranks of the item nodes after `Iters` damped rounds. */
-  def itemPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val (adj, nodes, n) = adjCache.getOrElseUpdate(spark, dir) {
+  /** Cached (src, dst, deg) adjacency + node list + node count —
+    * shared by PageRank and label propagation (same cache key, so the
+    * expensive events distinct builds once for both). */
+  private def adjacency(spark: SparkSession, dir: String) =
+    adjCache.getOrElseUpdate(spark, dir) {
       val e = edges(spark, dir)
       val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       val a = e.join(deg, "src") // (src, dst, deg)
@@ -71,6 +73,10 @@ object Graph {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (a, nd, nd.count())
     }
+
+  /** Final ranks of the item nodes after `Iters` damped rounds. */
+  def itemPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val (adj, nodes, n) = adjacency(spark, dir)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to Iters) {
       // undirected ⇒ every node occurs as a dst, so the contribution
@@ -110,5 +116,67 @@ object Graph {
        |SELECT node AS item, round(rank, 6) AS rank FROM r$Iters
        |WHERE node LIKE 'i%'
        |ORDER BY round(rank, 6) DESC, item""".stripMargin
+  }
+
+  /** Synchronous label-propagation rounds (communities). */
+  val LpIters = 3
+
+  /** §2.146 label propagation community detection (Raghavan et al.
+    * 2007, the synchronous variant): every node starts as its own
+    * label; each round a node adopts the most frequent label among
+    * its neighbors, ties broken by SMALLEST label — the
+    * determinism-restoring tie-break that makes the usually-random LP
+    * replayable on both engines. After `LpIters` rounds, communities
+    * are reported by size. On the user↔item click graph this yields
+    * item/user co-engagement clusters — the unsupervised sibling of
+    * §2.39's connected components (which merge on ANY path; LP merges
+    * on DENSE association, splitting bridge-connected clumps).
+    *
+    * Scale shape: per round ONE corpus-sized shuffle (labels ⋈ edges
+    * by src, map-side-combined (dst, lbl) count — the §2.131 pattern),
+    * then a dst-partitioned max window + min-label argmax over the
+    * vote matrix (≤ edge count, hash-partitioned, hot nodes
+    * AQE-splittable). Shares the persisted adjacency with PageRank —
+    * the events distinct never re-runs. */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (adj, nodes, _) = adjacency(spark, dir)
+    var labels = nodes.withColumn("lbl", col("node"))
+    for (_ <- 1 to LpIters) {
+      val votes = adj.join(labels, col("src") === col("node"))
+        .groupBy("dst", "lbl").agg(count(lit(1)).as("c"))
+      labels = votes
+        .withColumn("mx", max("c").over(Window.partitionBy("dst")))
+        .filter(col("c") === col("mx"))
+        .groupBy("dst").agg(min("lbl").as("lbl"))
+        .select(col("dst").as("node"), col("lbl"))
+    }
+    labels.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+      .select(col("lbl").as("community"), col("n_nodes"))
+      .orderBy(desc("n_nodes"), asc("community"))
+  }
+
+  val labelPropagationSql: String = {
+    val rounds = (1 to LpIters).map { t =>
+      s"""v$t AS (SELECT dst, lbl, count(*) AS c
+         |  FROM adj JOIN l${t - 1} ON adj.src = l${t - 1}.node
+         |  GROUP BY 1, 2),
+         |m$t AS (SELECT dst, lbl, c, max(c) OVER (PARTITION BY dst) AS mx
+         |  FROM v$t),
+         |l$t AS (SELECT dst AS node, min(lbl) AS lbl FROM m$t
+         |  WHERE c = mx GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH uv AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+       |    'i' || CAST(json_extract_string(props, '$$.k') AS VARCHAR) AS v
+       |  FROM events WHERE event_type = 'click'),
+       |e AS (SELECT u AS src, v AS dst FROM uv
+       |      UNION ALL SELECT v AS src, u AS dst FROM uv),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |adj AS (SELECT e.src, e.dst FROM e),
+       |nodes AS (SELECT src AS node FROM deg),
+       |l0 AS (SELECT node, node AS lbl FROM nodes),
+       |$rounds
+       |SELECT lbl AS community, count(*) AS n_nodes FROM l$LpIters
+       |GROUP BY 1 ORDER BY n_nodes DESC, community""".stripMargin
   }
 }

@@ -199,4 +199,91 @@ class MiningSpec extends AnyFunSuite {
         - pmi((r.getString(1), r.getString(2)))) < 1e-3)
     }
   }
+
+  test("cube_agg: all four grouping combinations, cells match brute force") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_linestatus", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val got = analytics.Queries.cubeAgg(spark, sf).collect()
+    val byFlags = got.groupBy(r => (r.getByte(4).toInt, r.getByte(5).toInt))
+    assert(byFlags.keySet == Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    // grand total
+    val t = byFlags((1, 1)).head
+    assert(t.getLong(3) == li.length)
+    // detail cells
+    val detail = li.groupBy(x => (x._1, x._2)).view.mapValues(_.length).toMap
+    assert(byFlags((0, 0)).map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap == detail)
+    // each margin sums to the total
+    Seq((0, 1), (1, 0)).foreach { f =>
+      assert(byFlags(f).map(_.getLong(3)).sum == li.length)
+    }
+  }
+
+  test("time_weighted_avg = brute-force interval weighting per user") {
+    val events = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val expected = events.groupBy(_._1).view.mapValues { es =>
+      val s = es.sortBy(e => (e._2.getTime, e._3))
+      val iv = s.zip(s.tail).map { case (a, b) =>
+        (b._2.getTime / 1000 - a._2.getTime / 1000, a._4)
+      }
+      val span = iv.map(_._1).sum
+      (iv.length, span, iv.map { case (w, v) => v * w }.sum / span)
+    }.filter(_._2._2 > 0).toMap
+    val got = Mining.timeWeightedAvg(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, span, twa) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == span)
+      assert(math.abs(r.getDouble(3) - twa) < 1e-3, s"user ${r.getLong(0)}")
+    }
+  }
+
+  test("session_paths = brute-force 30-min-gap session path counts") {
+    val events = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val gap = graft.streaming.Streaming.SessionGapMinutes * 60L
+    val paths = events.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2.getTime, e._3))
+      val out = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.empty[String]
+      var last = Long.MinValue
+      s.foreach { e =>
+        val t = e._2.getTime / 1000
+        if (cur.nonEmpty && t - last > gap) { out += cur.reverse; cur = Nil }
+        cur = e._4 :: cur; last = t
+      }
+      if (cur.nonEmpty) out += cur.reverse
+      out.map(_.mkString(">"))
+    }.toSeq
+    val counts = paths.groupBy(x => x).view.mapValues(_.size).toMap
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = Mining.sessionPaths(spark, sf).collect()
+    assert(got.map(r => (r.getString(1), r.getLong(2).toInt)).toSeq == expected)
+    assert(got.map(_.getInt(0)).toSeq == (1 to got.length))
+  }
+
+  test("label_propagation = brute-force synchronous min-tie-break rounds") {
+    val edges = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").as("k")).collect()
+      .map(r => (s"u${r.getLong(0)}", s"i${r.getString(1)}")).distinct
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(n => n -> n).toMap
+    (1 to graph.Graph.LpIters).foreach { _ =>
+      labels = adj.map { case (n, nbrs) =>
+        val votes = nbrs.map(labels).groupBy(x => x).view.mapValues(_.size)
+        val mx = votes.values.max
+        n -> votes.filter(_._2 == mx).keys.min
+      }
+    }
+    val expected = labels.values.groupBy(x => x).view.mapValues(_.size).toMap
+    val got = graph.Graph.labelPropagation(spark, sf).collect()
+    assert(got.map(r => r.getString(0) -> r.getLong(1).toInt).toMap == expected)
+  }
 }
