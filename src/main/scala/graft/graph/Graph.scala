@@ -74,11 +74,14 @@ object Graph {
       (a, nd, nd.count())
     }
 
-  /** Final ranks of the item nodes after `Iters` damped rounds. */
-  def itemPagerank(spark: SparkSession, dir: String): DataFrame = {
+  /** All-node ranks after `iters` damped rounds, unrounded —
+    * factored out so InvariantCheck can replay round `Iters` from
+    * round `Iters − 1` independently at sf1. */
+  private[graft] def pagerankRanks(spark: SparkSession, dir: String,
+      iters: Int = Iters): DataFrame = {
     val (adj, nodes, n) = adjacency(spark, dir)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to Iters) {
+    for (_ <- 1 to iters) {
       // undirected ⇒ every node occurs as a dst, so the contribution
       // sum already covers ALL nodes — no per-round join back to the
       // node list (5 joins gone from the plan on both engines)
@@ -88,10 +91,14 @@ object Graph {
         .select(col("dst").as("node"),
           (lit((1.0 - Damping) / n) + lit(Damping) * col("s")).as("rank"))
     }
-    ranks.filter(col("node").startsWith("i"))
+    ranks
+  }
+
+  /** Final ranks of the item nodes after `Iters` damped rounds. */
+  def itemPagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankRanks(spark, dir).filter(col("node").startsWith("i"))
       .select(col("node").as("item"), round(col("rank"), 6).as("rank"))
       .orderBy(desc("rank"), asc("item"))
-  }
 
   val itemPagerankSql: String = {
     val iters = (1 to Iters).map { t =>
@@ -138,11 +145,14 @@ object Graph {
     * vote matrix (≤ edge count, hash-partitioned, hot nodes
     * AQE-splittable). Shares the persisted adjacency with PageRank —
     * the events distinct never re-runs. */
-  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-node labels after `iters` synchronous rounds — factored out
+    * so InvariantCheck can replay the final round independently. */
+  private[graft] def lpLabels(spark: SparkSession, dir: String,
+      iters: Int = LpIters): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (adj, nodes, _) = adjacency(spark, dir)
     var labels = nodes.withColumn("lbl", col("node"))
-    for (_ <- 1 to LpIters) {
+    for (_ <- 1 to iters) {
       val votes = adj.join(labels, col("src") === col("node"))
         .groupBy("dst", "lbl").agg(count(lit(1)).as("c"))
       labels = votes
@@ -151,10 +161,119 @@ object Graph {
         .groupBy("dst").agg(min("lbl").as("lbl"))
         .select(col("dst").as("node"), col("lbl"))
     }
-    labels.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+    labels
+  }
+
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame =
+    lpLabels(spark, dir).groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
       .select(col("lbl").as("community"), col("n_nodes"))
       .orderBy(desc("n_nodes"), asc("community"))
+
+  /** Minimum co-click support for a §2.148 item–item edge. */
+  val TriMinSupport = 2
+
+  /** §2.148 triangle counting over the item co-click graph — the
+    * subgraph-enumeration workload class (clustering-coefficient /
+    * community-density primitive) the iterative family (§2.39 CC,
+    * §2.131 PageRank, §2.146 LP) doesn't cover.
+    *
+    * Graph: the user↔item click graph is bipartite (no triangles), so
+    * edges are its item–item projection — pairs co-clicked by ≥
+    * [[TriMinSupport]] distinct users. Baskets (distinct items per
+    * user) are bounded, so the projection's pair stream is
+    * Σ C(basket,2) ≈ linear in users (the §2.136 market-basket
+    * argument), map-side-combined into the ≤ catalog² support matrix.
+    *
+    * Counting is the degree-ordered orientation algorithm (the
+    * MapReduce-era Suri–Vassilvitskii / Cohen recipe): orient every
+    * edge from its lexicographically (deg, id)-smaller endpoint to the
+    * larger, so each triangle has exactly ONE pivot vertex with two
+    * out-edges and is counted once — no ×6 overcount, no distinct.
+    * Out-degree under this orientation is bounded by O(√m) whatever
+    * the degree skew (a hub's edges point INTO it from its
+    * lower-degree neighbors), which bounds the wedge join — the
+    * overall O(m^{3/2}) bound — and makes the hot-node wedge
+    * explosion structurally impossible rather than AQE-mitigated.
+    * Both self-joins hash-partition on the pivot/source key.
+    *
+    * Output is node-sized: per item, its (projection) degree and the
+    * number of triangles it participates in (each triangle credits
+    * all three corners via the 3-struct explode). */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").as("item"))
+      .distinct()
+    val pairs = c.join(c.select(col("user_id"), col("item").as("item2")), "user_id")
+      .filter(col("item") < col("item2"))
+      .groupBy(col("item").as("a"), col("item2").as("b"))
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= TriMinSupport)
+      .select("a", "b")
+    val deg = pairs.select(col("a").as("node"))
+      .unionAll(pairs.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient a—b from the (deg, id)-smaller endpoint; carry the
+    // destination's (deg, id) for the wedge ordering below
+    val withDeg = pairs
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val fwd = withDeg.filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a").as("src"), col("b").as("dst"), col("db").as("dd"))
+    val rev = withDeg.filter(col("db") < col("da") ||
+        (col("da") === col("db") && col("b") < col("a")))
+      .select(col("b").as("src"), col("a").as("dst"), col("da").as("dd"))
+    val oriented = fwd.unionAll(rev)
+    // wedges at pivot s: out-neighbors b <(deg,id)< c; the closing
+    // edge, if present, is oriented b -> c by transitivity
+    val e1 = oriented.select(col("src").as("s"), col("dst").as("b"),
+      col("dd").as("db2"))
+    val e2 = oriented.select(col("src").as("s"), col("dst").as("c"),
+      col("dd").as("dc2"))
+    val wedges = e1.join(e2, "s")
+      .filter(col("db2") < col("dc2") ||
+        (col("db2") === col("dc2") && col("b") < col("c")))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"))
+      .select(explode(array(col("s"), col("b"), col("c"))).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("triangles"))
+    deg.select(col("node").as("item"), col("deg"))
+      .join(tris, Seq("item"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .orderBy(desc("triangles"), desc("deg"), asc("item"))
   }
+
+  val trianglesSql: String =
+    s"""WITH c AS (SELECT DISTINCT user_id,
+       |    CAST(json_extract_string(props, '$$.k') AS VARCHAR) AS item
+       |  FROM events WHERE event_type = 'click'),
+       |pairs AS (SELECT x.item AS a, y.item AS b
+       |  FROM c x JOIN c y ON x.user_id = y.user_id AND x.item < y.item
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+       |deg AS (SELECT node, count(*) AS deg FROM (
+       |    SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs) t
+       |  GROUP BY 1),
+       |wd AS (SELECT p.a, p.b, x.deg AS da, y.deg AS db FROM pairs p
+       |  JOIN deg x ON p.a = x.node JOIN deg y ON p.b = y.node),
+       |oriented AS (
+       |  SELECT a AS src, b AS dst, db AS dd FROM wd
+       |    WHERE da < db OR (da = db AND a < b)
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst, da AS dd FROM wd
+       |    WHERE db < da OR (da = db AND b < a)),
+       |tri AS (SELECT e1.dst AS b, e2.dst AS c, e1.src AS s
+       |  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+       |    AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+       |  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+       |cnt AS (SELECT item, count(*) AS triangles FROM (
+       |    SELECT s AS item FROM tri UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri) t GROUP BY 1)
+       |SELECT deg.node AS item, deg.deg,
+       |  coalesce(cnt.triangles, 0) AS triangles
+       |FROM deg LEFT JOIN cnt ON deg.node = cnt.item
+       |ORDER BY triangles DESC, deg DESC, item""".stripMargin
 
   val labelPropagationSql: String = {
     val rounds = (1 to LpIters).map { t =>

@@ -114,6 +114,41 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(sp.toSeq == mp.toSeq)
   }
 
+  test("ivf-pq: recall@10 >= 0.9, ADC cosine within PQ reconstruction error") {
+    val brute = topIds(Ann.bruteForceTopK(planted, NQ, K))
+    val pq = graft.ann.IvfPq.ivfPqTopK(planted, NQ, K)
+    val rec = recallVs(brute, topIds(pq))
+    // 4 subspaces × 16 codes on 64-dim unit vectors is a coarse 4-byte
+    // code (measured: recall 0.96, mean |Δcos| ≈ 0.056) — but the
+    // planted 0.95-vs-random cosine gap dwarfs the reconstruction
+    // error, so the exact top-k survives ADC ranking
+    assert(rec >= 0.9, s"IVF-PQ recall@$K = $rec")
+    val exact = Ann.bruteForceTopK(planted, NQ, K).select("q_id", "vec_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = pq.select("q_id", "vec_id", "pq_cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val common = exact.keySet.intersect(approx.keySet)
+    assert(common.nonEmpty)
+    val maxErr = common.map(k => math.abs(exact(k) - approx(k))).max
+    assert(maxErr <= 0.15, s"max |cos - pq_cos| = $maxErr")
+  }
+
+  test("ivf-pq codebook: M*KSub codes, every vector coded in range") {
+    import graft.ann.IvfPq
+    val v = planted.select(col("vec_id"),
+      graft.functions.native.to_double_array(col("embedding")).as("e"))
+    val cb = IvfPq.trainCodebook(v)
+    val rows = cb.collect()
+    // one codebook row per (subspace, surviving code); codes in range
+    assert(rows.length <= IvfPq.M * IvfPq.KSub)
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).distinct.length == rows.length)
+    assert(rows.forall { r =>
+      r.getInt(0) >= 0 && r.getInt(0) < IvfPq.M &&
+      r.getLong(1) >= 0 && r.getLong(1) < IvfPq.KSub &&
+      r.getSeq[Double](2).length == IvfPq.SubDim
+    })
+  }
+
   test("sq8 quantized scan: recall@10 >= 0.95, quantized cosines within SQ8 error") {
     val brute = topIds(Ann.bruteForceTopK(planted, NQ, K))
     val sq8 = Ann.sq8TopK(planted, NQ, K)

@@ -209,4 +209,47 @@ class GraphBitextSpec extends AnyFunSuite {
     val ord = got.map { case (i, r) => (-r, i) }
     assert(ord.sameElements(ord.sorted), "output not rank-ordered")
   }
+
+  test("graph_triangles = brute-force closed-triple count on the projection") {
+    // brute force: item co-click projection with support >= TriMinSupport,
+    // then enumerate all vertex triples over the (small) edge set
+    val clicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").select("user_id", "props")
+      .collect().map { r =>
+        val k = "\"k\":\\s*(\\d+)".r.findFirstMatchIn(r.getString(1)).get.group(1)
+        (r.getLong(0), k)
+      }.distinct
+    val support = clicks.groupBy(_._1).values.flatMap { is =>
+      val items = is.map(_._2).distinct.sorted
+      for (i <- items.indices; j <- i + 1 until items.length)
+        yield (items(i), items(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    // NB: Map.collect with a Tuple2-valued partial function rebuilds a
+    // Map (dropping duplicate first elements) — filter + keySet instead
+    val edges = support.filter(_._2 >= Graph.TriMinSupport).keySet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def adj(a: String, b: String) =
+      edges.contains(if (a < b) (a, b) else (b, a))
+    val triPerNode = scala.collection.mutable.Map.empty[String, Long]
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.length
+      if adj(nodes(i), nodes(j))
+      k <- j + 1 until nodes.length
+      if adj(nodes(i), nodes(k)) && adj(nodes(j), nodes(k))
+    } Seq(nodes(i), nodes(j), nodes(k)).foreach(n =>
+      triPerNode(n) = triPerNode.getOrElse(n, 0L) + 1)
+    val degree = nodes.map(n =>
+      n -> edges.count(e => e._1 == n || e._2 == n).toLong).toMap
+    val got = Graph.triangles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == nodes.length, "one row per projection node")
+    got.foreach { case (item, deg, tri) =>
+      assert(deg == degree(item), s"degree of $item")
+      assert(tri == triPerNode.getOrElse(item, 0L), s"triangles of $item")
+    }
+    // sanity: the planted projection is dense enough to have triangles
+    assert(got.map(_._3).sum > 0, "no triangles found — fixture degenerate")
+    // total count: each triangle credited to exactly 3 corners
+    assert(got.map(_._3).sum % 3 == 0)
+  }
 }
