@@ -25,7 +25,12 @@ object Bench {
     } catch { case _: Throwable => () }
     // deterministic alphabetical order: hash-map iteration order would
     // shuffle which queries absorb residual warm-up round to round
+    // (dev convenience: SPARK_GRAFT_ONLY=a,b,c times a subset — the
+    // driver never sets it, so its artifact always covers everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // rep-major (full sweep per rep, queries inside): back-to-back reps
     // of one query share a hot cache the driver run wouldn't, and the
     // sweep spacing makes the medians robust to a contention burst

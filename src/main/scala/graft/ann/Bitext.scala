@@ -81,9 +81,10 @@ object Bitext {
       .orderBy("src_id")
   }
 
-  /** Best target per source doc by ratio margin, margin ≥ θ, among
-    * IVF-blocked candidates. */
-  def bitextMine(spark: SparkSession, dir: String): DataFrame = {
+  /** The IVF-blocked (src_id, tgt_id, cos) candidate table — factored
+    * out so the sf1 invariant checker can verify the mining output
+    * against the exact candidate set. */
+  private[graft] def scoredCandidates(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()
     val k = SemDedup.kFor(n)
@@ -94,12 +95,16 @@ object Bitext {
     val probes = Ivf.probeFor(src, cent)
     val tgtLists = Ivf.assignNearest(tgt.withColumnRenamed("tgt_id", "vec_id"),
       cent).withColumnRenamed("vec_id", "tgt_id")
-    val scored = tgtLists.join(probes, Seq("cid"))
+    tgtLists.join(probes, Seq("cid"))
       .select(col("q_id").as("src_id"), col("tgt_id"),
         round(dotCol(col("qe"), col("e")) / (col("qn") * col("nrm")), 6)
           .as("cos"))
-    mineFromScores(scored)
   }
+
+  /** Best target per source doc by ratio margin, margin ≥ θ, among
+    * IVF-blocked candidates. */
+  def bitextMine(spark: SparkSession, dir: String): DataFrame =
+    mineFromScores(scoredCandidates(spark, dir))
 
   val bitextMineSql: String = {
     val (prefix, fin) = Ivf.lloydPrefixSql

@@ -279,9 +279,239 @@ object InvariantCheck {
     results.toSeq
   }
 
+  // ---- graph: PageRank + label propagation (§2.131 / §2.146) ----
+
+  /** Independent adjacency: rebuilt straight from events (not via
+    * Graph's cached builder), so a bug in the shared edge projection
+    * cannot hide from the replay. */
+  private def indepAdj(spark: SparkSession, dir: String): DataFrame = {
+    val uv = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(concat(lit("u"), col("user_id")).as("u"),
+        concat(lit("i"), get_json_object(col("props"), "$.k")).as("v"))
+      .distinct()
+    uv.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(uv.select(col("v").as("src"), col("u").as("dst")))
+  }
+
+  /** PageRank: mass conservation, the teleport floor, and a full
+    * INDEPENDENT replay of the final damped round — contributions to v
+    * re-derived through the symmetric edge direction (join by dst,
+    * group by src — the transpose of the operator's plan) over an
+    * independently rebuilt adjacency. LP: same final-round replay with
+    * a min_by argmax (vs the operator's window-max + min), labels are
+    * real node ids, and the reported community sizes re-aggregate. */
+  def checkGraph(spark: SparkSession, dir: String): Seq[Res] = {
+    import graft.graph.Graph
+    val adj = indepAdj(spark, dir).cache()
+    val deg = adj.groupBy("dst").agg(count(lit(1)).as("ddeg")).cache()
+    val n = deg.count()
+
+    // -- PageRank --
+    val prev = Graph.pagerankRanks(spark, dir, Graph.Iters - 1).cache()
+    val fin = Graph.pagerankRanks(spark, dir, Graph.Iters).cache()
+    val mass = fin.agg(sum("rank")).head().getDouble(0)
+    val massOk = Res("pr_mass_conserved", math.abs(mass - 1.0) < 1e-6,
+      f"sum(rank)=$mass%.9f over $n nodes")
+    val floor = (1.0 - Graph.Damping) / n
+    val badFloor = fin.filter(col("rank") < floor - 1e-12).count()
+    // transpose replay: edges are symmetric, so Σ_{(u,v)∈E} r(u)/deg(u)
+    // grouped by v equals Σ over tuples (src=v, dst=u) of r(u)/deg(u)
+    // grouped by SRC, with deg(u) from the dst-grouped count
+    val replay = adj
+      .join(prev.select(col("node").as("dst"), col("rank")), "dst")
+      .join(deg, "dst")
+      .select(col("src"), (col("rank") / col("ddeg")).as("c"))
+      .groupBy("src").agg(sum("c").as("s"))
+      .select(col("src").as("node"),
+        (lit((1.0 - Graph.Damping) / n) + lit(Graph.Damping) * col("s"))
+          .as("r2"))
+    val badStep = fin.join(replay, "node")
+      .filter(abs(col("rank") - col("r2")) > 1e-9).count()
+    val nFin = fin.count()
+
+    // -- label propagation --
+    val lprev = Graph.lpLabels(spark, dir, Graph.LpIters - 1).cache()
+    val lfin = Graph.lpLabels(spark, dir, Graph.LpIters).cache()
+    // min_by argmax over the transpose-derived vote matrix
+    val votes = adj
+      .join(lprev.select(col("node").as("dst"), col("lbl")), "dst")
+      .groupBy("src", "lbl").agg(count(lit(1)).as("c"))
+    val lreplay = votes.groupBy("src")
+      .agg(min_by(col("lbl"), struct((-col("c")).as("a"), col("lbl").as("b")))
+        .as("l2"))
+      .select(col("src").as("node"), col("l2"))
+    val badLp = lfin.join(lreplay, "node")
+      .filter(col("lbl") =!= col("l2")).count()
+    val nLp = lfin.count()
+    val badLbl = lfin.join(deg.select(col("dst").as("lbl")), Seq("lbl"),
+      "left_anti").count()
+    // reported communities re-aggregate from the labels
+    val rep = Graph.labelPropagation(spark, dir)
+      .select(col("community"), col("n_nodes"))
+    val agg2 = lfin.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+      .select(col("lbl").as("community"), col("n_nodes"))
+    val badComm = rep.exceptAll(agg2).count() + agg2.exceptAll(rep).count()
+
+    val out = Seq(
+      massOk,
+      res("pr_teleport_floor", badFloor, s"rank >= (1-d)/$n"),
+      Res("pr_final_round_replay", badStep == 0 && nFin == n,
+        if (badStep == 0 && nFin == n) s"$nFin ranks replayed via transpose"
+        else s"$badStep rank mismatches, $nFin/$n nodes"),
+      Res("lp_final_round_replay", badLp == 0 && nLp == n,
+        if (badLp == 0 && nLp == n) s"$nLp labels replayed via min_by"
+        else s"$badLp label mismatches, $nLp/$n nodes"),
+      res("lp_labels_are_nodes", badLbl, "every label is a node id"),
+      res("lp_communities_reaggregate", badComm, "sizes match labels"))
+    adj.unpersist(); deg.unpersist(); prev.unpersist(); fin.unpersist()
+    lprev.unpersist(); lfin.unpersist()
+    out
+  }
+
+  // ---- bitext mining (§2.130) ----
+
+  /** Pins bitext_mine from the raw documents/embeddings tables + the
+    * blocked candidate table: every reported pair IS a candidate with
+    * its cosine re-derived from the raw vectors; kNN averages and
+    * margins recomputed via sorted-list slicing (vs the operator's
+    * row_number windows); the reported target is the (margin desc,
+    * tgt_id) argmax over ALL candidates of its source; margins ≥ θ;
+    * one row per source. */
+  def checkBitext(spark: SparkSession, dir: String): Seq[Res] = {
+    import graft.ann.{Ann, Bitext, Ivf}
+    val out = Bitext.bitextMine(spark, dir).cache()
+    val scored = Bitext.scoredCandidates(spark, dir).cache()
+    val nOut = out.count()
+    val badSrcDup = nOut - out.select("src_id").distinct().count()
+    // reported pairs ⊆ candidates, with cosines re-derived from raw
+    // embeddings (independent of the blocking's arithmetic)
+    val v = Ivf.vecsD(graft.Tables.embeddings(spark, dir))
+    val vS = v.select(col("vec_id").as("src_id"), col("e").as("es"),
+      col("nrm").as("ns"))
+    val vT = v.select(col("vec_id").as("tgt_id"), col("e").as("et"),
+      col("nrm").as("nt"))
+    val badCand = out.select("src_id", "tgt_id")
+      .join(scored, Seq("src_id", "tgt_id"), "left_anti").count()
+    val badCos = out.join(vS, "src_id").join(vT, "tgt_id")
+      .filter(round(Ann.dotCol(col("es"), col("et")) / (col("ns") * col("nt")), 6)
+        =!= col("cosine")).count()
+    // margins recomputed by slicing sorted candidate lists
+    def knn2(key: String, other: String, as: String) = scored
+      .groupBy(key)
+      .agg(collect_list(struct((-col("cos")).as("nc"), col(other).as("o")))
+        .as("l"), count(lit(1)).as("cnt"))
+      .withColumn(as, expr(
+        s"""-aggregate(slice(array_sort(l), 1, ${Bitext.KnnK}),
+           |  cast(0.0 as double), (a, x) -> a + x.nc)"""
+          .stripMargin) / least(col("cnt"), lit(Bitext.KnnK)))
+      .select(col(key), col(as))
+    val m2 = scored
+      .join(knn2("src_id", "tgt_id", "kx2"), "src_id")
+      .join(knn2("tgt_id", "src_id", "ky2"), "tgt_id")
+      .withColumn("m2",
+        round(col("cos") / ((col("kx2") + col("ky2")) / 2.0), 6))
+      .cache()
+    val badMargin = out.join(
+        m2.select(col("src_id"), col("tgt_id"), col("m2")),
+        Seq("src_id", "tgt_id"))
+      .filter(abs(col("margin") - col("m2")) > 1e-5 ||
+        col("margin") < Bitext.MarginMin).count()
+    // argmax: no candidate of the same source STRICTLY beats the
+    // reported margin (1e-5 guards the 6 dp rounding seam; exact ties
+    // are pinned by the oracle at sf≤0.1, where margins replay in SQL)
+    val badBest = out.select(col("src_id"), col("tgt_id").as("rep_tgt"),
+        col("margin").as("rep_m"))
+      .join(m2, "src_id")
+      .filter(col("m2") > col("rep_m") + 1e-5).count()
+    val r = Seq(
+      res("bt_one_per_source", badSrcDup, s"$nOut mined pairs"),
+      res("bt_pairs_are_candidates", badCand, "output ⊆ blocked candidates"),
+      res("bt_cosines_rederived", badCos, "from raw embeddings"),
+      res("bt_margins_rederived", badMargin, "sorted-slice kNN averages, ≥ θ"),
+      res("bt_best_pair_argmax", badBest, "no candidate beats the reported"))
+    out.unpersist(); scored.unpersist(); m2.unpersist()
+    r
+  }
+
+  // ---- IVF-PQ (§2.147) ----
+
+  /** Pins ann_ivfpq: (a) each final sub-codeword equals an
+    * independently computed (posexplode + avg) mean of its assigned
+    * subvectors under the previous codebook; (b) every reported ADC
+    * cosine re-derived by RECONSTRUCTION — concatenate the candidate's
+    * M codewords and score the full 64-dim dot against the raw query
+    * vector (a different path from the operator's conditional-sum LUT);
+    * (c) neighbors lie in probed cells; (d) top-k completeness — no
+    * unreported candidate's reconstruction score beats the k-th
+    * reported, under the operator's (pq_cosine desc, vec_id) order. */
+  def checkIvfPq(spark: SparkSession, dir: String,
+      nq: Int = 5, k: Int = 10): Seq[Res] = {
+    import graft.ann.{Ann, Ivf, IvfPq}
+    val emb = graft.Tables.embeddings(spark, dir)
+    val v = Ivf.vecsD(emb).cache()
+    val cbPrev = IvfPq.trainCodebook(v, IvfPq.PqIters - 1)
+    val cb = IvfPq.trainCodebook(v).cache()
+    val sv = IvfPq.subVecs(v)
+    val indep = IvfPq.assignCodes(sv, cbPrev)
+      .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+      .groupBy("m", "code", "pos").agg(avg("x").as("mm"))
+      .withColumn("mm", round(col("mm"), 6))
+      .groupBy("m", "code")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mm")))).as("pm"))
+      .select(col("m"), col("code"), col("pm.mm").as("ce2"))
+    val badCb = cb.join(indep, Seq("m", "code"))
+      .filter(col("ce") =!= col("ce2")).count()
+    val nCb = cb.count(); val nIndep = indep.count()
+
+    // reconstruction scores for every candidate in a probed cell:
+    // recon = codewords concatenated in subspace order, so the
+    // sequential 64-term dot equals the operator's fixed-order partial
+    // sums bit-for-bit
+    val recon = IvfPq.assignCodes(sv, cb).drop("sub")
+      .join(broadcast(cb), Seq("m", "code"))
+      .groupBy("vec_id")
+      .agg(flatten(array_sort(collect_list(struct(col("m"), col("ce"))))
+        .getField("ce")).as("re"))
+    val cent = Ivf.trainCentroids(emb)
+    val assigned = Ivf.assignNearest(v, cent)
+    val probes = Ivf.probeTable(v, cent, nq)
+    val cand = assigned.join(broadcast(probes.select("q_id", "cid", "qe", "qn")),
+        Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(recon, "vec_id")
+      .withColumn("rcos", round(Ann.dotCol(col("qe"), col("re")) /
+        (col("qn") * sqrt(Ann.dotCol(col("re"), col("re")))), 6))
+      .select("q_id", "vec_id", "rcos").cache()
+    val out = IvfPq.ivfPqTopK(emb, nq, k).cache()
+    val badAdc = out.join(cand, Seq("q_id", "vec_id"))
+      .filter(col("pq_cosine") =!= col("rcos")).count()
+    val badContain = out.select("q_id", "vec_id")
+      .join(cand, Seq("q_id", "vec_id"), "left_anti").count()
+    val kth = out.groupBy("q_id").agg(
+      min(struct(col("pq_cosine").as("s"), (-col("vec_id")).as("t"))).as("kth"),
+      count(lit(1)).as("nrep"))
+    val badComplete = cand
+      .join(out.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
+      .join(kth, "q_id")
+      .filter(col("nrep") >= k &&
+        struct(col("rcos").as("s"), (-col("vec_id")).as("t")) > col("kth"))
+      .count()
+    val r = Seq(
+      res("pq_codeword_is_mean", badCb,
+        s"$nCb codewords vs $nIndep independent means"),
+      res("pq_adc_equals_reconstruction", badAdc, "LUT sum = recon dot"),
+      res("pq_neighbors_in_probed_cells", badContain, "containment"),
+      res("pq_topk_complete", badComplete,
+        "no unreported candidate beats the k-th"))
+    v.unpersist(); cb.unpersist(); cand.unpersist(); out.unpersist()
+    r
+  }
+
   def runAll(spark: SparkSession, dir: String): Seq[Res] =
     checkClusters(spark, dir) ++ checkIvf(spark, dir) ++ checkBpe(spark, dir) ++
-      checkSemantic(spark, dir)
+      checkSemantic(spark, dir) ++ checkGraph(spark, dir) ++
+      checkBitext(spark, dir) ++ checkIvfPq(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata/sf1")

@@ -32,6 +32,18 @@ class InvariantSpec extends AnyFunSuite {
     assertAll(InvariantCheck.checkSemantic(spark, sf))
   }
 
+  test("PageRank + label-propagation invariants hold at sf0.01") {
+    assertAll(InvariantCheck.checkGraph(spark, sf))
+  }
+
+  test("bitext-mining invariants hold at sf0.01") {
+    assertAll(InvariantCheck.checkBitext(spark, sf))
+  }
+
+  test("IVF-PQ invariants hold at sf0.01") {
+    assertAll(InvariantCheck.checkIvfPq(spark, sf))
+  }
+
   test("invariants detect a planted violation (checker is not vacuous)") {
     // corrupt one cluster label and confirm the edge/min checks would
     // catch it — guard against a checker that trivially passes
