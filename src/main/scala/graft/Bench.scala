@@ -60,13 +60,17 @@ object Bench {
     }
     // A failed query's wall time is reported as -1 (never counted into
     // the total as if it ran) and its name lands in "failed".
+    // 4-dp times: full nanosecond digits made the 112-query JSON line
+    // outgrow the driver's fixed-size log-tail capture (BENCH_r05's
+    // parsed:null) — 0.1 ms precision is below host noise anyway
     val med = ordered.map { case (name, _) =>
-      name -> (if (failed.contains(name)) -1.0 else median(times(name)))
+      name -> (if (failed.contains(name)) -1.0
+               else math.rint(median(times(name)) * 1e4) / 1e4)
     }
     val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = med.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = med.collect { case (_, v) if v >= 0 => v }.sum
+    val total = math.rint(med.collect { case (_, v) if v >= 0 => v }.sum * 1e4) / 1e4
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps}"""
     println(line)

@@ -64,6 +64,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Parquet naive timestamps (isAdjustedToUTC=false) must read as
+      // TIMESTAMP, not TIMESTAMP_NTZ: the session TZ is pinned to UTC so
+      // the values are identical, but NTZ forbids CAST(ts AS BIGINT),
+      // which the sessionize/asof/time-weighted family uses for
+      // epoch-second arithmetic. The generator's metadata flipped this
+      // inference once and silently broke five queries at runtime.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -15,6 +15,11 @@ object Verify {
     // driver never sets it, so its gate always runs everything)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // A query that throws here would otherwise just be absent from the
+    // driver's compare — coverage silently shrinks (this hid 5 broken
+    // queries in round 5). Record every failure in a file the round
+    // artifacts keep, and shout a summary line the log tail can't miss.
+    var failures = List.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -22,6 +27,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures ::= (name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,6 +45,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures.reverse
+      .map { case (k, m) => s"${q(k)}: ${q(m)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
+    if (failures.nonEmpty)
+      System.err.println(s"VERIFY INCOMPLETE: ${failures.size} of " +
+        s"${SparkEntry.queries.size} queries failed: ${failures.map(_._1).mkString(",")}")
     spark.stop()
   }
 }

@@ -21,16 +21,24 @@ import graft.Tables
 object Streaming {
 
   /** events file-stream with the same schema/ts handling as the batch
-    * loader (ts arrives as nanos BIGINT → microsecond timestamp). */
+    * loader: `ts` is either a nanos BIGINT (legacy corpus under
+    * `nanosAsLong`) or an ordinary TIMESTAMP(MICROS). A file stream
+    * needs a fixed schema up front, so sniff the physical type from
+    * the parquet footer (one batch-read of the schema, no data scan)
+    * and branch exactly like [[graft.Tables.events]]. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val tsIsLong =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType),
+      StructField("ts", if (tsIsLong) LongType else TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
   }
 
   /** Tumbling-window aggregation (streaming form, 10 min watermark). */

@@ -145,7 +145,7 @@ class MiningSpec extends AnyFunSuite {
     val orders = Tables.orders(spark, sf)
       .select("o_custkey", "o_orderdate", "o_totalprice").collect()
       .map(r => (r.getLong(0),
-        r.getAs[java.time.LocalDateTime](1).toLocalDate, r.getDouble(2)))
+        r.getAs[java.sql.Timestamp](1).toLocalDateTime.toLocalDate, r.getDouble(2)))
     val maxDate = orders.map(_._2).max
     val per = orders.groupBy(_._1).map { case (_, os) =>
       val recency = java.time.temporal.ChronoUnit.DAYS.between(

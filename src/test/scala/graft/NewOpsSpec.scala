@@ -48,8 +48,8 @@ class NewOpsSpec extends AnyFunSuite {
       "l_linenumber", "l_shipdate", "l_quantity")
       .filter(col("l_shipdate").isNotNull && col("l_quantity").isNotNull)
       .collect().map { r =>
-      val t0 = r.getAs[java.time.LocalDateTime]("l_shipdate")
-        .toEpochSecond(java.time.ZoneOffset.UTC)
+      val t0 = r.getAs[java.sql.Timestamp]("l_shipdate")
+        .toLocalDateTime.toEpochSecond(java.time.ZoneOffset.UTC)
       (r.getLong(0), (r.getLong(1), r.getInt(2)), t0,
         t0 + r.getDouble(4).toLong * 86400L)
     }
@@ -71,7 +71,7 @@ class NewOpsSpec extends AnyFunSuite {
     val os = Tables.orders(spark, sf)
       .select("o_orderkey", "o_orderdate", "o_totalprice").collect()
       .map(r => (r.getLong(0),
-        r.getAs[java.time.LocalDateTime](1).toEpochSecond(java.time.ZoneOffset.UTC),
+        r.getAs[java.sql.Timestamp](1).toLocalDateTime.toEpochSecond(java.time.ZoneOffset.UTC),
         r.getDouble(2)))
     val brute = os.filter { a =>
       !os.exists(b => b._2 <= a._2 && b._3 >= a._3 && (b._2 < a._2 || b._3 > a._3))
