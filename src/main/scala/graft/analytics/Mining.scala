@@ -248,6 +248,150 @@ object Mining {
        |SELECT rk, path, n_sessions FROM ranked WHERE rk <= 20
        |ORDER BY rk""".stripMargin
 
+  /** Attribution lookback window (days): clicks older than this before
+    * a purchase earn no credit. */
+  val AttributionLookbackDays = 7
+
+  /** §2.149 multi-touch purchase attribution: every purchase credits
+    * the items the user clicked in the preceding
+    * [[AttributionLookbackDays]] — last-touch (the final click wins
+    * outright) and linear (credit split evenly across all touches) —
+    * the marketing/recommendation standard for "which item drove the
+    * conversion". Reported per item: touch volume, last-touch wins,
+    * linear credit, and linearly-shared purchase value.
+    *
+    * Scale shape: ONE hash join of the purchase stream onto the click
+    * stream by user_id — fanout is bounded by per-user activity within
+    * the lookback (time-local by construction), never corpus². Both
+    * windows share the single p_id exchange; the per-item rollup
+    * map-side combines. Last-touch ties break on (ts, event_id) so
+    * both engines pick the same click. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"),
+        get_json_object(col("props"), "$.k").as("item"))
+    val touches = purchases.join(clicks, "user_id")
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $AttributionLookbackDays DAYS"))
+    val byP = Window.partitionBy("p_id")
+    touches
+      .withColumn("n_touch", count(lit(1)).over(byP))
+      .withColumn("rn", row_number().over(
+        byP.orderBy(desc("c_ts"), desc("c_id"))))
+      .groupBy("item")
+      // per-addend rounding BEFORE the sum: each share becomes an exact
+      // multiple of the display precision, so the ideal sum is too, and
+      // engine-local addition order (error ~1e-9) can no longer flip the
+      // final rounding — the one place a plain round(sum(...)) differed
+      .agg(count(lit(1)).as("touches"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("last_touch_wins"),
+        round(sum(round(lit(1.0) / col("n_touch"), 6)), 6).as("linear_credit"),
+        round(sum(round(col("p_value") / col("n_touch"), 4)), 4).as("value_linear"))
+      .orderBy("item")
+  }
+
+  val attributionSql: String =
+    s"""WITH p AS (SELECT user_id, event_id AS p_id,
+       |    CAST(ts AS TIMESTAMP) AS p_ts, value AS p_value
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, event_id AS c_id, CAST(ts AS TIMESTAMP) AS c_ts,
+       |    json_extract_string(props, '$$.k') AS item
+       |  FROM events WHERE event_type = 'click'),
+       |t AS (SELECT p.p_id, p.p_value, c.item, c.c_ts, c.c_id
+       |  FROM p JOIN c ON p.user_id = c.user_id
+       |    AND c.c_ts <= p.p_ts
+       |    AND c.c_ts >= p.p_ts - INTERVAL $AttributionLookbackDays DAY),
+       |x AS (SELECT item, p_value,
+       |    count(*) OVER (PARTITION BY p_id) AS n_touch,
+       |    row_number() OVER (PARTITION BY p_id
+       |      ORDER BY c_ts DESC, c_id DESC) AS rn
+       |  FROM t)
+       |SELECT item, count(*) AS touches,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch_wins,
+       |  round(sum(round(CAST(1.0 AS DOUBLE) / n_touch, 6)), 6) AS linear_credit,
+       |  round(sum(round(p_value / n_touch, 4)), 4) AS value_linear
+       |FROM x GROUP BY item ORDER BY item""".stripMargin
+
+  /** §2.150 rolling active users: per active day, the distinct-user
+    * count over the trailing 1 / 7 / 28 days (DAU / WAU / MAU) — the
+    * engagement series every health dashboard leads with, and a
+    * rolling DISTINCT, which no plain window frame computes (distinct
+    * doesn't decompose over frame slides).
+    *
+    * Technique: collapse the corpus to the user-day grain once, then
+    * EXPLODE each user-day forward onto the `w` target days it makes
+    * active — the rolling distinct becomes a plain per-day
+    * count_distinct over a ≤ 35×(user-day) frame. Corpus-sized data is
+    * touched exactly once (the first distinct); everything after is
+    * user-day grain, orders of magnitude smaller at 100 TB. Days with
+    * zero events are absent from the series (inner join on the DAU
+    * spine), matching the oracle's range-join form. */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    def rolling(w: Int, name: String): DataFrame = du
+      .select(col("user_id"), explode(
+        expr(s"sequence(day, date_add(day, ${w - 1}), interval 1 day)")).as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as(name))
+    val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    dau.join(rolling(7, "wau"), "day").join(rolling(28, "mau"), "day")
+      .select(col("day").cast("timestamp").as("day"),
+        col("dau"), col("wau"), col("mau"))
+      .orderBy("day")
+  }
+
+  val rollingActiveUsersSql: String =
+    """WITH du AS (SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+      |wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+      |  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1),
+      |mau AS (SELECT d.day, count(DISTINCT u.user_id) AS mau
+      |  FROM days d JOIN du u ON u.day BETWEEN d.day - 27 AND d.day
+      |  GROUP BY 1)
+      |SELECT CAST(dau.day AS TIMESTAMP) AS day, dau, wau, mau
+      |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+      |ORDER BY day""".stripMargin
+
+  /** §2.151 weekly seasonality profile: event volume and mean value
+    * per (day-of-week, hour-of-day) cell, with the activity index
+    * (observed / uniform-expected volume) that bares the weekly cycle
+    * — the baseline every anomaly detector and capacity planner
+    * normalizes against.
+    *
+    * Scale shape: one map-side-combined groupBy collapses any corpus
+    * to ≤ 168 cells; the total joins back as a 1-row broadcast. Day
+    * numbering pinned to Spark's dayofweek (1 = Sunday); DuckDB's
+    * 0-based dayofweek shifts by one in the oracle. */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+    val tot = cells.agg(sum("n").as("tot"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("activity_index",
+        round(col("n") * lit(168) / col("tot"), 4))
+      .select("dow", "hr", "n", "avg_value", "activity_index")
+      .orderBy("dow", "hr")
+  }
+
+  val seasonalitySql: String =
+    """WITH cells AS (SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+      |    hour(CAST(ts AS TIMESTAMP)) AS hr,
+      |    count(*) AS n, round(avg(value), 4) AS avg_value
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT sum(n) AS tot FROM cells)
+      |SELECT dow, hr, n, avg_value,
+      |  round(n * 168 / tot, 4) AS activity_index
+      |FROM cells CROSS JOIN t ORDER BY dow, hr""".stripMargin
+
   val gapFillSql: String =
     """WITH daily AS (SELECT event_type,
       |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,

@@ -480,4 +480,78 @@ object Dedup {
        |    CAST(len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS DOUBLE), 6) >= $minJaccard
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Rare-shingle posting bound: shingles appearing in more than this
+    * many docs generate no candidate pairs (they are non-discriminative
+    * boilerplate, and their posting lists would pair quadratically). */
+  val ContainMaxDf = 20
+  /** Minimum containment (|A∩B| / min(|A|,|B|)) to report. */
+  val ContainMinScore = 0.8
+
+  /** §2.153 containment near-dup detection: pairs where the SMALLER
+    * shingle set is mostly inside the larger — the quote/excerpt/
+    * superset relation (a doc embedded in a boilerplate wrapper, a
+    * chapter inside a book) that Jaccard structurally misses: a 50-gram
+    * doc fully contained in a 5 000-gram doc has J ≈ 0.01 and never
+    * collides in MinHash bands, but containment 1.0 (Broder's
+    * resemblance-vs-containment distinction, SEQUENCES'97).
+    *
+    * Candidates therefore come from a RARE-SHINGLE inverted index, not
+    * MinHash bands: explode grams, keep shingles in 2..[[ContainMaxDf]]
+    * docs, pair docs sharing ≥1 such shingle. The df cap bounds every
+    * posting list, so the candidate join is Σ C(df,2) ≤ (df cap)²/2 per
+    * shingle — hash-partitioned, hot-key-free BY CONSTRUCTION (the cap
+    * is the blocking guarantee, the same role the band hash plays in
+    * §2.22). Wide gram arrays join only after the candidate distinct,
+    * same as §2.24. The one blind spot — a pair ALL of whose shared
+    * shingles are corpus-common — is the deliberate blocking tradeoff
+    * (such overlap is boilerplate by definition), and both engines
+    * apply the identical rule. */
+  def containmentPairs(docs: DataFrame,
+      minScore: Double = ContainMinScore): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+        array_distinct(graft.functions.native.shingle_hashes(
+          graft.functions.native.token_poly_hashes(col("text")), 3)).as("g"))
+      .filter(size(col("g")) > 0)
+    val posting = grams.select(col("doc_id"), explode(col("g")).as("shg"))
+    val rareSh = posting.groupBy("shg").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, ContainMaxDf)).select("shg")
+    val rare = posting.join(rareSh, "shg")
+    val cand = rare.select(col("doc_id").as("id_a"), col("shg"))
+      .join(rare.select(col("doc_id").as("id_b"), col("shg")), Seq("shg"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(grams.select(col("doc_id").as("id_a"), col("g").as("ga")), "id_a")
+      .join(grams.select(col("doc_id").as("id_b"), col("g").as("gb")), "id_b")
+      .withColumn("n_common",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("containment", round(col("n_common") /
+        least(size(col("ga")), size(col("gb"))).cast("double"), 6))
+      .filter(col("containment") >= minScore)
+      .select("id_a", "id_b", "n_common", "containment")
+      .orderBy("id_a", "id_b")
+  }
+
+  def containmentPairsSql(minScore: Double = ContainMinScore): String =
+    s"""WITH toks AS (SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents),
+       |grams AS (SELECT doc_id, list_distinct(${shingleHashCombineSql("th", 3)}) AS g
+       |  FROM toks),
+       |gr AS (SELECT doc_id, g FROM grams WHERE len(g) > 0),
+       |posting AS (SELECT doc_id, unnest(g) AS shg FROM gr),
+       |rare AS (SELECT p.doc_id, p.shg FROM posting p
+       |  JOIN (SELECT shg FROM posting GROUP BY shg
+       |        HAVING count(*) BETWEEN 2 AND $ContainMaxDf) r USING (shg)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM rare a JOIN rare b ON a.shg = b.shg
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS n_common,
+       |  round(len(list_intersect(ga.g, gb.g)) /
+       |    CAST(least(len(ga.g), len(gb.g)) AS DOUBLE), 6) AS containment
+       |FROM cand JOIN gr ga ON cand.id_a = ga.doc_id
+       |          JOIN gr gb ON cand.id_b = gb.doc_id
+       |WHERE round(len(list_intersect(ga.g, gb.g)) /
+       |    CAST(least(len(ga.g), len(gb.g)) AS DOUBLE), 6) >= $minScore
+       |ORDER BY id_a, id_b""".stripMargin
 }

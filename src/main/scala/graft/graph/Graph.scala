@@ -275,6 +275,75 @@ object Graph {
        |FROM deg LEFT JOIN cnt ON deg.node = cnt.item
        |ORDER BY triangles DESC, deg DESC, item""".stripMargin
 
+  /** BFS hop bound and source-set size. */
+  val BfsMaxHops = 4
+  val BfsSources = 3
+
+  /** §2.152 multi-source k-hop BFS: exact hop distance from the
+    * [[BfsSources]] highest-degree item nodes (ties by id) to every
+    * node within [[BfsMaxHops]] hops of any of them — the reachability
+    * / blast-radius primitive (how much of the graph sits within k
+    * hops of the hubs) that the iterative family (§2.131 PageRank,
+    * §2.146 LP) doesn't expose.
+    *
+    * Frontier algorithm: per round, join the CURRENT frontier (nodes
+    * first reached last round) onto the shared persisted adjacency,
+    * distinct the successors, and anti-join out already-visited nodes
+    * — each round is one frontier-sized hash join + one node-sized
+    * anti-join, never corpus²; rounds are bounded by the constant
+    * [[BfsMaxHops]]. Distances are deterministic (BFS level is
+    * order-independent), so no tie-break is needed. The oracle replays
+    * with a recursive CTE under UNION (row-dedup) semantics, which is
+    * the same frontier iteration. */
+  private[graft] def bfsDistances(spark: SparkSession, dir: String,
+      hops: Int = BfsMaxHops): DataFrame = {
+    val (adj, _, _) = adjacency(spark, dir)
+    val srcs = adj.select("src", "deg").distinct()
+      .filter(col("src").startsWith("i"))
+      .orderBy(desc("deg"), asc("src")).limit(BfsSources)
+      .select(col("src").as("node"))
+    var dist = srcs.withColumn("dist", lit(0L))
+    var frontier = srcs
+    var prevCached: Option[DataFrame] = None
+    for (k <- 1 to hops) {
+      // cache + materialize the new frontier (node-sized), then drop
+      // the previous round's — the dedupClusters per-round pattern;
+      // without it the union's lineage re-derives every earlier
+      // frontier once per downstream reference
+      val next = adj.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .cache()
+      next.count()
+      prevCached.foreach(_.unpersist(blocking = false))
+      prevCached = Some(next)
+      dist = dist.unionAll(next.withColumn("dist", lit(k.toLong)))
+      frontier = next
+    }
+    dist
+  }
+
+  def graphBfs(spark: SparkSession, dir: String): DataFrame =
+    bfsDistances(spark, dir).orderBy("dist", "node")
+
+  val graphBfsSql: String =
+    s"""WITH RECURSIVE
+       |uv AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+       |    'i' || CAST(json_extract_string(props, '$$.k') AS VARCHAR) AS v
+       |  FROM events WHERE event_type = 'click'),
+       |e AS (SELECT u AS src, v AS dst FROM uv
+       |      UNION ALL SELECT v AS src, u AS dst FROM uv),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |srcs AS (SELECT src AS node FROM deg WHERE src LIKE 'i%'
+       |  ORDER BY deg DESC, src LIMIT $BfsSources),
+       |bfs(node, dist) AS (
+       |  SELECT node, 0 FROM srcs
+       |  UNION
+       |  SELECT e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.node
+       |  WHERE bfs.dist < $BfsMaxHops)
+       |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+       |FROM bfs GROUP BY node ORDER BY dist, node""".stripMargin
+
   val labelPropagationSql: String = {
     val rounds = (1 to LpIters).map { t =>
       s"""v$t AS (SELECT dst, lbl, count(*) AS c

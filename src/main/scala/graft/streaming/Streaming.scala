@@ -384,6 +384,24 @@ object Streaming {
       .format("memory").queryName(queryName)
       .start()
 
+  /** §2.155 streaming approximate top-k: the SpaceSaving heavy-hitter
+    * sketch (§2's `heavy_hitters` batch aggregate) as an unbounded
+    * streaming aggregate. The sketch state is a BOUNDED k-counter map
+    * whatever the stream length or item cardinality — the property
+    * that makes top-k feasible on an infinite stream where exact
+    * per-item counts would grow state without bound. Complete-mode
+    * global aggregate: each micro-batch partial-aggregates its items
+    * map-side and merges into the sketch (TypedImperativeAggregate
+    * merge path), so the guarantee — any item with true count
+    * > N/capacity is in the candidate set — survives arbitrary
+    * arrival order and batching (merge is the same associative op the
+    * batch twin uses). */
+  def topkItemsStream(events: DataFrame, capacity: Int): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").as("item"))
+      .agg(graft.functions.SpaceSaving.space_saving(col("item"), capacity)
+        .as("candidates"))
+
   // ---- sessionization ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,

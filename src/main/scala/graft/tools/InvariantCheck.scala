@@ -508,10 +508,61 @@ object InvariantCheck {
     r
   }
 
+  /** BFS (§2.152): the distance labeling is pinned by local edge
+    * conditions over the independently-rebuilt adjacency — no replay
+    * loop needed, because a labeling is THE multi-source BFS result
+    * iff (a) the sources are exactly the top-degree items at dist 0,
+    * (b) every edge is tight (no (u,v) with dist(u)+1 < dist(v)),
+    * (c) every labeled non-source's min in-neighbor distance is
+    * exactly dist−1 (a shortest-path parent exists), and (d) no
+    * unlabeled node neighbors a node with dist < maxHops (the
+    * frontier really was exhausted). (b)+(c) force dist = shortest
+    * distance by induction on levels; (d) forces completeness. */
+  def checkBfs(spark: SparkSession, dir: String): Seq[Res] = {
+    import graft.graph.Graph
+    val adj = indepAdj(spark, dir).cache()
+    val dd = Graph.graphBfs(spark, dir).cache()
+    val nReached = dd.count()
+    val srcs = adj.groupBy("src").agg(count(lit(1)).as("dg"))
+      .filter(col("src").startsWith("i"))
+      .orderBy(desc("dg"), asc("src")).limit(Graph.BfsSources)
+      .select(col("src").as("node"))
+    val zero = dd.filter(col("dist") === 0)
+    val badSrc = zero.join(srcs, Seq("node"), "left_anti").count() +
+      srcs.join(zero, Seq("node"), "left_anti").count()
+    // labeled edge endpoints: (src dist du) -> (dst dist dv nullable)
+    val e = adj
+      .join(dd.select(col("node").as("src"), col("dist").as("du")), "src")
+      .join(dd.select(col("node").as("dst"), col("dist").as("dv")),
+        Seq("dst"), "left")
+    val badTight = e.filter(col("dv").isNotNull &&
+      col("du") + 1 < col("dv")).count()
+    val badFrontier = e.filter(col("dv").isNull &&
+      col("du") < Graph.BfsMaxHops).count()
+    // a corrupt labeling could leave a reached node with NO labeled
+    // in-neighbor, which would vanish from the groupBy — count the
+    // coverage gap as failures too
+    val par = e.filter(col("dv").isNotNull && col("dv") > 0)
+      .groupBy("dst", "dv").agg(min("du").as("mind")).cache()
+    val badParent = par.filter(col("mind") =!= col("dv") - 1).count() +
+      (dd.filter(col("dist") > 0).count() - par.count())
+    par.unpersist()
+    val out = Seq(
+      res("bfs_sources_top_degree", badSrc,
+        s"${Graph.BfsSources} top-degree items at dist 0"),
+      res("bfs_edges_tight", badTight, "no edge with dist(u)+1 < dist(v)"),
+      res("bfs_parent_exists", badParent,
+        "min in-neighbor dist = dist-1 for every reached non-source"),
+      res("bfs_frontier_exhausted", badFrontier,
+        s"$nReached reached; no unlabeled neighbor below hop cap"))
+    adj.unpersist(); dd.unpersist()
+    out
+  }
+
   def runAll(spark: SparkSession, dir: String): Seq[Res] =
     checkClusters(spark, dir) ++ checkIvf(spark, dir) ++ checkBpe(spark, dir) ++
       checkSemantic(spark, dir) ++ checkGraph(spark, dir) ++
-      checkBitext(spark, dir) ++ checkIvfPq(spark, dir)
+      checkBitext(spark, dir) ++ checkIvfPq(spark, dir) ++ checkBfs(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata/sf1")

@@ -232,4 +232,42 @@ class DedupSpec extends AnyFunSuite {
     // some exact dups must exist for the test to be non-vacuous at sf
     assert(got.nonEmpty)
   }
+
+  test("containment: planted excerpt found; brute-force parity on the corpus") {
+    // an excerpt (first 8 words of base) inside a long unrelated wrapper:
+    // low Jaccard, high containment — the pair Jaccard blocking misses
+    val wrapper = ("unrelated boilerplate filler " * 20) +
+      base.split(" ").take(8).mkString(" ")
+    val planted = docs.union(Seq(
+      (10L, base.split(" ").take(8).mkString(" "), "en"),
+      (11L, wrapper, "en")).toDF("doc_id", "text", "lang"))
+    val pout = Dedup.containmentPairs(planted).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pout.contains((10L, 11L)), s"planted excerpt pair missing: $pout")
+    assert(pout((10L, 11L)) >= 0.8)
+
+    // brute-force parity on the real sf corpus: same grams, same
+    // df-blocking rule, exact containment
+    val grams = Tables.documents(spark, sf).select(col("doc_id"),
+        array_distinct(graft.functions.native.shingle_hashes(
+          graft.functions.native.token_poly_hashes(col("text")), 3)).as("g"))
+      .filter(size(col("g")) > 0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val dfCount = grams.toSeq.flatMap { case (d, g) => g.map(_ -> d) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val rare = grams.view.mapValues(_.filter(s =>
+      dfCount(s) >= 2 && dfCount(s) <= Dedup.ContainMaxDf)).toMap
+    val cand = (for {
+      (a, ga) <- rare.toSeq; (b, gb) <- rare.toSeq
+      if a < b && ga.exists(gb.contains)
+    } yield (a, b)).toSet
+    val brute = cand.flatMap { case (a, b) =>
+      val inter = grams(a).intersect(grams(b)).size
+      val c = math.rint(inter.toDouble / math.min(grams(a).size, grams(b).size) * 1e6) / 1e6
+      if (c >= Dedup.ContainMinScore) Some((a, b) -> (inter.toLong, c)) else None
+    }.toMap
+    val got = Dedup.containmentPairs(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == brute, s"got ${got.size} pairs, brute ${brute.size}")
+  }
 }

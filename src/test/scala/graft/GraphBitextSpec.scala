@@ -252,4 +252,31 @@ class GraphBitextSpec extends AnyFunSuite {
     // total count: each triangle credited to exactly 3 corners
     assert(got.map(_._3).sum % 3 == 0)
   }
+
+  test("graph_bfs = brute-force multi-source BFS levels") {
+    val clicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").select("user_id", "props")
+      .collect().map { r =>
+        val k = "\"k\":\\s*(\\d+)".r.findFirstMatchIn(r.getString(1)).get.group(1)
+        (s"u${r.getLong(0)}", s"i$k")
+      }.distinct
+    val edges = clicks ++ clicks.map(e => (e._2, e._1))
+    val adjM = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val srcs = deg.keys.filter(_.startsWith("i")).toSeq
+      .sortBy(k => (-deg(k), k)).take(Graph.BfsSources)
+    var dist = srcs.map(_ -> 0L).toMap
+    var frontier = srcs.toSet
+    for (k <- 1 to Graph.BfsMaxHops) {
+      val next = frontier.flatMap(n => adjM.getOrElse(n, Set.empty)) -- dist.keySet
+      dist ++= next.map(_ -> k.toLong)
+      frontier = next
+    }
+    val got = Graph.graphBfs(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toMap == dist, "BFS levels differ from brute force")
+    // ordered by (dist, node); and the graph actually has depth
+    assert(got.sameElements(got.sortBy(x => (x._2, x._1))), "output order")
+    assert(dist.values.exists(_ > 0), "fixture degenerate: no frontier growth")
+  }
 }

@@ -286,4 +286,72 @@ class MiningSpec extends AnyFunSuite {
     val got = graph.Graph.labelPropagation(spark, sf).collect()
     assert(got.map(r => r.getString(0) -> r.getLong(1).toInt).toMap == expected)
   }
+
+  test("attribution = brute-force lookback credit over collected events") {
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").as("item"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getString(5)))
+    val purchases = evs.filter(_._4 == "purchase")
+    val clicks = evs.filter(_._4 == "click").groupBy(_._3)
+    val lookbackUs = Mining.AttributionLookbackDays * 86400L * 1000000L
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Double, Double)]
+    purchases.foreach { case (_, pts, user, _, pval, _) =>
+      val touches = clicks.getOrElse(user, Array.empty)
+        .filter(c => c._2 <= pts && c._2 >= pts - lookbackUs)
+      if (touches.nonEmpty) {
+        val last = touches.maxBy(c => (c._2, c._1))
+        touches.foreach { c =>
+          val (t, l, lin, v) = acc.getOrElse(c._6, (0L, 0L, 0.0, 0.0))
+          acc(c._6) = (t + 1, l + (if (c eq last) 1L else 0L),
+            lin + r6(1.0 / touches.length), v + r4(pval / touches.length))
+        }
+      }
+    }
+    val got = Mining.attribution(spark, sf).collect()
+    assert(got.length == acc.size)
+    got.foreach { r =>
+      val (t, l, lin, v) = acc(r.getString(0))
+      assert(r.getLong(1) == t && r.getLong(2) == l, s"counts for ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - lin) < 1e-5, s"linear for ${r.getString(0)}")
+      assert(math.abs(r.getDouble(4) - v) < 1e-3, s"value for ${r.getString(0)}")
+    }
+  }
+
+  test("rolling_active_users = brute-force trailing distinct windows") {
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate)).toSet
+    val days = ud.map(_._2)
+    def active(d: java.time.LocalDate, w: Int): Long = ud.collect {
+      case (u, ad) if !ad.isAfter(d) && ad.isAfter(d.minusDays(w)) => u
+    }.size.toLong
+    val got = Mining.rollingActiveUsers(spark, sf).collect()
+    assert(got.length == days.size)
+    got.foreach { r =>
+      val d = r.getTimestamp(0).toLocalDateTime.toLocalDate
+      assert(r.getLong(1) == active(d, 1), s"dau $d")
+      assert(r.getLong(2) == active(d, 7), s"wau $d")
+      assert(r.getLong(3) == active(d, 28), s"mau $d")
+    }
+  }
+
+  test("seasonality: cells partition the corpus; index averages to 1") {
+    val got = Mining.seasonality(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(got.map(_.getLong(2)).sum == total, "cells must partition all events")
+    got.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 7, "dow range")
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 23, "hour range")
+      val idx = r.getLong(2).toDouble * 168 / total
+      assert(math.abs(r.getDouble(4) - math.rint(idx * 1e4) / 1e4) < 1e-9)
+    }
+    // Σ_cells index = 168 · Σn / N = 168 exactly, whatever the shape
+    assert(math.abs(got.map(_.getDouble(4)).sum - 168.0) < 0.02)
+  }
 }

@@ -156,4 +156,23 @@ class NewOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
     assert(df.collect().forall(_.getInt(4) <= 1))
   }
+
+  test("data_skew_report: profiles match brute-force key counts") {
+    val got = graft.dq.SkewReport.skewReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(6))).toMap
+    assert(got.size == 7, "one row per profiled key")
+    // brute-force one numeric and one categorical profile
+    def brute(df: org.apache.spark.sql.DataFrame, key: String) = {
+      val counts = df.select(key).collect().map(_.get(0))
+        .groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+      val avg = counts.sum.toDouble / counts.size
+      (counts.size.toLong, counts.max, math.rint(avg * 1e4) / 1e4,
+        math.rint(counts.max / avg * 1e4) / 1e4)
+    }
+    assert(got(("events", "user_id")) == brute(Tables.events(spark, sf), "user_id"))
+    assert(got(("documents", "lang")) == brute(Tables.documents(spark, sf), "lang"))
+    // every ratio is >= 1 by construction (max >= mean)
+    got.values.foreach { case (_, _, _, ratio) => assert(ratio >= 1.0) }
+  }
 }

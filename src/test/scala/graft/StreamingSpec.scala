@@ -316,4 +316,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(atLeast(2) == batch("click"))
     assert(atLeast(3) == batch("purchase"))
   }
+
+  test("streaming top-k: SpaceSaving guarantee holds under micro-batched arrival") {
+    val cap = 16
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk").toString
+    writeEventFiles(dir, 4,
+      pmod(graft.text.TextFunctions.hash64(col("event_id").cast("string")), lit(4)))
+    val src = spark.readStream.schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Streaming.topkItemsStream(src, cap)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("topk_stream").start()
+    q.processAllAvailable(); q.stop()
+    val cands = spark.table("topk_stream").collect()
+      .head.getSeq[String](0).toSet
+    assert(cands.size <= cap, "sketch state must stay bounded")
+    // the SpaceSaving guarantee: every item with true count > N/cap is
+    // in the candidate set, regardless of batch boundaries/merge order
+    val exact = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").as("item"))
+      .groupBy("item").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val mustHave = exact.filter(_._2 > n / cap).keySet
+    assert(mustHave.subsetOf(cands),
+      s"missing guaranteed heavy hitters: ${mustHave -- cands}")
+    // and the fixture is non-trivial: more items than sketch capacity
+    assert(exact.size > cap, s"fixture degenerate: ${exact.size} items")
+  }
 }
