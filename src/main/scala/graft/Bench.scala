@@ -35,6 +35,7 @@ object Bench {
     // of one query share a hot cache the driver run wouldn't, and the
     // sweep spacing makes the medians robust to a contention burst
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    val errors = scala.collection.mutable.Map.empty[String, String]
     var failed = Set.empty[String]
     for (_ <- 1 to reps) {
       // drop memoized per-dir results (imputation stats, cluster labels)
@@ -51,6 +52,7 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
           failed += name
+          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
         }
       }
     }
@@ -75,6 +77,23 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    // The driver's artifact keeps only a fixed 2000-char stdout TAIL
+    // (sbt's epilogue included), so the full 118-query line above is
+    // front-truncated there and has parsed as null since round 1. Print
+    // a compact summary LAST — total, every failure with its error, the
+    // slowest queries, and a pointer to the full table — small enough
+    // that the tail always holds it whole, so the driver artifact is
+    // finally self-contained and machine-parseable.
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
+    val slowest = med.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${med.size},""" +
+      s""""failed":$failedJson,"errors":$errJson,"slowest":$slowest,""" +
+      s""""sf":"$sfDir","reps":$reps,"full":"bench_out.json"}""")
     spark.stop()
   }
 }

@@ -271,10 +271,14 @@ object Mining {
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"),
         col("ts").as("p_ts"), col("value").as("p_value"))
+    // item IS NOT NULL on both engine sides: a click without the k
+    // prop would otherwise form a NULL group that sorts NULLS FIRST in
+    // Spark but NULLS LAST in DuckDB — a latent row-order divergence
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("c_id"),
         col("ts").as("c_ts"),
         get_json_object(col("props"), "$.k").as("item"))
+      .filter(col("item").isNotNull)
     val touches = purchases.join(clicks, "user_id")
       .filter(col("c_ts") <= col("p_ts") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $AttributionLookbackDays DAYS"))
@@ -301,7 +305,8 @@ object Mining {
        |  FROM events WHERE event_type = 'purchase'),
        |c AS (SELECT user_id, event_id AS c_id, CAST(ts AS TIMESTAMP) AS c_ts,
        |    json_extract_string(props, '$$.k') AS item
-       |  FROM events WHERE event_type = 'click'),
+       |  FROM events WHERE event_type = 'click'
+       |    AND json_extract_string(props, '$$.k') IS NOT NULL),
        |t AS (SELECT p.p_id, p.p_value, c.item, c.c_ts, c.c_id
        |  FROM p JOIN c ON p.user_id = c.user_id
        |    AND c.c_ts <= p.p_ts
@@ -332,8 +337,14 @@ object Mining {
     * zero events are absent from the series (inner join on the DAU
     * spine), matching the oracle's range-join form. */
   def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    // lazy localCheckpoint: dau/wau/mau are three subtrees over the
+    // same user-day distinct — without the barrier the corpus scan +
+    // distinct runs three times (once per subtree), breaking the
+    // "corpus touched exactly once" contract; the checkpoint
+    // materializes the user-day grain once inside the caller's action
     val du = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint(eager = false)
     def rolling(w: Int, name: String): DataFrame = du
       .select(col("user_id"), explode(
         expr(s"sequence(day, date_add(day, ${w - 1}), interval 1 day)")).as("day"))

@@ -302,22 +302,29 @@ object Graph {
       .filter(col("src").startsWith("i"))
       .orderBy(desc("deg"), asc("src")).limit(BfsSources)
       .select(col("src").as("node"))
-    var dist = srcs.withColumn("dist", lit(0L))
+    // lazy localCheckpoint per round (the bpeMerges pattern): the plan
+    // barrier stops the union's lineage re-deriving earlier frontiers,
+    // materialization happens ONCE inside the caller's single action
+    // (no per-round count() job — was ~40 fixed-cost jobs at sf0.1),
+    // and the checkpoint RDDs are context-cleaned on GC, so nothing
+    // stays pinned after the result is consumed (the cache+count
+    // version leaked the last round's frontier).
+    var dist = srcs.withColumn("dist", lit(0L)).localCheckpoint(eager = false)
     var frontier = srcs
-    var prevCached: Option[DataFrame] = None
     for (k <- 1 to hops) {
-      // cache + materialize the new frontier (node-sized), then drop
-      // the previous round's — the dedupClusters per-round pattern;
-      // without it the union's lineage re-derives every earlier
-      // frontier once per downstream reference
-      val next = adj.join(frontier, col("src") === col("node"))
+      // shuffle_hash pinned on the frontier side: the frontier is
+      // node-sized but DATA-DEPENDENT — small-frontier stats at test
+      // scale would flip this to a broadcast that at 100 TB ships a
+      // hundred-million-node frontier to every executor (the
+      // interval_overlap stats trap, SURVEY §6 round 5)
+      val next = adj.join(frontier.hint("shuffle_hash"),
+          col("src") === col("node"))
         .select(col("dst").as("node")).distinct()
-        .join(dist.select("node"), Seq("node"), "left_anti")
-        .cache()
-      next.count()
-      prevCached.foreach(_.unpersist(blocking = false))
-      prevCached = Some(next)
+        .join(dist.select("node").hint("shuffle_hash"),
+          Seq("node"), "left_anti")
+        .localCheckpoint(eager = false)
       dist = dist.unionAll(next.withColumn("dist", lit(k.toLong)))
+        .localCheckpoint(eager = false)
       frontier = next
     }
     dist

@@ -544,13 +544,19 @@ object InvariantCheck {
     // coverage gap as failures too
     val par = e.filter(col("dv").isNotNull && col("dv") > 0)
       .groupBy("dst", "dv").agg(min("du").as("mind")).cache()
+    // max(0, gap): duplicate nodes with different dists would make par
+    // LARGER than the reached set, and a negative gap could offset real
+    // badParent failures — count node uniqueness as its own failure mode
+    val badDup = dd.groupBy("node").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count()
     val badParent = par.filter(col("mind") =!= col("dv") - 1).count() +
-      (dd.filter(col("dist") > 0).count() - par.count())
+      math.max(0L, dd.filter(col("dist") > 0).count() - par.count())
     par.unpersist()
     val out = Seq(
       res("bfs_sources_top_degree", badSrc,
         s"${Graph.BfsSources} top-degree items at dist 0"),
       res("bfs_edges_tight", badTight, "no edge with dist(u)+1 < dist(v)"),
+      res("bfs_nodes_unique", badDup, "one dist label per node"),
       res("bfs_parent_exists", badParent,
         "min in-neighbor dist = dist-1 for every reached non-source"),
       res("bfs_frontier_exhausted", badFrontier,
