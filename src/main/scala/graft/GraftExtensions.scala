@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.Decimal
 import graft.functions._
 
 /** Session wiring: registers graft's native expressions as SQL
@@ -31,6 +32,15 @@ object GraftFunctions {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def doubleArg(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
   }
 
   private def stringArg(e: Expression, what: String): String = e match {
@@ -125,7 +135,11 @@ object GraftFunctions {
     ("graft_bloom_agg",
       new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
       (es: Seq[Expression]) => BloomAgg(es.head, intArg(es(1), "numBits"),
-        BloomContains.NumHashes)))
+        BloomContains.NumHashes)),
+    ("graft_quantile",
+      new ExpressionInfo(classOf[KllQuantile].getName, "graft_quantile"),
+      (es: Seq[Expression]) => KllQuantile(es.head, intArg(es(1), "k"),
+        es.drop(2).map(e => math.round(doubleArg(e, "quantile") * 1e6)))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -1017,6 +1017,45 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** §2.156 `quantile_sketch`: per-group price quantiles through the
+    * mergeable KLL aggregate ([[graft.functions.KllQuantile]]) — the
+    * sketch-family completion (KMV distincts, SpaceSaving heavy
+    * hitters, Bloom membership now have their quantile sibling).
+    *
+    * Exact-at-sketch-cost oracle (the heavy_hitters pattern): k=32768
+    * exceeds every sf0.01 return-flag group (~20 k rows), so the
+    * sketch never compacts, answers are exact order statistics under
+    * ANY partitioning/merge order, and DuckDB's quantile_disc replays
+    * them (verified equivalent to the pinned min-v-with-cume_dist≥q
+    * convention). At 100 TB the same plan runs with k controlling a
+    * ±n/k rank error and O(k·log(n/k)) state per group — no sort, no
+    * GK buffer churn, and day-partitioned sketches merge
+    * associatively for incremental rollups (KllQuantileSpec pins the
+    * merge laws and the compacted-regime error bound). Selection only
+    * — the output VALUES are existing column doubles, so no float
+    * arithmetic can diverge between engines. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val qcol = graft.functions.KllQuantile.kll_quantile(
+      col("l_extendedprice"), 32768, Seq(0.25, 0.5, 0.75, 0.95))
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(qcol.as("qs"))
+      .select(col("l_returnflag"),
+        element_at(col("qs"), 1).as("q25"),
+        element_at(col("qs"), 2).as("q50"),
+        element_at(col("qs"), 3).as("q75"),
+        element_at(col("qs"), 4).as("q95"))
+      .orderBy("l_returnflag")
+  }
+
+  val quantileSketchSql: String =
+    """SELECT l_returnflag,
+      |  quantile_disc(l_extendedprice, 0.25) AS q25,
+      |  quantile_disc(l_extendedprice, 0.50) AS q50,
+      |  quantile_disc(l_extendedprice, 0.75) AS q75,
+      |  quantile_disc(l_extendedprice, 0.95) AS q95
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val anomalyMadSql: String =
     """WITH med AS (SELECT event_type, median(value) AS med
       |  FROM events GROUP BY 1),
