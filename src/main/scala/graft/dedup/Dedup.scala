@@ -514,15 +514,22 @@ object Dedup {
           graft.functions.native.token_poly_hashes(col("text")), 3)).as("g"))
       .filter(size(col("g")) > 0)
     val posting = grams.select(col("doc_id"), explode(col("g")).as("shg"))
+    // shuffle_hash pins: rareSh, rare, and cand are all DATA-PROPORTIONAL
+    // (rare shingles and their candidate pairs grow with the corpus), but
+    // their narrow schemas read as broadcastable at test SF — the
+    // interval_overlap stats trap (SURVEY §6 round 5). A corpus-sized
+    // broadcast cannot survive real scale; the pinned shuffle join can.
     val rareSh = posting.groupBy("shg").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, ContainMaxDf)).select("shg")
-    val rare = posting.join(rareSh, "shg")
+    val rare = posting.join(rareSh.hint("shuffle_hash"), "shg")
     val cand = rare.select(col("doc_id").as("id_a"), col("shg"))
-      .join(rare.select(col("doc_id").as("id_b"), col("shg")), Seq("shg"))
+      .join(rare.select(col("doc_id").as("id_b"), col("shg"))
+        .hint("shuffle_hash"), Seq("shg"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cand
+    cand.hint("shuffle_hash")
       .join(grams.select(col("doc_id").as("id_a"), col("g").as("ga")), "id_a")
+      .hint("shuffle_hash")
       .join(grams.select(col("doc_id").as("id_b"), col("g").as("gb")), "id_b")
       .withColumn("n_common",
         size(array_intersect(col("ga"), col("gb"))).cast("long"))

@@ -45,6 +45,73 @@ object Drift {
       .orderBy("bin")
   }
 
+  /** §2.157 two-sample Kolmogorov–Smirnov drift: D = max |F_a − F_b|
+    * between the empirical CDFs of the even/odd-event_id halves of each
+    * event_type's value distribution (the same deterministic batch
+    * stand-ins as [[dqDrift]]). KS complements PSI: PSI needs binned
+    * densities and a floor for empty bins; KS reads the CDF gap
+    * directly and is parameter-free, the standard pairing in drift
+    * monitors.
+    *
+    * Scale shape: values quantize to a fixed 0.5-wide grid FIRST, so
+    * the cumulative window runs at (event_type × grid)-grain — a few
+    * hundred rows per type after one map-side-combined groupBy,
+    * whatever the corpus size (the unquantized alternative would
+    * window over corpus-grain: a per-type single-partition sort, the
+    * classic KS scale trap). Quantization is part of the statistic's
+    * definition, applied identically on both engines, so the compare
+    * is exact. The D maximum is over per-bin doubles computed from
+    * integer counts by one division each — no accumulation order
+    * dependence anywhere. */
+  val KsBinWidth = 0.5
+
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("is_a", col("event_id") % 2 === 0)
+      .withColumn("bin", floor(col("value") / KsBinWidth).cast("long"))
+    val agg = e.groupBy("event_type", "bin").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+    val w = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = agg
+      .withColumn("ca", sum("n_a").over(w))
+      .withColumn("cb", sum("n_b").over(w))
+    // totals are event_type-grain (bounded by type cardinality, not
+    // data) — broadcast back onto the bin-grain frame
+    val tot = agg.groupBy("event_type")
+      .agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    cum.join(broadcast(tot), "event_type")
+      .withColumn("gap",
+        abs(col("ca") / col("ta") - col("cb") / col("tb")))
+      .groupBy("event_type")
+      .agg(max("ta").cast("long").as("n_a"),
+        max("tb").cast("long").as("n_b"),
+        round(max("gap"), 6).as("ks_d"))
+      .orderBy("event_type")
+  }
+
+  val ksDriftSql: String =
+    s"""WITH e AS (SELECT event_type, event_id % 2 = 0 AS is_a,
+       |    CAST(floor(value / $KsBinWidth) AS BIGINT) AS bin FROM events),
+       |agg AS (SELECT event_type, bin,
+       |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM e GROUP BY 1, 2),
+       |cum AS (SELECT event_type, bin, n_a, n_b,
+       |    sum(n_a) OVER (PARTITION BY event_type ORDER BY bin) AS ca,
+       |    sum(n_b) OVER (PARTITION BY event_type ORDER BY bin) AS cb
+       |  FROM agg),
+       |tot AS (SELECT event_type, CAST(sum(n_a) AS BIGINT) AS ta,
+       |    CAST(sum(n_b) AS BIGINT) AS tb FROM agg GROUP BY 1)
+       |SELECT c.event_type, max(t.ta) AS n_a, max(t.tb) AS n_b,
+       |  round(max(abs(c.ca / CAST(t.ta AS DOUBLE)
+       |    - c.cb / CAST(t.tb AS DOUBLE))), 6) AS ks_d
+       |FROM cum c JOIN tot t USING (event_type)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val dqDriftSql: String =
     s"""WITH b AS (SELECT CAST(floor((l_quantity - 1) / $BinWidth) AS BIGINT) AS bin,
        |    l_orderkey % 2 = 0 AS is_a FROM lineitem),

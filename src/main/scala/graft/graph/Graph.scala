@@ -351,6 +351,92 @@ object Graph {
        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
        |FROM bfs GROUP BY node ORDER BY dist, node""".stripMargin
 
+  /** Core order (k) and fixed peel rounds for [[graphKcore]]. */
+  val KcoreK = 3
+  val KcoreRounds = 8
+
+  /** §2.158 k-core extraction: the maximal subgraph where every node
+    * keeps ≥ [[KcoreK]] neighbors INSIDE the subgraph (Seidman 1983,
+    * "Network structure and minimum degree") — the density primitive
+    * behind community cores, spam-farm detection, and graph
+    * sparsification that degree alone misstates (a hub touching only
+    * leaves has high degree, core 1).
+    *
+    * Fixed-round peeling: [[KcoreRounds]] synchronous rounds of
+    * "recompute degree within survivors, drop nodes under k". Peeling
+    * is monotone (survivor set only shrinks; once converged, further
+    * rounds are no-ops), so a fixed round count is deterministic and
+    * engine-replayable where a converge-loop would diverge from an
+    * unrollable SQL oracle; rounds are sized ≳ the corpus's peel depth
+    * and InvariantCheck pins fixed-pointedness at sf1 (one more peel
+    * removes nothing). Output: every surviving node with its in-core
+    * degree.
+    *
+    * Scale shape: per round ONE corpus-of-edges hash join against the
+    * node-sized survivor set (twice: src and dst side) + one map-side
+    * combined degree count — never edges²; survivors are pinned
+    * shuffle_hash (node-sized but DATA-DEPENDENT — the §6 round-5
+    * broadcast trap), and each round's survivor frame is a lazy
+    * localCheckpoint (the bfsDistances pattern: plan barrier, no
+    * per-round driver action, nothing pinned after the single
+    * materialization job). */
+  private[graft] def kcoreSurvivors(spark: SparkSession, dir: String,
+      rounds: Int = KcoreRounds): (DataFrame, DataFrame) = {
+    val (adj, nodes, n) = adjacency(spark, dir)
+    def coreDeg(surv: DataFrame): DataFrame =
+      adj.join(surv.select(col("node").as("src")).hint("shuffle_hash"), "src")
+        .join(surv.select(col("node").as("dst")).hint("shuffle_hash"), "dst")
+        .groupBy("src").agg(count(lit(1)).as("c"))
+    // early exit on the monotone fixed point: the survivor set only
+    // shrinks, so an unchanged COUNT means an unchanged SET and every
+    // remaining round is a no-op — the result is bit-identical to the
+    // full fixed-round unroll the oracle replays, without paying the
+    // no-op rounds (at sf0.1 the whole graph is already a 3-core:
+    // 1 real round instead of 8). Eager checkpoint + count per round,
+    // the ccBigSmallStar pattern.
+    var surv = nodes
+    var prevCnt = n
+    var stable = false
+    var r = 0
+    while (r < rounds && !stable) {
+      val next = coreDeg(surv).filter(col("c") >= KcoreK)
+        .select(col("src").as("node"))
+        .localCheckpoint(true)
+      val cnt = next.count()
+      stable = cnt == prevCnt
+      prevCnt = cnt
+      surv = next
+      r += 1
+    }
+    (surv, coreDeg(surv))
+  }
+
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val (_, deg) = kcoreSurvivors(spark, dir)
+    deg.select(col("src").as("node"), col("c").as("deg_core"))
+      .orderBy("node")
+  }
+
+  val graphKcoreSql: String = {
+    val rounds = (1 to KcoreRounds).map { t =>
+      s"""d$t AS (SELECT e.src AS node, count(*) AS c FROM e
+         |  JOIN s${t - 1} a ON e.src = a.node
+         |  JOIN s${t - 1} b ON e.dst = b.node GROUP BY 1),
+         |s$t AS (SELECT node FROM d$t WHERE c >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH uv AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+       |    'i' || CAST(json_extract_string(props, '$$.k') AS VARCHAR) AS v
+       |  FROM events WHERE event_type = 'click'),
+       |e AS (SELECT u AS src, v AS dst FROM uv
+       |      UNION ALL SELECT v AS src, u AS dst FROM uv),
+       |s0 AS (SELECT DISTINCT src AS node FROM e),
+       |$rounds,
+       |f AS (SELECT e.src AS node, count(*) AS c FROM e
+       |  JOIN s$KcoreRounds a ON e.src = a.node
+       |  JOIN s$KcoreRounds b ON e.dst = b.node GROUP BY 1)
+       |SELECT node, c AS deg_core FROM f ORDER BY node""".stripMargin
+  }
+
   val labelPropagationSql: String = {
     val rounds = (1 to LpIters).map { t =>
       s"""v$t AS (SELECT dst, lbl, count(*) AS c

@@ -565,10 +565,42 @@ object InvariantCheck {
     out
   }
 
+  /** k-core (§2.158): the reported set re-checked against an
+    * independently rebuilt adjacency — every reported node keeps ≥ k
+    * neighbors INSIDE the set with the reported degree (membership +
+    * degree re-derivation), one more peel removes nothing (fixed
+    * point), and the core is non-empty at sf1 (a silently-empty result
+    * must not pass vacuously). Together with the sf0.001 brute-force
+    * replay spec this pins the peel at scale without re-running it. */
+  def checkKcore(spark: SparkSession, dir: String): Seq[Res] = {
+    import graft.graph.Graph
+    val adj = indepAdj(spark, dir).cache()
+    val core = Graph.graphKcore(spark, dir).cache()
+    val nCore = core.count()
+    val redeg = adj
+      .join(core.select(col("node").as("src")), "src")
+      .join(core.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("rc"))
+    val joined = core.join(redeg, col("node") === col("src"), "left").cache()
+    val badDeg = joined.filter(col("rc").isNull ||
+      col("rc") =!= col("deg_core")).count()
+    val badFixed = joined.filter(col("rc").isNull ||
+      col("rc") < Graph.KcoreK).count()
+    joined.unpersist(); adj.unpersist(); core.unpersist()
+    Seq(
+      res("kcore_degrees_rederived", badDeg,
+        s"$nCore in-core degrees match an independent recount"),
+      res("kcore_fixed_point", badFixed,
+        s"every core node keeps >= ${Graph.KcoreK} core neighbors"),
+      res("kcore_nonempty", if (nCore > 0) 0 else 1,
+        s"core has $nCore nodes at this SF"))
+  }
+
   def runAll(spark: SparkSession, dir: String): Seq[Res] =
     checkClusters(spark, dir) ++ checkIvf(spark, dir) ++ checkBpe(spark, dir) ++
       checkSemantic(spark, dir) ++ checkGraph(spark, dir) ++
-      checkBitext(spark, dir) ++ checkIvfPq(spark, dir) ++ checkBfs(spark, dir)
+      checkBitext(spark, dir) ++ checkIvfPq(spark, dir) ++ checkBfs(spark, dir) ++
+      checkKcore(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata/sf1")

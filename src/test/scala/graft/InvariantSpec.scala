@@ -44,6 +44,14 @@ class InvariantSpec extends AnyFunSuite {
     assertAll(InvariantCheck.checkIvfPq(spark, sf))
   }
 
+  test("BFS invariants hold") {
+    assertAll(InvariantCheck.checkBfs(spark, sf))
+  }
+
+  test("k-core invariants hold") {
+    assertAll(InvariantCheck.checkKcore(spark, sf))
+  }
+
   test("invariants detect a planted violation (checker is not vacuous)") {
     // corrupt one cluster label and confirm the edge/min checks would
     // catch it — guard against a checker that trivially passes

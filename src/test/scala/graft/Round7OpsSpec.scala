@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force parity for the round-7 additions (§2.157 ks_drift,
+  * §2.158 graph_kcore). */
+class Round7OpsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  test("ks_drift = brute-force binned two-sample KS per event_type") {
+    val rows = Tables.events(spark, sf)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byType = rows.groupBy(_._1)
+    val expected = byType.map { case (t, rs) =>
+      val bins = rs.map { case (_, id, v) =>
+        (math.floor(v / graft.dq.Drift.KsBinWidth).toLong, id % 2 == 0)
+      }
+      val na = bins.count(_._2).toDouble
+      val nb = bins.count(!_._2).toDouble
+      val grid = bins.map(_._1).distinct.sorted
+      var (ca, cb, best) = (0L, 0L, 0.0)
+      grid.foreach { g =>
+        ca += bins.count(b => b._1 == g && b._2)
+        cb += bins.count(b => b._1 == g && !b._2)
+        best = math.max(best, math.abs(ca / na - cb / nb))
+      }
+      t -> (na.toLong, nb.toLong, math.rint(best * 1e6) / 1e6)
+    }
+    val got = graft.dq.Drift.ksDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === expected)
+    // drift statistic is sane: D in [0, 1]
+    got.values.foreach { case (_, _, d) => assert(d >= 0.0 && d <= 1.0) }
+  }
+
+  test("graph_kcore = brute-force fixed-round peeling; fixed point at this SF") {
+    import graft.graph.Graph
+    // rebuild the undirected click graph independently
+    val uv = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .selectExpr("concat('u', cast(user_id as string)) AS u",
+        "concat('i', get_json_object(props, '$.k')) AS v")
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val edges = (uv.map(p => (p._1, p._2)) ++ uv.map(p => (p._2, p._1))).toSeq
+    def degrees(surv: Set[String]): Map[String, Int] =
+      edges.filter(e => surv(e._1) && surv(e._2))
+        .groupBy(_._1).map { case (n, es) => n -> es.size }
+    var surv: Set[String] = edges.map(_._1).toSet
+    for (_ <- 1 to Graph.KcoreRounds)
+      surv = degrees(surv).filter(_._2 >= Graph.KcoreK).keySet
+    val expected = degrees(surv) // in-core degree of the survivor set
+    val got = Graph.graphKcore(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(got === expected)
+    // the round budget converged here: one more peel removes nothing
+    assert(degrees(surv).count(_._2 >= Graph.KcoreK) === surv.size ||
+      expected.isEmpty)
+  }
+}
