@@ -139,7 +139,10 @@ object GraftFunctions {
     ("graft_quantile",
       new ExpressionInfo(classOf[KllQuantile].getName, "graft_quantile"),
       (es: Seq[Expression]) => KllQuantile(es.head, intArg(es(1), "k"),
-        es.drop(2).map(e => math.round(doubleArg(e, "quantile") * 1e6)))))
+        es.drop(2).map(e => math.round(doubleArg(e, "quantile") * 1e6)))),
+    ("graft_hll",
+      new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
+      (es: Seq[Expression]) => HllSketch(es.head)))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

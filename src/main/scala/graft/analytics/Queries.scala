@@ -493,6 +493,61 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** §2.160 HLL distinct sketch ([[graft.functions.HllSketch]]): the
+    * constant-state (4 KB) register estimator beside §2.46's KMV —
+    * per event_type the HLL estimate against the exact count. The
+    * oracle rebuilds the 4096 registers in DuckDB from the same
+    * 60-bit hashes with pure integer ops (bucket = low-12 bits,
+    * rho via length(bin(w))) and applies the identical estimate
+    * expression — see HllSketch's scaladoc for why the harmonic sum
+    * is an exact integer and row order cannot move the result. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketch.hll_sketch
+    import graft.text.TextFunctions.hash64
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        hll_sketch(hash64(col("user_id").cast("string"))).as("est"),
+        countDistinct(col("user_id")).as("n_users_exact"))
+      .select(col("event_type"),
+        round(col("est"), 4).as("hll_est"),
+        col("n_users_exact"))
+      .orderBy("event_type")
+  }
+
+  val hllDistinctSql: String = {
+    import graft.text.TextFunctions.hash64Sql
+    val m = graft.functions.HllSketch.M
+    val wb = graft.functions.HllSketch.WindowBits
+    val sp = graft.functions.HllSketch.ScalePow
+    s"""WITH hv AS (SELECT event_type,
+       |    ${hash64Sql("CAST(user_id AS VARCHAR)")} AS h FROM events),
+       |r AS (SELECT event_type, h & ${m - 1} AS bucket,
+       |    CASE WHEN (h >> ${graft.functions.HllSketch.P}) = 0 THEN ${wb + 1}
+       |         ELSE $wb - length(bin((h >> ${graft.functions.HllSketch.P})::BIGINT)) + 1
+       |    END AS rho
+       |  FROM hv),
+       |reg AS (SELECT event_type, bucket, max(rho) AS mr FROM r GROUP BY 1, 2),
+       |agg AS (SELECT event_type,
+       |    CAST(sum((1::BIGINT) << ($sp - mr)) AS BIGINT)
+       |      + ($m - count(*)) * ((1::BIGINT) << $sp) AS ssum,
+       |    $m - count(*) AS zeros
+       |  FROM reg GROUP BY 1),
+       |est AS (SELECT event_type,
+       |    (0.7213 / (1.0 + 1.079 / $m)) * $m * $m * ((1::BIGINT) << $sp)
+       |      / CAST(ssum AS DOUBLE) AS e_raw, zeros
+       |  FROM agg),
+       |x AS (SELECT e.event_type,
+       |    CASE WHEN e.e_raw <= 2.5 * $m AND e.zeros > 0
+       |         THEN $m * ln(CAST($m AS DOUBLE) / e.zeros)
+       |         ELSE e.e_raw END AS hll_est
+       |  FROM est e),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_users_exact
+       |  FROM events GROUP BY 1)
+       |SELECT x.event_type, round(x.hll_est, 4) AS hll_est, ex.n_users_exact
+       |FROM x JOIN ex USING (event_type) ORDER BY x.event_type""".stripMargin
+  }
+
   val kmvDistinctSql: String = {
     import graft.text.TextFunctions.hash64Sql
     val k = 64

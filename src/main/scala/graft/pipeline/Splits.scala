@@ -50,6 +50,53 @@ object Splits {
       .orderBy("id_a", "id_b")
   }
 
+  /** Split percentages for [[makeSplits]]: bucket < 80 → train,
+    * < 90 → val, else test. */
+  val TrainUpto = 80
+  val ValUpto = 90
+
+  /** §2.159 leakage-free split construction: the CONSTRUCTIVE twin of
+    * [[splitLeakage]] — instead of auditing a doc-level split for
+    * near-dup straddle, assign each document the split of its §2.39
+    * near-dup CLUSTER, bucketed by a deterministic hash of the cluster
+    * id (no RNG, reproducible across runs and engines). Near-dups
+    * share a cluster by construction, so a near-copy of a validation
+    * doc CANNOT sit in train — the leakage class §2.139 reports is
+    * structurally eliminated, which is exactly how production corpus
+    * pipelines cut train/val/test (group-split on dedup clusters, not
+    * documents).
+    *
+    * Scale shape: one hash join of the doc-sized cluster-label table
+    * (computed once per crawl and persisted — the §2.97 precomputed-
+    * frame contract) onto a row-local hash+bucket projection; no new
+    * corpus-sized shuffle. Output is doc-grain (doc_id, cluster_id,
+    * split). */
+  def makeSplits(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Pipeline.dedupClustersCached(spark, dir)
+      .select("doc_id", "cluster_id")
+    clusters
+      .withColumn("bucket", pmod(
+        hash64(concat_ws(":", lit("mk"), col("cluster_id"))), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < TrainUpto, "train")
+          .when(col("bucket") < ValUpto, "val")
+          .otherwise("test"))
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+  }
+
+  def makeSplitsSql: String =
+    s"""WITH c AS (SELECT doc_id, cluster_id
+       |  FROM (${Pipeline.dedupClustersSql}) t),
+       |b AS (SELECT doc_id, cluster_id,
+       |    ${hash64Sql("concat_ws(':', 'mk', cluster_id)")} % 100 AS bucket
+       |  FROM c)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN bucket < $TrainUpto THEN 'train'
+       |       WHEN bucket < $ValUpto THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
   def splitLeakageSql: String =
     s"""WITH pairs AS (${graft.dedup.Dedup.minhashPairsSql()}),
        |tags AS (SELECT doc_id,

@@ -35,6 +35,60 @@ class Round7OpsSpec extends AnyFunSuite {
     got.values.foreach { case (_, _, d) => assert(d >= 0.0 && d <= 1.0) }
   }
 
+  test("make_splits: leakage-free by construction, covers every doc, merges with clusters") {
+    import org.apache.spark.sql.functions._
+    val splits = pipeline.Splits.makeSplits(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(splits.count() === nDocs)
+    assert(splits.select("doc_id").distinct().count() === nDocs)
+    // every near-dup pair lands in ONE split — the leakage class
+    // split_leakage audits is structurally absent
+    val pairs = dedup.Dedup.minhashPairs(Tables.documents(spark, sf))
+    val straddle = pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddle === 0L)
+    // clusters are atomic: one split per cluster_id
+    assert(splits.groupBy("cluster_id")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count() === 0L)
+    // all three splits materialize and train dominates at this SF
+    val bySplit = splits.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    splits.unpersist()
+  }
+
+  test("hll_distinct: registers match a reference HLL; estimate within 5% here") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"),
+        text.TextFunctions.hash64(col("user_id").cast("string")).as("h"),
+        col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (t, rs) =>
+      val regs = new Array[Byte](functions.HllSketch.M)
+      rs.foreach { case (_, h, _) =>
+        val bucket = (h & (functions.HllSketch.M - 1)).toInt
+        val w = h >>> functions.HllSketch.P
+        val rho = (if (w == 0L) functions.HllSketch.WindowBits + 1
+          else functions.HllSketch.WindowBits + 1 -
+            (64 - java.lang.Long.numberOfLeadingZeros(w))).toByte
+        if (rho > regs(bucket)) regs(bucket) = rho
+      }
+      val exact = rs.map(_._3).distinct.size
+      t -> (math.rint(functions.HllSketch.estimate(regs) * 1e4) / 1e4, exact)
+    }
+    val got = analytics.Queries.hllDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2).toInt)).toMap
+    assert(got === expected)
+    got.values.foreach { case (est, exact) =>
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"estimate $est vs exact $exact drifted past 5%")
+    }
+  }
+
   test("graph_kcore = brute-force fixed-round peeling; fixed point at this SF") {
     import graft.graph.Graph
     // rebuild the undirected click graph independently
