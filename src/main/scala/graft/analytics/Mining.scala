@@ -143,6 +143,131 @@ object Mining {
       .orderBy("event_type", "day")
   }
 
+  /** §2.162 conversion lag: per item, the latency distribution from a
+    * user's FIRST click on the item to their first purchase of it at
+    * or after that click — n_conversions, median and p90 lag — the
+    * funnel-latency metric (§2.98 counts conversions; this times
+    * them). Quantiles via the §2.156 mergeable KLL aggregate
+    * ([[graft.functions.KllQuantile]]) — per-item state O(k), no
+    * per-item sort — sized exact at the gate SF (conversions per item
+    * ≪ k), the §2.128 exact-at-sketch-cost pattern; lags are exact
+    * integer MICROSECONDS (unix_micros both engines), so quantile
+    * selection returns bit-identical doubles.
+    *
+    * Scale shape: two map-side-combined (user, item) groupBys collapse
+    * the corpus to first-click / matched-purchase grain, ONE
+    * (user, item) hash join between them (fanout = purchases per
+    * user-item, time-local), then the item-grain sketch aggregation.
+    * No windows over corpus grain anywhere. */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val firstClick = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"),
+        get_json_object(col("props"), "$.k").as("item"))
+      .agg(min(unix_micros(col("ts"))).as("c_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").as("item"),
+        unix_micros(col("ts")).as("p_us"))
+    val lags = firstClick.join(purchases, Seq("user_id", "item"))
+      .filter(col("p_us") >= col("c_us"))
+      .groupBy("user_id", "item")
+      .agg((min("p_us") - min("c_us")).as("lag_us")) // c_us constant per group
+    lags.groupBy("item")
+      .agg(count(lit(1)).as("n_conv"),
+        graft.functions.KllQuantile.kll_quantile(
+          col("lag_us").cast("double"), 4096, Seq(0.5, 0.9)).as("qs"))
+      .select(col("item"), col("n_conv"),
+        element_at(col("qs"), 1).as("med_lag_us"),
+        element_at(col("qs"), 2).as("p90_lag_us"))
+      .orderBy("item")
+  }
+
+  val conversionLagSql: String =
+    """WITH c AS (SELECT user_id, json_extract_string(props, '$.k') AS item,
+      |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS c_us
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT user_id, json_extract_string(props, '$.k') AS item,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |l AS (SELECT c.user_id, c.item, min(p.p_us) - any_value(c.c_us) AS lag_us
+      |  FROM c JOIN p ON c.user_id = p.user_id AND c.item = p.item
+      |    AND p.p_us >= c.c_us
+      |  GROUP BY 1, 2)
+      |SELECT item, count(*) AS n_conv,
+      |  CAST(quantile_disc(lag_us, 0.5) AS DOUBLE) AS med_lag_us,
+      |  CAST(quantile_disc(lag_us, 0.9) AS DOUBLE) AS p90_lag_us
+      |FROM l GROUP BY 1 ORDER BY item""".stripMargin
+
+  /** Trailing window (days) and z threshold for [[anomalyRolling]]. */
+  val AnomalyWindow = 7
+  val AnomalyZ = 3.0
+
+  /** §2.161 rolling z-score anomaly detection on the daily series:
+    * each (event_type, day) total scored against the TRAILING
+    * [[AnomalyWindow]]-day window (current day excluded — a spike must
+    * not mask itself), z = (x − μ)/σ, flagged at |z| > [[AnomalyZ]] —
+    * the time-series complement of §2.126's static MAD fences (MAD
+    * asks "is this value odd for the distribution"; this asks "is
+    * today odd for THIS series' recent past", the on-call pager
+    * question). Days without a full trailing window are unscored
+    * (null z), not silently compared against a short window.
+    *
+    * Cross-engine determinism: σ via the explicit moment form
+    * √((Σx² − n·μ²)/(n−1)) computed from the SAME windowed sums on
+    * both engines — never the built-in stddev, whose accumulation
+    * algorithm (Welford vs two-pass) is engine-private; day totals
+    * round to 4 dp BEFORE the window (the §2.138 convention) so the
+    * moment sums see identical inputs, and z rounds to 4 dp.
+    *
+    * Scale shape: one map-side-combined groupBy collapses any corpus
+    * to (type × day) grain; both windows run over ≤ calendar-span
+    * frames (a 100 TB decade ≈ 3 650 rows per type). */
+  def anomalyRolling(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 4).as("day_value"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-AnomalyWindow, -1)
+    val scored = daily
+      .withColumn("n_win", count("day_value").over(w))
+      .withColumn("s1", sum("day_value").over(w))
+      .withColumn("s2", sum(col("day_value") * col("day_value")).over(w))
+    val n = col("n_win")
+    val mu = col("s1") / n
+    val sd = sqrt((col("s2") - n * mu * mu) / (n - 1))
+    scored
+      .withColumn("z", when(n === AnomalyWindow && sd > 0,
+        round((col("day_value") - mu) / sd, 4)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > AnomalyZ, lit(false)))
+      .select("event_type", "day", "day_value", "z", "is_anomaly")
+      .orderBy("event_type", "day")
+  }
+
+  val anomalyRollingSql: String =
+    s"""WITH daily AS (SELECT event_type,
+       |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |    round(sum(value), 4) AS day_value
+       |  FROM events GROUP BY 1, 2),
+       |sc AS (SELECT event_type, day, day_value,
+       |    count(day_value) OVER w AS n_win,
+       |    sum(day_value) OVER w AS s1,
+       |    sum(day_value * day_value) OVER w AS s2
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN $AnomalyWindow PRECEDING AND 1 PRECEDING)),
+       |z AS (SELECT event_type, day, day_value,
+       |    CASE WHEN n_win = $AnomalyWindow
+       |          AND sqrt((s2 - n_win * (s1/n_win) * (s1/n_win)) / (n_win - 1)) > 0
+       |         THEN round((day_value - s1/n_win)
+       |           / sqrt((s2 - n_win * (s1/n_win) * (s1/n_win)) / (n_win - 1)), 4)
+       |    END AS z
+       |  FROM sc)
+       |SELECT event_type, day, day_value, z,
+       |  coalesce(abs(z) > $AnomalyZ, false) AS is_anomaly
+       |FROM z ORDER BY event_type, day""".stripMargin
+
   /** §2.144 time-weighted average: per user, the TWA of `value` over
     * their event timeline — each observation weighted by how long it
     * held (until the next event), the correct mean for

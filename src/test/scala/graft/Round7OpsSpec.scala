@@ -89,6 +89,71 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly_rolling = brute-force trailing z-scores; short windows unscored") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum("value"), 4).as("v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    val expected = daily.groupBy(_._1).flatMap { case (t, rs) =>
+      val series = rs.sortBy(_._2.getTime)
+      series.zipWithIndex.map { case ((_, day, x), i) =>
+        val win = series.slice(math.max(0, i - analytics.Mining.AnomalyWindow), i).map(_._3)
+        val z = if (win.size == analytics.Mining.AnomalyWindow) {
+          val n = win.size.toDouble
+          val s1 = win.sum
+          val s2 = win.map(v => v * v).sum
+          val mu = s1 / n
+          val sd = math.sqrt((s2 - n * mu * mu) / (n - 1))
+          if (sd > 0) Some(math.rint((x - mu) / sd * 1e4) / 1e4) else None
+        } else None
+        (t, day) -> (x, z, z.exists(v => math.abs(v) > analytics.Mining.AnomalyZ))
+      }.toSeq
+    }.toMap
+    val got = analytics.Mining.anomalyRolling(spark, sf).collect().map { r =>
+      (r.getString(0), r.getTimestamp(1)) ->
+        (r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4))
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, v) => assert(v === expected(k), s"at $k") }
+    // the first AnomalyWindow days of every series are unscored
+    assert(got.count(_._2._2.isEmpty) >=
+      expected.keys.map(_._1).toSeq.distinct.size * analytics.Mining.AnomalyWindow)
+  }
+
+  test("conversion_lag = brute-force first-click-to-first-purchase latencies") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        get_json_object(col("props"), "$.k").as("item"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val firstClick = rows.filter(_._1 == "click")
+      .groupBy(r => (r._2, r._3)).map { case (k, rs) => k -> rs.map(_._4).min }
+    val lags = rows.filter(_._1 == "purchase").flatMap { case (_, u, it, pus) =>
+      firstClick.get((u, it)).filter(_ <= pus).map(c => ((u, it), pus))
+    }.groupBy(_._1).map { case ((u, it), ps) =>
+      (u, it) -> (ps.map(_._2).min - firstClick((u, it)))
+    }
+    def qDisc(xs: Seq[Long], q: Double): Double = {
+      val s = xs.sorted
+      s((math.ceil(q * s.size).toInt - 1).max(0)).toDouble
+    }
+    val expected = lags.groupBy(_._1._2).map { case (item, m) =>
+      val ls = m.values.toSeq
+      item -> (ls.size.toLong, qDisc(ls, 0.5), qDisc(ls, 0.9))
+    }
+    val got = analytics.Mining.conversionLag(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got === expected)
+    // lags are sane: non-negative, p90 >= median
+    got.values.foreach { case (_, med, p90) =>
+      assert(med >= 0 && p90 >= med)
+    }
+  }
+
   test("graph_kcore = brute-force fixed-round peeling; fixed point at this SF") {
     import graft.graph.Graph
     // rebuild the undirected click graph independently
