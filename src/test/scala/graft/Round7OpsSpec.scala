@@ -7,6 +7,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class Round7OpsSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
 
+  test("containment candidate joins stay pinned shuffle_hash (no stats-trap broadcast)") {
+    // the rare-shingle posting, candidate self-join, and both gram
+    // joins run over DATA-PROPORTIONAL narrow frames — if a future
+    // edit drops the hints, small-SF stats would flip them to
+    // broadcasts that cannot survive real scale (SURVEY §6 round 5)
+    val plan = dedup.Dedup.containmentPairs(Tables.documents(spark, sf))
+      .queryExecution.sparkPlan.toString
+    val shj = "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(shj >= 4, s"expected >=4 pinned ShuffledHashJoins, got $shj:\n" +
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!plan.contains("BroadcastHashJoin"),
+      "containment path must not broadcast a data-proportional frame")
+  }
+
   test("ks_drift = brute-force binned two-sample KS per event_type") {
     val rows = Tables.events(spark, sf)
       .select("event_type", "event_id", "value").collect()
