@@ -1,0 +1,96 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Embedding-column statistics and kNN classification —
+  * SURVEY.md §2 items 168–169.
+  *
+  * The feature-store half of the ANN family: before a 100 TB embedding
+  * corpus is indexed (IVF/PQ/SQ8 all assume roughly-centered inputs),
+  * the pipeline needs per-dimension moments for whitening/clipping and
+  * a label-transfer primitive (kNN vote) for weak supervision.
+  */
+object Embed {
+
+  /** §2.168 per-dimension mean/std/min/max over the embedding column.
+    *
+    * posexplode → ONE map-side-combined groupBy on the (tiny) dim key:
+    * 64 groups regardless of corpus size, so the reduce side is
+    * constant and the scan stays the only data-proportional stage. The
+    * sums fold in double; output rounded 4 dp so Spark's partial-agg
+    * ordering and DuckDB's sequential sum agree. */
+  def embedStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        round(avg("x"), 4).as("mean_x"),
+        round(stddev("x"), 4).as("std_x"),
+        round(min("x"), 4).as("min_x"),
+        round(max("x"), 4).as("max_x"))
+      .orderBy("dim")
+
+  val embedStatsSql: String =
+    """SELECT u.dim AS dim, count(*) AS n,
+      |  round(avg(u.x), 4) AS mean_x, round(stddev(u.x), 4) AS std_x,
+      |  round(min(u.x), 4) AS min_x, round(max(u.x), 4) AS max_x
+      |FROM (SELECT unnest(list_transform(generate_series(1, len(embedding)),
+      |        i -> {'dim': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+      |      FROM embeddings) t
+      |GROUP BY u.dim ORDER BY u.dim""".stripMargin
+
+  /** §2.169 kNN label transfer: for each query vector (vec_id % 29 = 0),
+    * the majority label among its k=10 cosine-nearest neighbours
+    * (ties: higher vote count, then smaller label). Same plan shape as
+    * the brute top-k baseline — nq query rows broadcast against one
+    * linear scan, per-query top-k window — plus a bounded per-query
+    * majority window (≤ #labels rows per query). The scale path swaps
+    * the scored CTE for the IVF-blocked candidates (ann/Ivf.scala)
+    * without touching the vote. */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
+      col("embedding"), Ann.normCol(col("embedding")).as("nrm"))
+    val q = v.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+    val topk = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(Ann.dotCol(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(desc("n_votes"), asc("label"))
+    topk.groupBy("q_id", "true_label", "label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("n_votes"),
+        col("true_label"), (col("label") === col("true_label")).as("correct"))
+      .orderBy("q_id")
+  }
+
+  def knnClassifySql(k: Int = 10): String =
+    s"""WITH v AS (SELECT vec_id, label, embedding,
+       |    ${Ann.normSql("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS true_label, embedding AS qe, nrm AS qn
+       |  FROM v WHERE vec_id % 29 = 0),
+       |topk AS (SELECT q_id, true_label, label FROM (
+       |  SELECT q.q_id, q.true_label, v.label, v.vec_id,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |      round(${Ann.dotSql("q.qe", "v.embedding")} / (q.qn * v.nrm), 6) DESC,
+       |      v.vec_id) AS rk
+       |  FROM v JOIN q ON v.vec_id != q.q_id) s WHERE rk <= $k),
+       |votes AS (SELECT q_id, true_label, label, count(*) AS n_votes
+       |  FROM topk GROUP BY 1, 2, 3)
+       |SELECT q_id, label AS pred_label, n_votes, true_label,
+       |  label = true_label AS correct
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY n_votes DESC, label) AS vr FROM votes) t
+       |WHERE vr = 1 ORDER BY q_id""".stripMargin
+}

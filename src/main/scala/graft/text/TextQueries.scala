@@ -893,4 +893,86 @@ object TextQueries {
        |GROUP BY word, n_total
        |HAVING count(*) * 100 >= n_total * 3
        |ORDER BY n DESC, word""".stripMargin
+
+  /** §2.171 Zipf-law fit over the term frequency head: slope/intercept
+    * of ln(freq) ~ ln(rank) for the top-200 terms — the standard
+    * corpus-health fingerprint (natural text ≈ −1; the §2.95 LM split
+    * already keys off this head/tail structure).
+    *
+    * Scale shape: one word-count groupBy, then orderBy+limit — which
+    * Spark plans as TakeOrderedAndProject (per-partition top-200 heaps
+    * merged on the driver, never a global sort); the closed-form least
+    * squares runs over ≤200 rows. Ranks are assigned on the ≤200-row
+    * frame by a window — bounded, not data-proportional. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val head = Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("term"))
+      .limit(200)
+    val w = Window.orderBy(desc("freq"), asc("term"))
+    head.withColumn("rank", row_number().over(w))
+      .select(log(col("rank")).as("lx"), log(col("freq")).as("ly"))
+      .agg(count(lit(1)).as("n_terms"),
+        round((avg(col("lx") * col("ly")) - avg("lx") * avg("ly")) /
+          (avg(col("lx") * col("lx")) - avg("lx") * avg("lx")), 6).as("slope"),
+        round(avg("ly") -
+          (avg(col("lx") * col("ly")) - avg("lx") * avg("ly")) /
+            (avg(col("lx") * col("lx")) - avg("lx") * avg("lx")) * avg("lx"), 6)
+          .as("intercept"))
+  }
+
+  val zipfFitSql: String =
+    s"""WITH tf AS (
+       |  SELECT t AS term, count(*) AS freq
+       |  FROM (SELECT unnest(${tokensSql("lower(text)")}) AS t FROM documents) x
+       |  WHERE t <> '' GROUP BY t ORDER BY freq DESC, term LIMIT 200),
+       |rk AS (SELECT term, freq,
+       |  row_number() OVER (ORDER BY freq DESC, term) AS rank FROM tf),
+       |pts AS (SELECT ln(rank) AS lx, ln(freq) AS ly FROM rk)
+       |SELECT count(*) AS n_terms,
+       |  round((avg(lx*ly) - avg(lx)*avg(ly)) / (avg(lx*lx) - avg(lx)*avg(lx)), 6)
+       |    AS slope,
+       |  round(avg(ly) - (avg(lx*ly) - avg(lx)*avg(ly)) /
+       |    (avg(lx*lx) - avg(lx)*avg(lx)) * avg(lx), 6) AS intercept
+       |FROM pts""".stripMargin
+
+  /** §2.172 language-ID confusion matrix — the evaluation harness for
+    * §2.28: (true lang, predicted lang) counts plus recall share
+    * within each true language. Same single-scan marker scoring as
+    * text_langid; the confusion aggregate is ≤ |langs|² rows, and the
+    * recall window partitions over those bounded cells only. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+    langidFrame(Tables.documents(spark, dir))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("recall_pct",
+        round(col("n") * 100.0 / sum("n").over(w), 4))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val langConfusionSql: String = {
+    val scoreCols = langMarkers.map { case (lang, marks) =>
+      val list = marks.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(_toks, t -> t IN ($list))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n       |  ")
+    s"""WITH scored AS (SELECT doc_id, lang,
+       |  $scoreCols,
+       |  CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS s_zh
+       |  FROM (SELECT doc_id, lang, text, ${tokensSql("lower(text)")} AS _toks FROM documents) t0),
+       |pred AS (SELECT lang,
+       |  CASE WHEN s_zh > 0 THEN 'zh'
+       |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS pred_lang
+       |  FROM scored)
+       |SELECT lang, pred_lang, count(*) AS n,
+       |  round(count(*) * 100.0 / sum(count(*)) OVER (PARTITION BY lang), 4)
+       |    AS recall_pct
+       |FROM pred GROUP BY lang, pred_lang
+       |ORDER BY lang, pred_lang""".stripMargin
+  }
 }
