@@ -460,4 +460,116 @@ object Graph {
        |SELECT lbl AS community, count(*) AS n_nodes FROM l$LpIters
        |GROUP BY 1 ORDER BY n_nodes DESC, community""".stripMargin
   }
+
+  /** jaccard_neighbors similarity floor. */
+  val MinJaccard = 0.1
+
+  /** §2.173 item–item neighbourhood similarity: Jaccard of the click
+    * user sets for every co-clicked item pair above [[MinJaccard]] —
+    * the item-based collaborative-filtering kernel (the set-overlap
+    * sibling of market_basket's support/lift).
+    *
+    * Scale shape: DISTINCT (user, item) first (the only corpus-sized
+    * shuffle), then pair generation JOINS BY USER — each user
+    * contributes C(items_u, 2) pairs, bounded by the per-user activity
+    * cap, never by catalog size; a power-law user is splittable because
+    * the pair count aggregation is map-side combined on (item_a,
+    * item_b). Per-item user counts broadcast onto the bounded pair
+    * frame (≤ C(|items|, 2) rows). No all-pairs path: items that share
+    * no user never meet. */
+  def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .distinct()
+    val deg = ui.groupBy("item").agg(count(lit(1)).as("n_u"))
+    val a = ui.select(col("u"), col("item").as("item_a"))
+    val b = ui.select(col("u"), col("item").as("item_b"))
+    a.join(b, Seq("u"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_co"))
+      .join(broadcast(deg.select(col("item").as("item_a"), col("n_u").as("n_a"))), "item_a")
+      .join(broadcast(deg.select(col("item").as("item_b"), col("n_u").as("n_b"))), "item_b")
+      .withColumn("jaccard",
+        round(col("n_co") / (col("n_a") + col("n_b") - col("n_co")).cast("double"), 6))
+      .filter(col("jaccard") >= MinJaccard)
+      .select("item_a", "item_b", "n_co", "n_a", "n_b", "jaccard")
+      .orderBy(desc("jaccard"), col("item_a"), col("item_b"))
+  }
+
+  val jaccardNeighborsSql: String =
+    s"""WITH ui AS (SELECT DISTINCT user_id AS u,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+       |  FROM events WHERE event_type = 'click'),
+       |deg AS (SELECT item, count(*) AS n_u FROM ui GROUP BY item),
+       |co AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+       |  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+       |  GROUP BY 1, 2)
+       |SELECT item_a, item_b, n_co, da.n_u AS n_a, db.n_u AS n_b,
+       |  round(n_co * 1.0 / (da.n_u + db.n_u - n_co), 6) AS jaccard
+       |FROM co JOIN deg da ON item_a = da.item JOIN deg db ON item_b = db.item
+       |WHERE round(n_co * 1.0 / (da.n_u + db.n_u - n_co), 6) >= $MinJaccard
+       |ORDER BY jaccard DESC, item_a, item_b""".stripMargin
+
+  /** HITS iteration count (unrolled on both engines). */
+  val HitsIters = 2
+
+  /** §2.174 HITS hubs-and-authorities over the DIRECTED user→item
+    * click bipartite graph: users are pure hubs, items pure
+    * authorities. From hub=1, [[HitsIters]] rounds of a(i) = Σ h(u),
+    * h(u) = Σ a(i); final authorities L1-normalized. Deterministic
+    * across engines: the contribution sums are integer-valued in
+    * round 1 and the round-2 doubles are compared at 6 dp after
+    * normalization (same argument as PageRank's rounding contract).
+    *
+    * Scale shape: per half-round exactly ONE shuffle — node-sized
+    * score frames hash-join onto the distinct edge list by u or i and
+    * partial-sum map-side into the opposite endpoint's groupBy; the
+    * edge frame builds once. The L1 norm is a broadcast 1-row
+    * aggregate. Same class as PageRank: at 100 TB a bucketed edge
+    * table makes every round's big-side exchange-free. */
+  def hubAuthority(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("long").as("i"))
+      .distinct()
+      // materialized once (the bpeMerges localCheckpoint pattern): the
+      // 3 per-round joins read stored blocks instead of re-running the
+      // events scan + distinct; blocks are GC-reclaimed, nothing to
+      // unpersist by hand (the bfsDistances leak class can't recur)
+      .localCheckpoint()
+    // round 1 from hub=1: authority = in-degree
+    var auth = e.groupBy("i").agg(count(lit(1)).cast("double").as("auth"))
+    for (_ <- 2 to HitsIters) {
+      val hub = e.join(auth, "i").groupBy("u").agg(sum("auth").as("hub"))
+      auth = e.join(hub, "u").groupBy("i").agg(sum("hub").as("auth"))
+    }
+    val norm = auth.agg(sum("auth").as("s"))
+    auth.crossJoin(broadcast(norm))
+      .select(col("i").as("item"), round(col("auth") / col("s"), 6).as("authority"))
+      .orderBy(desc("authority"), col("item"))
+      .limit(20)
+  }
+
+  val hubAuthoritySql: String = {
+    // unrolled a1 → (h_t, a_t) chain, mirroring the loop above
+    val rounds = (2 to HitsIters).map { t =>
+      s"""h${t - 1} AS (SELECT u, sum(auth${t - 1}) AS hub${t - 1}
+         |  FROM e JOIN a${t - 1} USING (i) GROUP BY u),
+         |a$t AS (SELECT i, sum(hub${t - 1}) AS auth$t
+         |  FROM e JOIN h${t - 1} USING (u) GROUP BY i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT user_id AS u,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS i
+       |  FROM events WHERE event_type = 'click'),
+       |a1 AS (SELECT i, CAST(count(*) AS DOUBLE) AS auth1 FROM e GROUP BY i),
+       |$rounds,
+       |na AS (SELECT sum(auth$HitsIters) AS s FROM a$HitsIters)
+       |SELECT i AS item, round(auth$HitsIters / s, 6) AS authority
+       |FROM a$HitsIters, na
+       |ORDER BY authority DESC, item LIMIT 20""".stripMargin
+  }
 }
