@@ -1,0 +1,91 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** KMV set-operation estimates — SURVEY.md §2 item 175.
+  *
+  * Completes the KMV story (§2.46 gives |A| estimates): the k-minimum-
+  * values sketches of two sets support UNION (k smallest of the merged
+  * sketch — exactly the sketch of A∪B), and from the union sketch the
+  * intersection/Jaccard follow by counting members present in both
+  * input sketches (Beyer et al., "On Synopses for Distinct-Value
+  * Estimation Under Multiset Operations", SIGMOD'07). Everything is
+  * integer-hash arithmetic on ≤k-element arrays, so Spark and the
+  * DuckDB oracle agree exactly.
+  *
+  * Scale shape: each sketch is ONE map-side-combined aggregate over
+  * its filtered scan (constant k·8-byte state per partition); the
+  * set algebra runs on two 1-row frames. The exact columns (the
+  * calibration baseline) cost one user-grain groupBy — at 100 TB
+  * you drop them and keep the sketches. */
+object Sketches {
+
+  val K = 64
+  private val Norm = 1152921504606846976.0 // 2^60 — hash64 is 60-bit
+
+  def kmvIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KMinValues.kmin_values
+    import graft.text.TextFunctions.hash64
+    val ev = Tables.events(spark, dir)
+    def sketch(t: String, as: String): DataFrame = ev
+      .filter(col("event_type") === t)
+      .agg(kmin_values(hash64(col("user_id").cast("string")), K).as(as))
+    // exact baseline: one user-grain pass
+    val exact = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("a"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("b"))
+      .agg(sum("a").as("n_a_exact"), sum("b").as("n_b_exact"),
+        sum(col("a") * col("b")).as("n_inter_exact"))
+    sketch("click", "ka").crossJoin(sketch("purchase", "kb"))
+      .withColumn("uk", slice(array_sort(array_union(col("ka"), col("kb"))), 1, K))
+      .withColumn("rho",
+        size(array_intersect(array_intersect(col("uk"), col("ka")), col("kb"))))
+      .withColumn("est_union",
+        when(size(col("uk")) < K, size(col("uk")).cast("double"))
+          .otherwise(round(lit(K - 1) / (expr(s"try_element_at(uk, $K)") / Norm), 4)))
+      .select(
+        round(col("est_union"), 4).as("est_union"),
+        round(col("rho") / size(col("uk")).cast("double"), 4).as("est_jaccard"),
+        round(col("rho") / lit(K.toDouble) * col("est_union"), 4).as("est_intersect"))
+      .crossJoin(broadcast(exact))
+      .select("est_union", "est_jaccard", "est_intersect",
+        "n_a_exact", "n_b_exact", "n_inter_exact")
+  }
+
+  val kmvIntersectSql: String = {
+    import graft.text.TextFunctions.hash64Sql
+    s"""WITH ha AS (SELECT DISTINCT ${hash64Sql("CAST(user_id AS VARCHAR)")} AS hv
+       |    FROM events WHERE event_type = 'click'),
+       |hb AS (SELECT DISTINCT ${hash64Sql("CAST(user_id AS VARCHAR)")} AS hv
+       |    FROM events WHERE event_type = 'purchase'),
+       |sa AS (SELECT list_slice(list_sort(list(hv)), 1, $K) AS ka FROM ha),
+       |sb AS (SELECT list_slice(list_sort(list(hv)), 1, $K) AS kb FROM hb),
+       |u AS (SELECT ka, kb,
+       |    list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, $K) AS uk
+       |  FROM sa, sb),
+       |est AS (SELECT
+       |    len(list_filter(uk, x -> list_contains(ka, x) AND list_contains(kb, x)))
+       |      AS rho,
+       |    len(uk) AS nu,
+       |    CASE WHEN len(uk) < $K THEN CAST(len(uk) AS DOUBLE)
+       |         ELSE round(${K - 1} / (uk[$K] / $Norm), 4) END AS est_union
+       |  FROM u),
+       |ex AS (SELECT
+       |    CAST(sum(a) AS BIGINT) AS n_a_exact,
+       |    CAST(sum(b) AS BIGINT) AS n_b_exact,
+       |    CAST(sum(a * b) AS BIGINT) AS n_inter_exact
+       |  FROM (SELECT user_id,
+       |      max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+       |      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+       |    FROM events WHERE event_type IN ('click', 'purchase')
+       |    GROUP BY user_id) t)
+       |SELECT round(est_union, 4) AS est_union,
+       |  round(rho * 1.0 / nu, 4) AS est_jaccard,
+       |  round(rho / ${K.toDouble} * est_union, 4) AS est_intersect,
+       |  n_a_exact, n_b_exact, n_inter_exact
+       |FROM est, ex""".stripMargin
+  }
+}

@@ -210,4 +210,68 @@ object Tpch {
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation ON s_nationkey = n_nationkey
       |WHERE rk = 1 ORDER BY p_partkey""".stripMargin
+
+  /** §2.176 TPC-H Q15 shape: the top supplier(s) by quarterly revenue —
+    * an argmax-of-aggregate. One map-side-combined groupBy builds the
+    * per-supplier revenue view; the max is a broadcast 1-row aggregate
+    * joined back (no window, no second pass over the fact). */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").between(lit("1997-01-01"), lit("1997-03-31")))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("total_revenue"))
+    val mx = rev.agg(max("total_revenue").as("max_revenue"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+      |                       AND TIMESTAMP '1997-03-31 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** §2.177 TPC-H Q22 shape: wealthy customers who never ordered, by
+    * nation. The global-average scalar broadcasts into the scan filter;
+    * the "no recent orders" test (lapsed since 1999) is a left-anti
+    * join against the date-filtered orders key projection (shuffle on
+    * custkey — the unavoidable co-location — with the acctbal filter
+    * already applied map-side, so only the wealthy slice shuffles and
+    * the date predicate prunes the anti side at the scan). */
+  def q22LostCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg("c_acctbal").as("avg_bal"))
+    val wealthy = cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+    wealthy.join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1999-01-01"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum("c_acctbal"), 4).as("total_acctbal"))
+      .orderBy("nationkey")
+  }
+
+  val q22LostCustomersSql: String =
+    """SELECT c_nationkey AS nationkey, count(*) AS n_custs,
+      |  round(sum(c_acctbal), 4) AS total_acctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin
 }

@@ -60,4 +60,36 @@ class TpchSpec extends AnyFunSuite {
         s"supplier name ${r.getString(3)} != suppkey $sk")
     }
   }
+
+  test("q15 returns exactly the argmax supplier(s) of the quarter") {
+    val rows = analytics.Tpch.q15TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val rev = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate").between(lit("1997-01-01"), lit("1997-03-31")))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("r")).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val mx = rev.map(_._2).max
+    assert(rows.map(_.getLong(0)).toSet === rev.filter(_._2 == mx).map(_._1).toSet)
+    rows.foreach(r => assert(r.getDouble(2) === mx))
+  }
+
+  test("q22 = wealthy-lapsed brute force; anti side is date-pruned at the scan") {
+    val custs = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val pos = custs.map(_._3).filter(_ > 0.0)
+    val avgBal = pos.sum / pos.length
+    val recent = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1999-01-01"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val exp = custs.filter(c => c._3 > avgBal && !recent.contains(c._1))
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = analytics.Tpch.q22LostCustomers(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === exp)
+    val plan = analytics.Tpch.q22LostCustomers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(3000))
+  }
 }
