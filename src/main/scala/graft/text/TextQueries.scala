@@ -30,6 +30,8 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+  /** Quoted stopword list for oracle SQL reuse (QualityModel). */
+  private[graft] def stopListSql: String = stopList
 
   /** Quality signal columns over a documents frame (shared by the
     * text_quality query and the corpus_filter composite). */
