@@ -402,6 +402,21 @@ object Streaming {
       .agg(graft.functions.SpaceSaving.space_saving(col("item"), capacity)
         .as("candidates"))
 
+  /** §2.181 streaming quantiles: the §2.156 KLL sketch as a streaming
+    * aggregate — per event_type running p50/p90/p99 of `value` under
+    * complete mode. State per group is ONE O(k log n) sketch (the
+    * same mergeable Buf the batch twin uses), updated incrementally
+    * per micro-batch — never a re-sort of history, which is the whole
+    * point at an unbounded 100 TB/day firehose. The KLL rank guarantee
+    * (ε ≈ 1.33/k·√(levels)) holds under ANY batching/merge order, so
+    * the spec pins the estimate against exact quantiles of the full
+    * stream rather than a bit-identical replay (KLL results are
+    * merge-order-sensitive by design; the guarantee is not). */
+  def quantilesStream(events: DataFrame, k: Int = 200): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(graft.functions.KllQuantile
+        .kll_quantile(col("value"), k, Seq(0.5, 0.9, 0.99)).as("qs"))
+
   // ---- sessionization ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,

@@ -345,4 +345,29 @@ class StreamingSpec extends AnyFunSuite {
     // and the fixture is non-trivial: more items than sketch capacity
     assert(exact.size > cap, s"fixture degenerate: ${exact.size} items")
   }
+
+  test("streaming KLL quantiles: rank guarantee holds under micro-batched arrival") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kllq").toString
+    writeEventFiles(dir, 4,
+      pmod(graft.text.TextFunctions.hash64(col("event_id").cast("string")), lit(4)))
+    val src = spark.readStream.schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Streaming.quantilesStream(src)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kll_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("kll_stream").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val byType = Tables.events(spark, sf).select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet === byType.keySet)
+    // KLL with k=200 at this n: generous ±2.5% rank tolerance
+    for ((et, xs) <- byType; (qt, i) <- Seq(0.5, 0.9, 0.99).zipWithIndex) {
+      val est = got(et)(i)
+      val rank = xs.count(_ <= est).toDouble / xs.length
+      assert(math.abs(rank - qt) <= 0.025 + 1.0 / xs.length,
+        s"$et q$qt: est=$est realized rank=$rank")
+    }
+  }
 }
