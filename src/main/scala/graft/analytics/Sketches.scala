@@ -88,4 +88,59 @@ object Sketches {
        |  n_a_exact, n_b_exact, n_inter_exact
        |FROM est, ex""".stripMargin
   }
+
+  /** §2.193 Count-Min point estimates ([[graft.functions.CountMin]]):
+    * ONE 4×1024 counter sketch over all click items, probed for the
+    * exact top-10 items — estimate (min over the 4 row counters) vs
+    * exact count, demonstrating the one-sided ≥-exact guarantee the
+    * spec also pins corpus-wide. The sketch is a single map-side-
+    * combined aggregate (32 KB state per partition, integer merges —
+    * exact under any merge order, so the DuckDB oracle's group-by
+    * register replay matches bit-for-bit); the probe is a broadcast
+    * of the 1-row sketch onto the 10-row top list with codegen'd
+    * element_at/least — no second corpus pass beyond the exact
+    * baseline's own groupBy (which calibrates, and at 100 TB is the
+    * thing you DROP, keeping only the sketch). */
+  def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMin
+    import graft.functions.CountMin.count_min
+    import graft.text.TextFunctions.hash64
+    val items = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").as("item"))
+    val sketch = items.agg(count_min(hash64(col("item"))).as("cnt"))
+    val top = items.groupBy("item").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), asc("item")).limit(10)
+    val probes = (0 until CountMin.D).map { i =>
+      element_at(col("cnt"),
+        (lit(i * CountMin.W) +
+          shiftright(col("h"), CountMin.BitsPerRow * i)
+            .bitwiseAND(lit(CountMin.W - 1)) + lit(1)).cast("int"))
+    }
+    top.withColumn("h", hash64(col("item")))
+      .crossJoin(broadcast(sketch))
+      .select(col("item"), col("n_exact"), least(probes: _*).as("cms_est"))
+      .orderBy(desc("n_exact"), asc("item"))
+  }
+
+  val cmsCountsSql: String = {
+    import graft.text.TextFunctions.hash64Sql
+    val d = graft.functions.CountMin.D
+    val w = graft.functions.CountMin.W
+    val b = graft.functions.CountMin.BitsPerRow
+    s"""WITH it AS (SELECT json_extract_string(props, '$$.k') AS item
+       |    FROM events WHERE event_type = 'click'),
+       |hv AS (SELECT item, ${hash64Sql("item")} AS h FROM it),
+       |rws AS (SELECT unnest(generate_series(0, ${d - 1})) AS i),
+       |cells AS (SELECT r.i AS i, (h >> ($b * r.i)) & ${w - 1} AS c,
+       |    count(*) AS n
+       |  FROM hv CROSS JOIN rws r GROUP BY 1, 2),
+       |top AS (SELECT item, count(*) AS n_exact FROM it
+       |  GROUP BY item ORDER BY n_exact DESC, item LIMIT 10),
+       |th AS (SELECT item, n_exact, ${hash64Sql("item")} AS h FROM top)
+       |SELECT t.item AS item, t.n_exact AS n_exact, min(c.n) AS cms_est
+       |FROM th t JOIN cells c ON c.c = (t.h >> ($b * c.i)) & ${w - 1}
+       |GROUP BY 1, 2
+       |ORDER BY n_exact DESC, item""".stripMargin
+  }
 }

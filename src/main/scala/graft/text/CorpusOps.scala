@@ -1,0 +1,144 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextFunctions._
+
+/** Corpus-construction analysis ops — SURVEY.md §2 items 194–196.
+  *
+  * Three pretraining-pipeline reports over `documents`: per-document
+  * n-gram novelty (is a new crawl increment adding anything?),
+  * boilerplate n-gram detection (the C4-style template remover's
+  * find phase), and the per-slice corpus data card (the composition
+  * table every dataset release ships).
+  */
+object CorpusOps {
+
+  /** Shingle width shared by novelty and boilerplate. */
+  val NGram = 3
+
+  /** §2.194 per-document n-gram novelty: the share of a doc's DISTINCT
+    * 3-gram shingles whose FIRST corpus occurrence (min doc_id) is this
+    * doc — the increment-value score: re-crawled/boilerplate content
+    * scores near 0, genuinely new text near 1 (doc_id is ingest order,
+    * so "first" is well-defined and incremental: yesterday's min-doc
+    * table is a mergeable state, new days only LOWER nothing).
+    *
+    * Scale shape: the tfidf-shaped pair of gram-key shuffles — one
+    * map-side-combined min(doc_id) per gram, one join back of the
+    * gram stream to its first-doc row — then a doc-grain aggregate.
+    * Gram keys are 60-bit hashes (8 bytes), not strings, on the
+    * shuffle wire; nothing is ever all-pairs. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(lower(col("text"))), NGram)))
+          .as("gram"))
+      .select(col("doc_id"), hash64(col("gram")).as("g"))
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_pct",
+        round(col("n_novel") * 100.0 / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, ${hash64Sql("gram.g")} AS g
+       |  FROM (SELECT doc_id,
+       |      unnest(list_distinct(${shinglesSql(tokensSql("lower(text)"), NGram)}))
+       |        AS g
+       |    FROM documents) gram(doc_id, g)),
+       |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+       |SELECT g.doc_id AS doc_id, count(*) AS n_grams,
+       |  sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel,
+       |  round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |    * 100.0 / count(*), 4) AS novelty_pct
+       |FROM g JOIN f USING (g)
+       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
+  /** boilerplate_ngrams doc-frequency floor. */
+  val MinDf = 5
+
+  /** §2.195 boilerplate n-gram detection: the top-20 3-gram shingles by
+    * DOCUMENT frequency (distinct docs containing them, floor
+    * [[MinDf]]) with their corpus share — the find phase of C4-style
+    * template/boilerplate removal (nav bars, cookie banners, license
+    * headers recur verbatim across unrelated pages; the removal phase
+    * is a broadcast filter of these grams, the §2.72 decontaminate
+    * machinery pointed at the corpus's own templates).
+    *
+    * Scale shape: per-doc DISTINCT before the count, so a doc
+    * repeating its own template doesn't inflate df; ONE gram-grain
+    * map-side-combined groupBy; the total-docs count is a 1-row
+    * broadcast; top-20 via TakeOrderedAndProject (no global sort).
+    * The df floor bounds nothing upstream — it's output selection —
+    * but the OUTPUT is ≤20 rows whatever the corpus. */
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(lower(col("text"))), NGram)))
+          .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= MinDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("gram"), col("df"),
+        round(col("df") * 100.0 / col("n_docs"), 4).as("doc_pct"))
+      .orderBy(desc("df"), asc("gram"))
+      .limit(20)
+  }
+
+  val boilerplateNgramsSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(${shinglesSql(tokensSql("lower(text)"), NGram)}))
+       |      AS gram
+       |  FROM documents),
+       |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram
+       |  HAVING count(*) >= $MinDf)
+       |SELECT gram, df,
+       |  round(df * 100.0 / (SELECT count(*) FROM documents), 4) AS doc_pct
+       |FROM df
+       |ORDER BY df DESC, gram LIMIT 20""".stripMargin
+
+  /** §2.196 corpus data card: the per-(source, lang) composition table
+    * a dataset release ships — doc counts, token totals, token share
+    * of the whole corpus, mean document length. ONE map-side-combined
+    * scan to |sources|×|langs| cells; the corpus total re-aggregates
+    * the cells (never a second scan) and broadcasts back. Token counts
+    * reuse the §2.30 whitespace convention. */
+  def corpusDatacard(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        col("n_chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        round(avg("n_chars"), 2).as("avg_chars"))
+    val total = cells.agg(sum("n_tokens").as("tot_tokens"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") * 100.0 / col("tot_tokens"), 4).as("token_pct"),
+        col("avg_chars"))
+      .orderBy("source", "lang")
+  }
+
+  val corpusDatacardSql: String =
+    s"""WITH cells AS (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |    CAST(sum(len(${tokensSql("text")})) AS BIGINT) AS n_tokens,
+       |    round(avg(n_chars), 2) AS avg_chars
+       |  FROM documents GROUP BY source, lang)
+       |SELECT source, lang, n_docs, n_tokens,
+       |  round(n_tokens * 100.0 / (SELECT sum(n_tokens) FROM cells), 4)
+       |    AS token_pct,
+       |  avg_chars
+       |FROM cells ORDER BY source, lang""".stripMargin
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** CountMin + corpus-analysis ops (§2.193–196). */
+class CorpusOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import graft.functions.CountMin
+  import graft.text.TextFunctions.hash64
+
+  private def itemCounts: Map[Long, Long] = Tables.events(spark, sf)
+    .filter(col("event_type") === "click")
+    .select(get_json_object(col("props"), "$.k").as("item"))
+    .groupBy("item").agg(count(lit(1)).as("n"))
+    .select(hash64(col("item")).as("h"), col("n"))
+    .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def probe(cnt: Seq[Long], h: Long): Long =
+    (0 until CountMin.D).map { i =>
+      cnt(i * CountMin.W +
+        ((h >>> (CountMin.BitsPerRow * i)) & (CountMin.W - 1)).toInt)
+    }.min
+
+  test("count_min estimate >= exact for EVERY key (one-sided guarantee)") {
+    val cnt = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").as("item"))
+      .agg(CountMin.count_min(hash64(col("item"))).as("cnt"))
+      .collect().head.getSeq[Long](0)
+    val exact = itemCounts
+    assert(exact.nonEmpty)
+    exact.foreach { case (h, n) =>
+      assert(probe(cnt, h) >= n, s"under-estimate for hash $h")
+    }
+    // total inserted mass per row = N
+    val n = exact.values.sum
+    for (i <- 0 until CountMin.D)
+      assert(cnt.slice(i * CountMin.W, (i + 1) * CountMin.W).sum === n)
+  }
+
+  test("count_min counters are merge-order invariant (1 vs 8 partitions)") {
+    val src = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(hash64(get_json_object(col("props"), "$.k")).as("h"))
+    val a = src.repartition(1).agg(CountMin.count_min(col("h")))
+      .collect().head.getSeq[Long](0)
+    val b = src.repartition(8).agg(CountMin.count_min(col("h")))
+      .collect().head.getSeq[Long](0)
+    assert(a === b)
+  }
+
+  test("ngram_novelty = brute first-occurrence replay; first doc scores 100") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[String] =
+      t.trim.toLowerCase.split("\\s+").sliding(text.CorpusOps.NGram)
+        .filter(_.length == text.CorpusOps.NGram).map(_.mkString(" ")).toSet
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, t) =>
+      grams(t).foreach(g => if (!firstDoc.contains(g)) firstDoc(g) = id)
+    }
+    val got = text.CorpusOps.ngramNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    docs.foreach { case (id, t) =>
+      val gs = grams(t)
+      val novel = gs.count(g => firstDoc(g) == id).toLong
+      assert(got(id) === ((gs.size.toLong, novel)), s"doc $id")
+    }
+    val minDoc = docs.map(_._1).min
+    assert(got(minDoc)._1 === got(minDoc)._2,
+      "the earliest doc must be 100% novel")
+  }
+
+  test("boilerplate_ngrams df = brute distinct-doc counts, floor respected") {
+    val rows = text.CorpusOps.boilerplateNgrams(spark, sf).collect()
+    val brute = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        r.getString(1).trim.toLowerCase.split("\\s+")
+          .sliding(text.CorpusOps.NGram)
+          .filter(_.length == text.CorpusOps.NGram)
+          .map(_.mkString(" ")).toSet.toSeq
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) === brute(r.getString(0)))
+      assert(r.getLong(1) >= text.CorpusOps.MinDf)
+    }
+    // rows are the global top by (df desc, gram) — verify against brute
+    val qualifying = brute.filter(_._2 >= text.CorpusOps.MinDf)
+    val expTop = qualifying.toSeq.sortBy { case (g, d) => (-d, g) }
+      .take(20).map(_._1)
+    assert(rows.map(_.getString(0)).toSeq === expTop)
+  }
+
+  test("corpus_datacard partitions the corpus; token shares sum to 100") {
+    val rows = text.CorpusOps.corpusDatacard(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum === Tables.documents(spark, sf).count())
+    val pctSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(pctSum - 100.0) < 0.05, s"token_pct sum $pctSum")
+  }
+}
