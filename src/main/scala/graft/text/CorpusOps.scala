@@ -141,4 +141,102 @@ object CorpusOps {
        |    AS token_pct,
        |  avg_chars
        |FROM cells ORDER BY source, lang""".stripMargin
+
+  /** §2.198 near-dup rate by source pair (`dup_rate_by_source`): the
+    * §2.22 MinHash pair stream joined to each side's `source`,
+    * aggregated per unordered source pair — the dedup QA report that
+    * says WHICH crawls duplicate each other (a high same-source rate
+    * means a re-crawled dump; a high cross-source rate means mirrors —
+    * the decision input for dropping a source wholesale vs pair
+    * deduping). Pair share is over total near-dup pairs (1-row
+    * broadcast).
+    *
+    * Scale shape: everything upstream is the banded-LSH machinery
+    * (O(n·bands), no all-pairs); the source decoration is two
+    * doc-grain hash joins onto the PAIR stream (pair-sized, ≪ corpus)
+    * and the rollup is |sources|²-bounded. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = graft.dedup.Dedup.minhashPairs(docs)
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_total"))))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        round(col("n_pairs") * 100.0 / col("n_total"), 4).as("pair_pct"))
+      .orderBy(desc("n_pairs"), asc("source_a"), asc("source_b"))
+  }
+
+  val dupRateBySourceSql: String =
+    s"""WITH mp AS (${graft.dedup.Dedup.minhashPairsSql()}),
+       |dec AS (SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b
+       |  FROM mp
+       |  JOIN documents da ON mp.id_a = da.doc_id
+       |  JOIN documents db ON mp.id_b = db.doc_id)
+       |SELECT source_a, source_b, count(*) AS n_pairs,
+       |  round(count(*) * 100.0 / (SELECT count(*) FROM mp), 4) AS pair_pct
+       |FROM dec GROUP BY 1, 2
+       |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin
+
+  /** Candidate minimum-token thresholds for the sweep. */
+  val LengthThresholds: Seq[Int] = Seq(10, 25, 50, 100, 200)
+
+  /** §2.199 length-filter threshold sweep (`length_filter_sweep`): for
+    * each candidate min-token cutoff, the docs and tokens that would
+    * survive — the one-pass grid that picks a length filter WITHOUT
+    * re-scanning 100 TB per candidate (the Gopher/CCNet length rules
+    * are always tuned this way). One scan to doc-grain token counts,
+    * explode over the constant threshold array (×|grid| fanout of a
+    * doc-GRAIN frame, not the corpus text), map-side-combined rollup
+    * to |grid| rows; totals re-aggregate the same frame and broadcast. */
+  def lengthFilterSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docToks = Tables.documents(spark, dir)
+      .select(size(tokens(col("text"))).cast("long").as("n_toks"))
+    val totals = docToks.agg(count(lit(1)).as("t_docs"),
+      sum("n_toks").as("t_toks"))
+    val kept = docToks
+      .select(col("n_toks"),
+        explode(array(LengthThresholds.map(lit): _*)).as("min_tokens"))
+      .filter(col("n_toks") >= col("min_tokens"))
+      .groupBy("min_tokens")
+      .agg(count(lit(1)).as("k_docs"), sum("n_toks").as("k_toks"))
+    // grid LEFT join so a too-aggressive cutoff reports 0, not a
+    // silently missing row — the sweep's point is seeing the cliff
+    import spark.implicits._
+    LengthThresholds.toDF("min_tokens")
+      .join(kept, Seq("min_tokens"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("min_tokens"),
+        coalesce(col("k_docs"), lit(0L)).as("docs_kept"),
+        coalesce(col("k_toks"), lit(0L)).as("tokens_kept"),
+        round(coalesce(col("k_docs"), lit(0L)) * 100.0 / col("t_docs"), 4)
+          .as("doc_pct"),
+        round(coalesce(col("k_toks"), lit(0L)) * 100.0 / col("t_toks"), 4)
+          .as("token_pct"))
+      .orderBy("min_tokens")
+  }
+
+  val lengthFilterSweepSql: String =
+    s"""WITH dt AS (SELECT CAST(len(${tokensSql("text")}) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |tot AS (SELECT count(*) AS t_docs, sum(n_toks) AS t_toks FROM dt),
+       |grid AS (SELECT unnest([${LengthThresholds.mkString(", ")}])
+       |  AS min_tokens),
+       |kept AS (SELECT g.min_tokens AS min_tokens, count(*) AS k_docs,
+       |    sum(n_toks) AS k_toks
+       |  FROM dt JOIN grid g ON dt.n_toks >= g.min_tokens
+       |  GROUP BY 1)
+       |SELECT g.min_tokens AS min_tokens,
+       |  coalesce(k_docs, 0) AS docs_kept,
+       |  coalesce(k_toks, 0) AS tokens_kept,
+       |  round(coalesce(k_docs, 0) * 100.0 / t_docs, 4) AS doc_pct,
+       |  round(coalesce(k_toks, 0) * 100.0 / t_toks, 4) AS token_pct
+       |FROM grid g LEFT JOIN kept ON g.min_tokens = kept.min_tokens, tot
+       |ORDER BY min_tokens""".stripMargin
 }

@@ -95,6 +95,69 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq === expTop)
   }
 
+  test("embed_outliers: per-label top-k farthest = brute centroid replay") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val centroids = vecs.groupBy(_._2).map { case (l, vs) =>
+      val dim = vs.head._3.length
+      l -> Array.tabulate(dim) { d =>
+        math.rint(vs.map(_._3(d)).sum / vs.size * 1e6) / 1e6
+      }
+    }
+    val exp: Map[(Int, Int), (Long, Double)] =
+      vecs.groupBy(_._2).toSeq.flatMap { case (l, vs) =>
+        val c = centroids(l)
+        vs.toSeq.map { case (id, _, x) =>
+          val d2 = x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          (id, math.sqrt(d2))
+        }.sortBy { case (id, d) => (-d, id) }
+          .take(ann.EmbedQc.TopK).zipWithIndex
+          .map { case ((id, d), i) => (l, i + 1) -> ((id, d)) }
+      }.toMap
+    val got = ann.EmbedQc.embedOutliers(spark, sf).collect()
+    assert(got.length === exp.size)
+    got.foreach { r =>
+      val (id, d) = exp((r.getInt(0), r.getInt(1)))
+      assert(r.getLong(2) === id, s"label ${r.getInt(0)} rank ${r.getInt(1)}")
+      assert(math.abs(r.getDouble(3) - d) < 1e-5)
+    }
+  }
+
+  test("dup_rate_by_source partitions the minhash pair stream") {
+    val docs = Tables.documents(spark, sf)
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = dedup.Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture needs near-dup pairs")
+    val exp = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = text.CorpusOps.dupRateBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === exp)
+    assert(got.values.sum === pairs.length.toLong)
+  }
+
+  test("length_filter_sweep: full grid, monotone, brute counts") {
+    val rows = text.CorpusOps.lengthFilterSweep(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq ===
+      text.CorpusOps.LengthThresholds)
+    val lens = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).trim.split("\\s+").length.toLong)
+    rows.foreach { r =>
+      val thr = r.getInt(0)
+      assert(r.getLong(1) === lens.count(_ >= thr).toLong)
+      assert(r.getLong(2) === lens.filter(_ >= thr).sum)
+    }
+    // monotone: a higher cutoff never keeps more
+    val kept = rows.map(_.getLong(1))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b })
+  }
+
   test("corpus_datacard partitions the corpus; token shares sum to 100") {
     val rows = text.CorpusOps.corpusDatacard(spark, sf).collect()
     assert(rows.map(_.getLong(2)).sum === Tables.documents(spark, sf).count())
