@@ -143,4 +143,69 @@ object Sketches {
        |GROUP BY 1, 2
        |ORDER BY n_exact DESC, item""".stripMargin
   }
+
+  /** §2.200 join-size estimation by Count-Min inner product (Cormode &
+    * Muthukrishnan §4.2): |A ⋈_k B| = Σ_k a(k)·b(k), estimated as
+    * min_i Σ_c rowA_i[c]·rowB_i[c] over two [[graft.functions.CountMin]]
+    * sketches — one-sided ≥-exact, like the point queries. THE
+    * pre-flight a 100 TB planner runs before committing to a join
+    * strategy: two O(scan) sketch builds (32 KB each) replace
+    * materializing the join to learn it explodes; the answer decides
+    * broadcast vs shuffle vs salt. Here: clicks ⋈ purchases on
+    * user_id, estimate vs exact (the exact needs the user-grain
+    * groupBy the sketch avoids — kept as calibration). Integer
+    * end-to-end; the inner product + row-min are codegen'd
+    * zip_with/aggregate/least on the two 1-row frames. */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMin
+    import graft.functions.CountMin.count_min
+    import graft.text.TextFunctions.hash64
+    val ev = Tables.events(spark, dir)
+    def sk(t: String, as: String): DataFrame = ev
+      .filter(col("event_type") === t)
+      .agg(count_min(hash64(col("user_id").cast("string"))).as(as))
+    val exact = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .agg(sum(col("c") * col("p")).as("exact_size"))
+    val prod = zip_with(col("ca"), col("cb"), (x, y) => x * y)
+    val rowSums = (0 until CountMin.D).map { i =>
+      aggregate(slice(prod, i * CountMin.W + 1, CountMin.W),
+        lit(0L), (acc, x) => acc + x)
+    }
+    sk("click", "ca").crossJoin(sk("purchase", "cb"))
+      .select(least(rowSums: _*).as("est_size"))
+      .crossJoin(broadcast(exact))
+      .select(col("exact_size"), col("est_size"),
+        round(col("est_size") / col("exact_size").cast("double"), 6)
+          .as("blowup"))
+  }
+
+  val joinSizeEstimateSql: String = {
+    import graft.text.TextFunctions.hash64Sql
+    val d = graft.functions.CountMin.D
+    val w = graft.functions.CountMin.W
+    val b = graft.functions.CountMin.BitsPerRow
+    def cells(t: String) =
+      s"""SELECT r.i AS i, (h >> ($b * r.i)) & ${w - 1} AS c, count(*) AS n
+         |  FROM (SELECT ${hash64Sql("CAST(user_id AS VARCHAR)")} AS h
+         |      FROM events WHERE event_type = '$t') hv
+         |  CROSS JOIN rws r GROUP BY 1, 2""".stripMargin
+    s"""WITH rws AS (SELECT unnest(generate_series(0, ${d - 1})) AS i),
+       |ca AS (${cells("click")}),
+       |cb AS (${cells("purchase")}),
+       |ip AS (SELECT ca.i, sum(ca.n * cb.n) AS s
+       |  FROM ca JOIN cb ON ca.i = cb.i AND ca.c = cb.c GROUP BY ca.i),
+       |est AS (SELECT min(s) AS est_size FROM ip),
+       |ex AS (SELECT CAST(sum(c * p) AS BIGINT) AS exact_size
+       |  FROM (SELECT user_id,
+       |      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+       |      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+       |    FROM events WHERE event_type IN ('click', 'purchase')
+       |    GROUP BY user_id) t)
+       |SELECT exact_size, est_size,
+       |  round(est_size / CAST(exact_size AS DOUBLE), 6) AS blowup
+       |FROM est, ex""".stripMargin
+  }
 }

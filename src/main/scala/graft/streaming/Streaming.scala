@@ -417,6 +417,23 @@ object Streaming {
       .agg(graft.functions.KllQuantile
         .kll_quantile(col("value"), k, Seq(0.5, 0.9, 0.99)).as("qs"))
 
+  /** §2.201 streaming distinct users: the §2.160 HLL sketch as a
+    * streaming aggregate — per event_type running distinct-user
+    * estimate under complete mode, 4 KB register state per group
+    * whatever the stream length. Unlike KLL (whose estimates are
+    * merge-order-sensitive within the error bound), HLL registers
+    * merge by element-wise MAX — fully associative/commutative — so
+    * ANY micro-batching yields BIT-IDENTICAL registers to the batch
+    * twin: the spec asserts exact estimate equality, not a tolerance,
+    * plus the ~1.6% accuracy vs exact distinct. The unbounded-stream
+    * "how many users ever" counter a 100 TB/day firehose needs at
+    * constant state. */
+  def distinctUsersStream(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(graft.functions.HllSketch.hll_sketch(
+        graft.text.TextFunctions.hash64(col("user_id").cast("string")))
+        .as("hll_users"))
+
   // ---- sessionization ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,

@@ -50,6 +50,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("join_size_estimate: one-sided >= exact, within the CM error bound") {
+    val row = analytics.Sketches.joinSizeEstimate(spark, sf).collect().head
+    val exact = row.getLong(0)
+    val est = row.getLong(1)
+    assert(exact > 0L, "fixture needs a non-empty click x purchase join")
+    assert(est >= exact, "CM inner product must never under-estimate")
+    // error <= e * N_a * N_b / W with probability 1 - e^-D; use 3x slack
+    val counts = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = 3.0 * math.E * counts("click") * counts("purchase") /
+      CountMin.W
+    assert(est - exact <= bound, s"est=$est exact=$exact bound=$bound")
+  }
+
   test("ngram_novelty = brute first-occurrence replay; first doc scores 100") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()

@@ -317,6 +317,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(atLeast(3) == batch("purchase"))
   }
 
+  test("streaming HLL distinct: bit-identical to the batch twin under any batching") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    writeEventFiles(dir, 4,
+      pmod(graft.text.TextFunctions.hash64(col("event_id").cast("string")), lit(4)))
+    val src = spark.readStream.schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Streaming.distinctUsersStream(src)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hll_stream").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // max-merge is associative+commutative: the 4-batch hash-scattered
+    // arrival must produce EXACTLY the batch twin's registers/estimate
+    val batch = Streaming.distinctUsersStream(Tables.events(spark, sf))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === batch)
+    // and the estimate is a real estimate: ~1.6% HLL error at p=12
+    val exact = Tables.events(spark, sf).select("event_type", "user_id")
+      .distinct().groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((et, n) <- exact)
+      assert(math.abs(got(et) - n) / n < 0.05, s"$et: est=${got(et)} exact=$n")
+  }
+
   test("streaming top-k: SpaceSaving guarantee holds under micro-batched arrival") {
     val cap = 16
     val dir = java.nio.file.Files.createTempDirectory("graft-topk").toString
