@@ -142,7 +142,10 @@ object GraftFunctions {
         es.drop(2).map(e => math.round(doubleArg(e, "quantile") * 1e6)))),
     ("graft_hll",
       new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
-      (es: Seq[Expression]) => HllSketch(es.head)))
+      (es: Seq[Expression]) => HllSketch(es.head)),
+    ("graft_cms",
+      new ExpressionInfo(classOf[CountMin].getName, "graft_cms"),
+      (es: Seq[Expression]) => CountMin(es.head)))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

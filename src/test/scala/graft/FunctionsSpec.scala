@@ -100,6 +100,24 @@ class FunctionsSpec extends AnyFunSuite {
       .head().getSeq[Double](0)
     assert(vm == Seq(1.0, 1.0))
     assert(kmv.length == 4 && kmv == kmv.sorted)
+    // sketch aggregates round out the registry: HLL, KLL, Count-Min
+    // HLL assumes uniform hash input — feed it the repo's 60-bit md5
+    val hll = spark.sql(
+      "SELECT graft_hll(CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT)) AS e FROM range(1000)")
+      .head().getDouble(0)
+    assert(math.abs(hll - 1000.0) / 1000.0 < 0.1)
+    val kll = spark.sql(
+      "SELECT graft_quantile(CAST(id AS DOUBLE), 1024, 0.5) AS q FROM range(101)")
+      .head().getSeq[Double](0)
+    assert(kll == Seq(50.0))
+    val cms = spark.sql(
+      "SELECT graft_cms(CAST(id % 3 AS BIGINT)) AS c FROM range(300)")
+      .head().getSeq[Long](0)
+    assert(cms.length == graft.functions.CountMin.D * graft.functions.CountMin.W)
+    // each of the D rows holds the full inserted mass
+    for (i <- 0 until graft.functions.CountMin.D)
+      assert(cms.slice(i * graft.functions.CountMin.W,
+        (i + 1) * graft.functions.CountMin.W).sum == 300L)
   }
 
   test("bloom filter: no false negatives, low false-positive rate, partition-invariant") {
