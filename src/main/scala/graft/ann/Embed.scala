@@ -43,7 +43,7 @@ object Embed {
       |      FROM embeddings) t
       |GROUP BY u.dim ORDER BY u.dim""".stripMargin
 
-  /** §2.169 kNN label transfer: for each query vector (vec_id % 29 = 0),
+  /** §2.169 kNN label transfer: for each query vector (vec_id < 1000 and vec_id % 29 = 0 — a FIXED query set: the corpus grows, the workload does not),
     * the majority label among its k=10 cosine-nearest neighbours
     * (ties: higher vote count, then smaller label). Same plan shape as
     * the brute top-k baseline — nq query rows broadcast against one
@@ -54,7 +54,7 @@ object Embed {
   def knnClassify(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
       col("embedding"), Ann.normCol(col("embedding")).as("nrm"))
-    val q = v.filter(col("vec_id") % 29 === 0)
+    val q = v.filter((col("vec_id") < 1000) && (col("vec_id") % 29 === 0))
       .select(col("vec_id").as("q_id"), col("label").as("true_label"),
         col("embedding").as("qe"), col("nrm").as("qn"))
     val wTop = Window.partitionBy(col("q_id"))
@@ -79,7 +79,7 @@ object Embed {
     s"""WITH v AS (SELECT vec_id, label, embedding,
        |    ${Ann.normSql("embedding")} AS nrm FROM embeddings),
        |q AS (SELECT vec_id AS q_id, label AS true_label, embedding AS qe, nrm AS qn
-       |  FROM v WHERE vec_id % 29 = 0),
+       |  FROM v WHERE vec_id < 1000 AND vec_id % 29 = 0),
        |topk AS (SELECT q_id, true_label, label FROM (
        |  SELECT q.q_id, q.true_label, v.label, v.vec_id,
        |    row_number() OVER (PARTITION BY q.q_id ORDER BY

@@ -676,9 +676,53 @@ case class BoundedLev1(left: Expression, right: Expression)
 
 /** Column-level wrappers (Spark 4: Columns wrap ColumnNodes, so
   * Expression-backed Columns go through classic.ExpressionUtils). */
+/** text → array<string> of the DISTINCT k-token shingle strings of the
+  * trimmed/lowercased whitespace tokens — one compiled pass, one
+  * StringBuilder, a LinkedHashSet for the per-doc distinct.
+  *
+  * Exists because the HOF formulation
+  * (`array_distinct(transform(sequence(...), i -> concat_ws(slice(
+  * split(text)...))))`) hits the round-1 finding: CollapseProject
+  * inlines `split` into the lambda, which then evaluates INTERPRETED
+  * once per output gram — measured 34.8 s for boilerplate_ngrams at
+  * sf1 vs ~4 s with this kernel. Semantics match the DuckDB oracle's
+  * `list_distinct(shinglesSql(tokensSql(lower(text))))` exactly
+  * (Java \\s+ split of the trimmed string ≡ string_split_regex). */
+case class ShingleStrings(child: Expression, k: Int)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def compute(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .toLowerCase.trim.split("\\s+")
+    val n = toks.length - (k - 1)
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](math.max(16, n * 2))
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleStrings = copy(c)
+}
+
 object native {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def token_poly_hashes(c: Column): Column = column(TokenPolyHashes(expression(c)))
+  def shingle_strings(c: Column, k: Int): Column = column(ShingleStrings(expression(c), k))
   def shingle_hashes(c: Column, k: Int): Column = column(ShinglePolyHashes(expression(c), k))
   def minhash_signature(c: Column, n: Int): Column = column(MinHashSignature(expression(c), n))
   def simhash(c: Column, bits: Int): Column = column(SimHash(expression(c), bits))

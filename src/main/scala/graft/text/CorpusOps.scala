@@ -25,19 +25,22 @@ object CorpusOps {
     * so "first" is well-defined and incremental: yesterday's min-doc
     * table is a mergeable state, new days only LOWER nothing).
     *
-    * Scale shape: the tfidf-shaped pair of gram-key shuffles — one
-    * map-side-combined min(doc_id) per gram, one join back of the
-    * gram stream to its first-doc row — then a doc-grain aggregate.
-    * Gram keys are 60-bit hashes (8 bytes), not strings, on the
-    * shuffle wire; nothing is ever all-pairs. */
+    * Scale shape: ONE compiled-kernel scan (graft ShingleStrings —
+    * the HOF formulation pays the round-1 interpreted-lambda tax per
+    * gram) → ONE gram-key exchange where a min window marks each
+    * instance against its gram's first doc (no second scan, no
+    * join-back — the gram stream is touched once) → a doc-grain
+    * aggregate. Gram keys are 60-bit hashes (8 bytes), not strings,
+    * on the shuffle wire; nothing is ever all-pairs. */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(lower(col("text"))), NGram)))
+        explode(graft.functions.native.shingle_strings(col("text"), NGram))
           .as("gram"))
       .select(col("doc_id"), hash64(col("gram")).as("g"))
-    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
-    grams.join(first, "g")
+    val wFirst = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    grams
+      .withColumn("first_doc", min("doc_id").over(wFirst))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -54,13 +57,13 @@ object CorpusOps {
        |      unnest(list_distinct(${shinglesSql(tokensSql("lower(text)"), NGram)}))
        |        AS g
        |    FROM documents) gram(doc_id, g)),
-       |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
-       |SELECT g.doc_id AS doc_id, count(*) AS n_grams,
-       |  sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel,
-       |  round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |fw AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS first_doc
+       |  FROM g)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel,
+       |  round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
        |    * 100.0 / count(*), 4) AS novelty_pct
-       |FROM g JOIN f USING (g)
-       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+       |FROM fw GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** boilerplate_ngrams doc-frequency floor. */
   val MinDf = 5
@@ -83,7 +86,7 @@ object CorpusOps {
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     docs.select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(lower(col("text"))), NGram)))
+        explode(graft.functions.native.shingle_strings(col("text"), NGram))
           .as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= MinDf)

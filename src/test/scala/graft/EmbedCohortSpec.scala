@@ -40,7 +40,7 @@ class EmbedCohortSpec extends AnyFunSuite {
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
     }
-    val expected = rows.filter(_._1 % 29 == 0).map { case (qid, qlab, qv) =>
+    val expected = rows.filter((t => t._1 < 1000 && t._1 % 29 == 0)).map { case (qid, qlab, qv) =>
       val nn = rows.filter(_._1 != qid)
         .map { case (id, lab, v) => (id, lab, cos(qv, v)) }
         .sortBy { case (id, _, c) => (-c, id) }.take(10)
