@@ -1,0 +1,263 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Offline evaluation metrics for the corpus-quality and recommendation
+  * models the pipeline trains — SURVEY.md §2 items 203–205.
+  *
+  * The reference validates data with fixed rules; a trained gate
+  * (§2.180's classifier, §2.96's quality weights) additionally needs
+  * *metric* queries that say how good the scores are. These are the
+  * three standard ones — ROC-AUC, WOE/IV, NDCG@k — each expressed so
+  * the data-proportional work is ONE map-side-combined pass and the
+  * metric arithmetic runs over a bounded cell frame (score grid,
+  * feature×bin grid, user×k candidates), never the corpus.
+  */
+object Eval {
+
+  /** §2.203 distributed ROC-AUC of the §2.29 quality score as an
+    * English-document classifier, via the rank-sum (Mann–Whitney U)
+    * identity: AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ is the sum
+    * of positive ranks (ties → average rank).
+    *
+    * The scale shape: an exact AUC needs a global ranking, which at
+    * 100 TB is a global sort — unless the score is gridded. Rounding
+    * the score to 4 dp bounds the distinct-cell count at ≤10⁴
+    * whatever the corpus size, so ONE map-side-combined groupBy
+    * collapses the corpus to (score, n_pos, n_neg) cells and the rank
+    * arithmetic is a window over the bounded cell frame (the
+    * single-partition window is over ≤10⁴ rows — the §2.171 zipf_fit
+    * pattern, not a data-sized sort).
+    *
+    * Cross-engine determinism: ranks with ties are half-integers, so
+    * everything is carried as 2× the rank sum — pure BIGINT arithmetic
+    * (2·R⁺ = Σ n⁺(s)·(2·cum_below(s) + n(s) + 1)) until the single
+    * final division; both engines divide the identical integers. */
+  def aucEval(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.text.TextQueries.qualityFrame(Tables.documents(spark, dir))
+      .select(round(col("quality_score"), 4).as("s"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val cells = f.groupBy("s").agg(
+      sum("y").as("np"), (count(lit(1)) - sum(col("y"))).as("nn"))
+    // bounded-cell window: ≤10^4 rows by construction (4 dp grid)
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("cum",
+        sum(col("np") + col("nn")).over(w) - (col("np") + col("nn")))
+      .withColumn("rs2",
+        col("np") * (col("cum") * 2 + col("np") + col("nn") + 1))
+    ranked.agg(
+      sum("np").as("n_pos"), sum("nn").as("n_neg"), sum("rs2").as("rs2"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("rs2") - col("n_pos") * (col("n_pos") + 1))
+          .cast("double") /
+          (col("n_pos") * col("n_neg") * 2).cast("double"), 6).as("auc"))
+      .withColumn("gini", round(col("auc") * 2 - 1, 6))
+  }
+
+  val aucEvalSql: String = {
+    import graft.text.TextQueries.stopListSql
+    s"""WITH f AS (SELECT
+       |    round(round(0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text))
+       |      + 0.4 * (1.0 - abs(len(list_filter(_toks, t -> t IN ($stopListSql))) / n_tokens - 0.3))
+       |      + 0.2 * least(1.0, n_tokens / 100.0), 6), 4) AS s,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT lang, text, string_split_regex(trim(text), '\\s+') AS _toks,
+       |          CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens
+       |        FROM documents) t),
+       |cells AS (SELECT s, CAST(sum(y) AS BIGINT) AS np,
+       |    CAST(count(*) - sum(y) AS BIGINT) AS nn
+       |  FROM f GROUP BY s),
+       |ranked AS (SELECT np, nn,
+       |    CAST(sum(np + nn) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - (np + nn) AS BIGINT) AS cum
+       |  FROM cells),
+       |agg AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |    CAST(sum(nn) AS BIGINT) AS n_neg,
+       |    CAST(sum(np * (cum * 2 + np + nn + 1)) AS BIGINT) AS rs2
+       |  FROM ranked)
+       |SELECT n_pos, n_neg, auc, round(auc * 2 - 1, 6) AS gini
+       |FROM (SELECT n_pos, n_neg,
+       |    round(CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+       |      / CAST(n_pos * n_neg * 2 AS DOUBLE), 6) AS auc
+       |  FROM agg) x""".stripMargin
+  }
+
+  /** §2.204 weight-of-evidence / information-value table: the §2.180
+    * classifier's three features (alpha ratio, stopword ratio, length
+    * score) binned to a fixed decile grid, each bin scored with
+    * WOE = ln(pos_share / neg_share) (0.5-per-bin Laplace smoothing so
+    * empty-class bins stay finite) and its IV contribution — the
+    * standard credit-scoring feature-predictiveness report, here
+    * answering "which cheap signal separates English docs best".
+    *
+    * Scale shape: the three features unpivot in the SAME scan
+    * (3× row multiplier on the doc-grain frame, not the text), then
+    * ONE map-side-combined groupBy to ≤ 3×10 cells; totals and the
+    * per-feature IV are windows over those 30 rows. Fixed-width bins,
+    * not quantiles — no pre-pass, and the bin edges are stable across
+    * corpus growth (a drift-friendly property quantile bins lack).
+    *
+    * Determinism: bin counts are exact integers; shares are single
+    * IEEE divisions of identical integers; WOE's ln is rounded at 6 dp
+    * (the §2.160 pattern), and each IV term is rounded before the
+    * ≤10-term feature sum. */
+  def woeIv(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.text.TextQueries.qualityFrame(Tables.documents(spark, dir))
+      .select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        round(col("_alpha"), 6).as("alpha"),
+        round(col("_stop"), 6).as("stop"),
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0), 6)
+          .as("len"))
+      .select(col("y"), expr(
+        "stack(3, 'alpha', alpha, 'stop', stop, 'len', len) AS (feature, x)"))
+      .withColumn("bin",
+        least(floor(col("x") * 10), lit(9L)).cast("int"))
+    val cells = f.groupBy("feature", "bin").agg(
+      sum("y").as("np"), (count(lit(1)) - sum(col("y"))).as("nn"))
+    val wf = Window.partitionBy("feature")
+    val shares = cells
+      .withColumn("ps", (col("np").cast("double") + 0.5) /
+        (sum("np").over(wf).cast("double") + 5.0))
+      .withColumn("ns", (col("nn").cast("double") + 0.5) /
+        (sum("nn").over(wf).cast("double") + 5.0))
+      .withColumn("woe", round(log(col("ps") / col("ns")), 6))
+      .withColumn("iv_term", round((col("ps") - col("ns")) * col("woe"), 6))
+    shares
+      .withColumn("iv_feature", round(sum("iv_term").over(wf), 6))
+      .select("feature", "bin", "np", "nn", "woe", "iv_term", "iv_feature")
+      .orderBy("feature", "bin")
+  }
+
+  val woeIvSql: String = {
+    import graft.text.TextQueries.stopListSql
+    s"""WITH base AS (SELECT
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    round(length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text), 6) AS alpha,
+       |    round(len(list_filter(_toks, t -> t IN ($stopListSql))) / n_tokens, 6) AS stop,
+       |    round(least(1.0, n_tokens / 100.0), 6) AS len
+       |  FROM (SELECT lang, text, string_split_regex(trim(text), '\\s+') AS _toks,
+       |          CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens
+       |        FROM documents) t),
+       |f AS (SELECT y, u.feature, u.x FROM base,
+       |    LATERAL (SELECT unnest(['alpha', 'stop', 'len']) AS feature,
+       |             unnest([alpha, stop, len]) AS x) u),
+       |binned AS (SELECT feature,
+       |    CAST(least(floor(x * 10), 9) AS INTEGER) AS bin, y FROM f),
+       |cells AS (SELECT feature, bin, CAST(sum(y) AS BIGINT) AS np,
+       |    CAST(count(*) - sum(y) AS BIGINT) AS nn
+       |  FROM binned GROUP BY 1, 2),
+       |shares AS (SELECT feature, bin, np, nn,
+       |    (CAST(np AS DOUBLE) + 0.5)
+       |      / (CAST(sum(np) OVER (PARTITION BY feature) AS DOUBLE) + 5.0) AS ps,
+       |    (CAST(nn AS DOUBLE) + 0.5)
+       |      / (CAST(sum(nn) OVER (PARTITION BY feature) AS DOUBLE) + 5.0) AS ns
+       |  FROM cells),
+       |woe AS (SELECT feature, bin, np, nn,
+       |    round(ln(ps / ns), 6) AS woe,
+       |    round((ps - ns) * round(ln(ps / ns), 6), 6) AS iv_term
+       |  FROM shares)
+       |SELECT feature, bin, np, nn, woe, iv_term,
+       |  round(sum(iv_term) OVER (PARTITION BY feature), 6) AS iv_feature
+       |FROM woe ORDER BY feature, bin""".stripMargin
+  }
+
+  /** Cumulative ideal-DCG lookup: idcg(L) = Σ_{i=1..L} round(1/log₂(i+1), 6)
+    * — precomputed once and inlined as the SAME literals in both
+    * engines, so the ideal normalizer is bit-identical by fiat. */
+  private[graft] val IdcgCum: IndexedSeq[Double] = {
+    val terms = (1 to 10).map(i =>
+      math.rint(1e6 / (math.log(i + 1.0) / math.log(2.0))) / 1e6)
+    terms.scanLeft(0.0)(_ + _).tail.map(v => math.rint(v * 1e6) / 1e6)
+  }
+
+  /** §2.205 NDCG@10 of a popularity recommender: for each user, the
+    * items they VIEWED ranked by global click popularity (the zero-
+    * parameter baseline every recsys eval starts from), scored against
+    * the items they actually PURCHASED. Per user: DCG over the top-10
+    * of that ranking (gain 1/log₂(rank+1) on hits), normalized by the
+    * ideal DCG for their relevant-count — the offline ranking-quality
+    * harness (the §2.172 "judge of the judge" pattern, for rankers).
+    *
+    * Scale shape: candidates collapse to the distinct user×item view
+    * grain (ONE corpus scan + distinct); popularity is an item-grain
+    * aggregate BROADCAST onto it (items ≪ events); the rank window
+    * partitions by user and WindowGroupLimit prunes to rank ≤ 10
+    * before anything downstream; relevance is a user×item-grain left
+    * join on the co-partitioned key. Nothing after the first distinct
+    * is event-proportional. Users with no purchased-and-viewed item
+    * have IDCG = 0 and are excluded (standard practice: NDCG is
+    * undefined at zero relevance).
+    *
+    * Determinism: ranks are integers with a total (pop DESC, item ASC)
+    * tie-break; each DCG addend is rounded to 6 dp before the ≤10-term
+    * sum (the §2.149 per-addend-rounding pattern); IDCG values are
+    * shared literals ([[IdcgCum]]). */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("item"))
+      .filter(col("item").isNotNull)
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "item").distinct()
+    val pop = ev.filter(col("event_type") === "click")
+      .groupBy("item").agg(count(lit(1)).as("pop"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "item").distinct()
+      .withColumn("rel", lit(1L))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("pop").desc, col("item").asc)
+    val ranked = views
+      .join(broadcast(pop), Seq("item"), "left")
+      .na.fill(0L, Seq("pop"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .join(purch, Seq("user_id", "item"), "left")
+      .na.fill(0L, Seq("rel"))
+    val idcgExpr = element_at(
+      array(IdcgCum.map(lit): _*), least(col("n_rel"), lit(10L)).cast("int"))
+    ranked.groupBy("user_id").agg(
+      sum("rel").as("n_rel"),
+      round(sum(round(col("rel").cast("double") /
+        log2(col("rn") + 1), 6)), 6).as("dcg"))
+      .filter(col("n_rel") > 0)
+      .withColumn("idcg", idcgExpr)
+      .withColumn("ndcg", round(col("dcg") / col("idcg"), 6))
+      .select("user_id", "n_rel", "dcg", "idcg", "ndcg")
+      .orderBy("user_id")
+  }
+
+  val ndcgEvalSql: String = {
+    val idcgList = IdcgCum.mkString("[", ", ", "]")
+    s"""WITH ev AS (SELECT user_id, event_type,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+       |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |views AS (SELECT DISTINCT user_id, item FROM ev WHERE event_type = 'view'),
+       |pop AS (SELECT item, count(*) AS pop FROM ev
+       |  WHERE event_type = 'click' GROUP BY 1),
+       |purch AS (SELECT DISTINCT user_id, item FROM ev
+       |  WHERE event_type = 'purchase'),
+       |ranked AS (SELECT v.user_id, v.item,
+       |    row_number() OVER (PARTITION BY v.user_id
+       |      ORDER BY coalesce(p.pop, 0) DESC, v.item ASC) AS rn
+       |  FROM views v LEFT JOIN pop p USING (item)),
+       |top10 AS (SELECT r.user_id, r.rn,
+       |    CASE WHEN pu.item IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |  FROM ranked r LEFT JOIN purch pu
+       |    ON pu.user_id = r.user_id AND pu.item = r.item
+       |  WHERE r.rn <= 10),
+       |per_user AS (SELECT user_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+       |    round(sum(round(CAST(rel AS DOUBLE) / log2(rn + 1), 6)), 6) AS dcg
+       |  FROM top10 GROUP BY 1 HAVING sum(rel) > 0)
+       |SELECT user_id, n_rel, dcg,
+       |  $idcgList[CAST(least(n_rel, 10) AS INTEGER)] AS idcg,
+       |  round(dcg / $idcgList[CAST(least(n_rel, 10) AS INTEGER)], 6) AS ndcg
+       |FROM per_user ORDER BY user_id""".stripMargin
+  }
+}

@@ -496,6 +496,114 @@ object Mining {
       |FROM dau JOIN wau USING (day) JOIN mau USING (day)
       |ORDER BY day""".stripMargin
 
+  /** §2.202 rolling distinct users from MERGED day-grain HLL sketches
+    * (`rolling_hll_users`): trailing-7-day WAU estimated by
+    * element-wise-max-merging each day's persisted register table —
+    * THE mergeable-sketch payoff at 100 TB: the raw corpus is touched
+    * exactly once (one day-grain register build, §2.160's aggregate in
+    * its register-returning form), and ANY trailing window / slice
+    * rollup after that is arithmetic over day×4096 register rows.
+    * §2.150 answers the same question by re-expanding user-day rows;
+    * this answers it from 16 KB/day of state — the difference between
+    * re-scanning a year and reading 6 MB.
+    *
+    * Shape: register cells sparse-exploded (rho>0), explode-forward
+    * onto the ≤7 target days they influence (the §2.150 trick — a
+    * rows-window can't see buckets absent on the output day), max per
+    * (day, bucket), then the §2.160 estimate expression per day: the
+    * harmonic sum is the exact integer Σ2^(49−M_j) with absent
+    * buckets folded in as (4096−present)·2^49, so row order cannot
+    * move a bit; both engines evaluate the identical float expression
+    * once per day. Reported against the exact trailing distinct
+    * (which needs the full user-day table — the thing you DROP at
+    * scale) with the signed error. */
+  def rollingHllUsers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllRegisters.hll_registers
+    import graft.text.TextFunctions.hash64
+    val m = graft.functions.HllSketch.M
+    val sp = graft.functions.HllSketch.ScalePow
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+        hash64(col("user_id").cast("string")).as("h"))
+    val realDays = ev.select("day").distinct()
+    val cells = ev.groupBy("day").agg(hll_registers(col("h")).as("regs"))
+      .select(col("day"), posexplode(col("regs")).as(Seq("bucket", "rho")))
+      .filter(col("rho") > 0)
+    val wreg = cells
+      .select(col("bucket"), col("rho"), explode(
+        expr("sequence(day, date_add(day, 6), interval 1 day)")).as("day"))
+      .groupBy("day", "bucket").agg(max("rho").as("mr"))
+    val agg = wreg.groupBy("day").agg(
+      (sum(expr(s"shiftleft(1L, $sp - mr)")) +
+        (lit(m.toLong) - count(lit(1))) * lit(1L << sp)).as("ssum"),
+      (lit(m.toLong) - count(lit(1))).as("zeros"))
+    // identical float expression order to the DuckDB oracle (and to
+    // §2.160's): alpha * m * m * 2^sp / ssum, left-associated
+    val est = agg
+      .withColumn("e_raw",
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) *
+          lit(m.toDouble) * lit(m.toDouble) * lit((1L << sp).toDouble) /
+          col("ssum").cast("double"))
+      .withColumn("wau_hll", round(
+        when(col("e_raw") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("e_raw")), 4))
+      .select("day", "wau_hll")
+    val exact = ev.select("day", "user_id").distinct()
+      .select(col("user_id"), explode(
+        expr("sequence(day, date_add(day, 6), interval 1 day)")).as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau_exact"))
+    est.join(exact, "day")
+      .join(realDays, Seq("day"), "left_semi")
+      .select(col("day").cast("timestamp").as("day"),
+        col("wau_exact"), col("wau_hll"),
+        round((col("wau_hll") - col("wau_exact")) * 100.0 /
+          col("wau_exact"), 4).as("err_pct"))
+      .orderBy("day")
+  }
+
+  val rollingHllUsersSql: String = {
+    import graft.text.TextFunctions.hash64Sql
+    val m = graft.functions.HllSketch.M
+    val p = graft.functions.HllSketch.P
+    val wb = graft.functions.HllSketch.WindowBits
+    val sp = graft.functions.HllSketch.ScalePow
+    s"""WITH ev AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,
+       |    ${hash64Sql("CAST(user_id AS VARCHAR)")} AS h FROM events),
+       |rdays AS (SELECT DISTINCT day FROM ev),
+       |reg AS (SELECT day, h & ${m - 1} AS bucket,
+       |    max(CASE WHEN (h >> $p) = 0 THEN ${wb + 1}
+       |        ELSE $wb - length(bin((h >> $p)::BIGINT)) + 1 END) AS rho
+       |  FROM ev GROUP BY 1, 2),
+       |fan AS (SELECT day + g.i AS day, bucket, rho
+       |  FROM reg CROSS JOIN (SELECT unnest(generate_series(0, 6))::INTEGER AS i) g),
+       |wreg AS (SELECT day, bucket, max(rho) AS mr FROM fan GROUP BY 1, 2),
+       |agg AS (SELECT day,
+       |    CAST(sum((1::BIGINT) << ($sp - mr)) AS BIGINT)
+       |      + ($m - count(*)) * ((1::BIGINT) << $sp) AS ssum,
+       |    $m - count(*) AS zeros
+       |  FROM wreg GROUP BY 1),
+       |est AS (SELECT day,
+       |    (0.7213 / (1.0 + 1.079 / ${m.toDouble})) * ${m.toDouble}
+       |      * ${m.toDouble} * ${(1L << sp).toDouble} / CAST(ssum AS DOUBLE)
+       |      AS e_raw, zeros
+       |  FROM agg),
+       |hll AS (SELECT day,
+       |    round(CASE WHEN e_raw <= ${2.5 * m} AND zeros > 0
+       |      THEN ${m.toDouble} * ln(${m.toDouble} / zeros)
+       |      ELSE e_raw END, 4) AS wau_hll
+       |  FROM est),
+       |ex AS (SELECT d2.day AS day, count(DISTINCT du.user_id) AS wau_exact
+       |  FROM (SELECT DISTINCT day, user_id FROM ev) du
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 6))::INTEGER AS i) g,
+       |  LATERAL (SELECT du.day + g.i AS day) d2
+       |  GROUP BY 1)
+       |SELECT CAST(h.day AS TIMESTAMP) AS day, wau_exact, wau_hll,
+       |  round((wau_hll - wau_exact) * 100.0 / wau_exact, 4) AS err_pct
+       |FROM hll h JOIN ex USING (day) JOIN rdays USING (day)
+       |ORDER BY day""".stripMargin
+  }
+
   /** §2.151 weekly seasonality profile: event volume and mean value
     * per (day-of-week, hour-of-day) cell, with the activity index
     * (observed / uniform-expected volume) that bares the weekly cycle

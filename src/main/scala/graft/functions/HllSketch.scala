@@ -79,6 +79,67 @@ case class HllSketch(
   override def prettyName: String = "hll_sketch"
 }
 
+/** [[HllSketch]] variant that returns the RAW register array instead
+  * of the estimate — the mergeable-state form: day-grain register
+  * tables persist once, and ANY trailing window / cross-slice rollup
+  * re-merges them by element-wise max without touching raw data (the
+  * §2.202 pattern). Registers come back as array<int> so downstream
+  * merging/estimation stays in codegen'd integer expressions. */
+case class HllRegisters(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  import HllSketch._
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(b: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val bucket = (h & (M - 1)).toInt
+      val w = h >>> P
+      val rho = (if (w == 0L) WindowBits + 1
+                 else WindowBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1).toByte
+      if (rho > b(bucket)) b(bucket) = rho
+    }
+    b
+  }
+
+  override def merge(b: Array[Byte], o: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (o(i) > b(i)) b(i) = o(i); i += 1 }
+    b
+  }
+
+  override def eval(b: Array[Byte]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      b.map(_.toInt))
+
+  override def serialize(b: Array[Byte]): Array[Byte] = b
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllRegisters =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllRegisters =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): HllRegisters = copy(child = cs.head)
+  override def prettyName: String = "hll_registers"
+}
+
+object HllRegisters {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  def hll_registers(c: Column): Column =
+    column(HllRegisters(expression(c)).toAggregateExpression())
+}
+
 object HllSketch {
   val P = 12
   val M: Int = 1 << P // 4096 registers

@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analytics.Eval
+
+/** §2.203–205: auc_eval, woe_iv, ndcg_eval — each checked against an
+  * independent brute-force computation over the collected sf0.001
+  * tables (naive all-pairs AUC, hand-binned WOE, per-user ranking
+  * replay). */
+class EvalSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  private def qualityRows: Array[(Double, Int)] =
+    graft.text.TextQueries.qualityFrame(Tables.documents(spark, sf))
+      .select(round(col("quality_score"), 4).as("s"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+
+  test("auc_eval = brute-force all-pairs AUC with ties = 1/2") {
+    val rows = qualityRows
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    // P(score_pos > score_neg) + P(tie)/2 over every (pos, neg) pair
+    var num = 0.0
+    for (p <- pos; n <- neg)
+      num += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val brute = num / (pos.length.toLong * neg.length)
+
+    val got = Eval.aucEval(spark, sf).collect().head
+    assert(got.getLong(0) === pos.length.toLong)
+    assert(got.getLong(1) === neg.length.toLong)
+    assert(math.abs(got.getDouble(2) - brute) < 1e-6, s"auc vs brute $brute")
+    assert(math.abs(got.getDouble(3) - (2 * got.getDouble(2) - 1)) < 1e-9)
+    // sanity range only — how WELL the score ranks English is a data
+    // property, not a metric property (sf0.001 sits near chance)
+    assert(got.getDouble(2) > 0.0 && got.getDouble(2) < 1.0)
+  }
+
+  test("woe_iv = hand-binned WOE/IV; bins partition the corpus") {
+    val docs = graft.text.TextQueries.qualityFrame(Tables.documents(spark, sf))
+      .select(
+        when(col("lang") === "en", 1).otherwise(0).as("y"),
+        round(col("_alpha"), 6).as("alpha"),
+        round(col("_stop"), 6).as("stop"),
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0), 6)
+          .as("len"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val nDocs = docs.length.toLong
+
+    val got = Eval.woeIv(spark, sf).collect()
+    // every (feature, bin) cell partitions the corpus: 3 × nDocs rows total
+    assert(got.map(r => r.getLong(2) + r.getLong(3)).sum === 3 * nDocs)
+
+    for ((feat, fx) <- Seq[(String, ((Int, Double, Double, Double)) => Double)](
+        "alpha" -> (_._2), "stop" -> (_._3), "len" -> (_._4))) {
+      val binned = docs.groupBy(d => math.min((fx(d) * 10).floor.toInt, 9))
+      val np = binned.view.mapValues(_.count(_._1 == 1).toLong).toMap
+      val nn = binned.view.mapValues(_.count(_._1 == 0).toLong).toMap
+      val totP = np.values.sum.toDouble
+      val totN = nn.values.sum.toDouble
+      val cells = got.filter(_.getString(0) == feat)
+      assert(cells.map(_.getInt(1)).toSet === binned.keySet, s"$feat bins")
+      var iv = 0.0
+      cells.foreach { r =>
+        val b = r.getInt(1)
+        assert(r.getLong(2) === np(b), s"$feat bin $b np")
+        assert(r.getLong(3) === nn(b), s"$feat bin $b nn")
+        val ps = (np(b) + 0.5) / (totP + 5.0)
+        val ns = (nn(b) + 0.5) / (totN + 5.0)
+        val woe = math.rint(math.log(ps / ns) * 1e6) / 1e6
+        assert(math.abs(r.getDouble(4) - woe) < 1e-9, s"$feat bin $b woe")
+        iv += math.rint((ps - ns) * woe * 1e6) / 1e6
+      }
+      cells.foreach(r => assert(math.abs(r.getDouble(6) - iv) < 1e-6))
+    }
+  }
+
+  test("ndcg_eval = per-user ranking replay; ndcg in (0, 1]") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("item"))
+      .filter(col("item").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val views = ev.filter(_._2 == "view").map(t => (t._1, t._3)).distinct
+    val pop = ev.filter(_._2 == "click").groupBy(_._3).view
+      .mapValues(_.size.toLong).toMap
+    val purch = ev.filter(_._2 == "purchase").map(t => (t._1, t._3)).toSet
+
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val brute = views.groupBy(_._1).flatMap { case (u, vs) =>
+      val ranked = vs.map(_._2)
+        .sortBy(i => (-pop.getOrElse(i, 0L), i)).take(10)
+      val rels = ranked.zipWithIndex.map { case (i, idx) =>
+        (idx + 1, if (purch((u, i))) 1 else 0) }
+      val nRel = rels.map(_._2).sum
+      if (nRel == 0) None
+      else {
+        val dcg = rels.map { case (rn, rel) =>
+          math.rint(rel / log2(rn + 1.0) * 1e6) / 1e6 }.sum
+        Some(u -> (nRel.toLong, math.rint(dcg * 1e6) / 1e6,
+          Eval.IdcgCum(math.min(nRel, 10) - 1)))
+      }
+    }
+
+    val got = Eval.ndcgEval(spark, sf).collect()
+    assert(got.length === brute.size)
+    got.foreach { r =>
+      val (u, nRel, dcg, idcg, ndcg) = (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val (bN, bD, bI) = brute(u)
+      assert(nRel === bN, s"user $u n_rel")
+      assert(math.abs(dcg - bD) < 1e-9, s"user $u dcg")
+      assert(math.abs(idcg - bI) < 1e-9, s"user $u idcg")
+      assert(ndcg > 0 && ndcg <= 1.0 + 1e-9, s"user $u ndcg range")
+      assert(math.abs(ndcg - math.rint(dcg / idcg * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
+  test("IdcgCum is the cumulative rounded 1/log2(i+1) series") {
+    assert(Eval.IdcgCum.length === 10)
+    assert(math.abs(Eval.IdcgCum.head - 1.0) < 1e-9) // 1/log2(2) = 1
+    // strictly increasing with decreasing increments (diminishing gains)
+    val incs = Eval.IdcgCum.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(incs.forall(_ > 0))
+    assert(incs.sliding(2).forall(p => p(1) < p(0) + 1e-9))
+  }
+}

@@ -354,4 +354,39 @@ class MiningSpec extends AnyFunSuite {
     // Σ_cells index = 168 · Σn / N = 168 exactly, whatever the shape
     assert(math.abs(got.map(_.getDouble(4)).sum - 168.0) < 0.02)
   }
+
+  test("rolling_hll_users: merged day sketches = one-shot trailing sketch; error bounded") {
+    import graft.text.TextFunctions.hash64
+    val got = Mining.rollingHllUsers(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty)
+    // exact per trailing window recomputed brute-force
+    val du = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = du.map(_._1).distinct
+    got.foreach { case (ts, exact, est) =>
+      val d = ts.toLocalDateTime.toLocalDate
+      val win = du.filter { case (dd, _) =>
+        !dd.isAfter(d) && !dd.isBefore(d.minusDays(6))
+      }.map(_._2).distinct
+      assert(exact === win.size.toLong, s"day $d")
+      // HLL at p=12: ~1.6% std error; allow 5%
+      assert(math.abs(est - exact) / exact < 0.05, s"day $d est=$est exact=$exact")
+    }
+    // mergeability: for one day, max-merging the 7 per-day sketches must
+    // equal building one sketch over the union of those days' hashes
+    val probe = days.sorted.apply(days.size / 2)
+    val winHashes = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"),
+        hash64(col("user_id").cast("string")).as("h"))
+      .filter(col("day").between(
+        java.sql.Date.valueOf(probe.minusDays(6)), java.sql.Date.valueOf(probe)))
+    val oneShot = winHashes
+      .agg(graft.functions.HllSketch.hll_sketch(col("h")))
+      .collect().head.getDouble(0)
+    val merged = got.find(_._1.toLocalDateTime.toLocalDate == probe).get._3
+    assert(math.abs(merged - math.rint(oneShot * 1e4) / 1e4) < 1e-9,
+      "merged day sketches must equal the one-shot window sketch")
+  }
 }
