@@ -522,9 +522,14 @@ object Mining {
     import graft.text.TextFunctions.hash64
     val m = graft.functions.HllSketch.M
     val sp = graft.functions.HllSketch.ScalePow
+    // lazy localCheckpoint: the register build, the exact comparator, and
+    // the real-day spine are three subtrees over the same projection —
+    // the barrier keeps the corpus scan at exactly one (the §2.150
+    // pattern); everything downstream is day- or user-day-grain
     val ev = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id"),
         hash64(col("user_id").cast("string")).as("h"))
+      .localCheckpoint(eager = false)
     val realDays = ev.select("day").distinct()
     val cells = ev.groupBy("day").agg(hll_registers(col("h")).as("regs"))
       .select(col("day"), posexplode(col("regs")).as(Seq("bucket", "rho")))

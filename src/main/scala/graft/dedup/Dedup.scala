@@ -561,4 +561,40 @@ object Dedup {
        |WHERE round(len(list_intersect(ga.g, gb.g)) /
        |    CAST(least(len(ga.g), len(gb.g)) AS DOUBLE), 6) >= $minScore
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** §2.206 MinHash estimator calibration: for every LSH candidate
+    * pair, the signature-agreement estimate (§2.22) against the exact
+    * n-gram Jaccard (§2.24), rolled up per estimate decile — the audit
+    * that says whether the [[NumHashes]]-hash signature is accurate
+    * enough for the dedup threshold in use (at 16 hashes the standard
+    * error is √(J(1−J)/16) ≈ 0.12 — the table makes the theory
+    * observable, and a drift in it flags a broken hash family before
+    * bad merges ship). Candidates come from the SAME band index both
+    * estimators use, so the comparison adds two doc-grain joins on a
+    * pair-sized frame — no new corpus-proportional work; at 100 TB
+    * this runs as a side output of the dedup pass. Means are rounded
+    * 4 dp (band-level aggregates; per-pair inputs are 6 dp decimals). */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    val est = minhashPairs(docs, 0.0)
+    val exact = ngramJaccardPairs(docs, 0.0)
+    est.join(exact, Seq("id_a", "id_b"))
+      .withColumn("band", floor(col("est_jaccard") * 10).cast("int"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("est_jaccard"), 4).as("mean_est"),
+        round(avg("jaccard"), 4).as("mean_exact"),
+        round(avg(round(abs(col("est_jaccard") - col("jaccard")), 6)), 4)
+          .as("mean_abs_err"))
+      .orderBy("band")
+  }
+
+  def minhashCalibrationSql: String =
+    s"""SELECT CAST(floor(est_jaccard * 10) AS INTEGER) AS band,
+       |  count(*) AS n_pairs,
+       |  round(avg(est_jaccard), 4) AS mean_est,
+       |  round(avg(jaccard), 4) AS mean_exact,
+       |  round(avg(round(abs(est_jaccard - jaccard), 6)), 4) AS mean_abs_err
+       |FROM (${minhashPairsSql(0.0)}) e
+       |JOIN (${ngramJaccardPairsSql(0.0)}) x USING (id_a, id_b)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analytics.Stats
+
+/** §2.208–210: ab_test_ttest, mann_whitney, bootstrap_ci — brute-force
+  * statistical replays over the collected sf0.001 events. */
+class StatsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  private def clickValues: (Seq[Double], Seq[Double]) = {
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    (rows.filter(_._1 % 2 == 0).map(_._2).toSeq,
+     rows.filter(_._1 % 2 != 0).map(_._2).toSeq)
+  }
+
+  test("ab_test_ttest = textbook Welch on collected arms") {
+    val (a, b) = clickValues
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    def varS(xs: Seq[Double]) = {
+      val m = mean(xs)
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val se2 = varS(a) / a.size + varS(b) / b.size
+    val t = (mean(a) - mean(b)) / math.sqrt(se2)
+    val df = se2 * se2 / (
+      math.pow(varS(a) / a.size, 2) / (a.size - 1) +
+      math.pow(varS(b) / b.size, 2) / (b.size - 1))
+
+    val r = Stats.abTestTtest(spark, sf).collect().head
+    assert(r.getLong(0) === a.size.toLong)
+    assert(r.getLong(1) === b.size.toLong)
+    assert(math.abs(r.getDouble(2) - mean(a)) < 1e-4)
+    assert(math.abs(r.getDouble(3) - mean(b)) < 1e-4)
+    assert(math.abs(r.getDouble(6) - t) < 1e-3, s"t: got ${r.getDouble(6)} want $t")
+    assert(math.abs(r.getDouble(7) - df) < 0.5, s"df: got ${r.getDouble(7)} want $df")
+    assert(r.getBoolean(8) === (math.abs(r.getDouble(6)) > 1.96))
+  }
+
+  test("mann_whitney = brute ranks with average ties + tie-corrected z") {
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val all = rows.map(_._2).sorted
+    // average rank per value (1-based)
+    val rankOf: Map[Double, Double] = all.zipWithIndex
+      .groupBy(_._1).view
+      .mapValues(g => g.map(_._2 + 1.0).sum / g.size).toMap
+    val aRanks = rows.filter(_._1 == "click").map(r => rankOf(r._2))
+    val nA = aRanks.size.toLong
+    val nB = rows.count(_._1 == "view").toLong
+    val u = aRanks.sum - nA * (nA + 1) / 2.0
+    val n = nA + nB
+    val t3t = all.groupBy(identity).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val sigma = math.sqrt(nA.toDouble * nB / 12.0 *
+      ((n + 1).toDouble - t3t / (n.toDouble * (n - 1))))
+    val z = (u - nA.toDouble * nB / 2.0) / sigma
+
+    val r = Stats.mannWhitney(spark, sf).collect().head
+    assert(r.getLong(0) === nA)
+    assert(r.getLong(1) === nB)
+    assert(math.abs(r.getDouble(2) - u) < 1e-6, s"U: got ${r.getDouble(2)} want $u")
+    assert(math.abs(r.getDouble(3) - z) < 1e-3, s"z: got ${r.getDouble(3)} want $z")
+  }
+
+  test("bootstrap_ci: weights replayed, CI brackets the mean, reps deterministic") {
+    import graft.text.TextFunctions.hash64
+    val base = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val cdf = Stats.PoissonCdf
+    // per-row base hash replayed through Spark's md5 expression, then
+    // the affine per-rep uniforms recomputed independently in Scala
+    val hp = graft.functions.HashConstants.P
+    val hashed = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"),
+        hash64(col("event_id").cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) % hp)).toMap
+    val means = (0 until Stats.BootstrapReps).map { rep =>
+      var sw = 0.0; var swx = 0.0
+      base.foreach { case (id, x) =>
+        val k = ((1103515245L + 997L * rep) * hashed(id) +
+          12345L + 7919L * rep) % hp
+        val u = k.toDouble / hp.toDouble
+        val w = cdf.count(t => u >= t)
+        sw += w; swx += w * x
+      }
+      BigDecimal(swx / sw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val sortedMeans = means.zipWithIndex
+      .sortBy { case (m, rep) => (m, rep) }.map(_._1)
+
+    val r = Stats.bootstrapCi(spark, sf).collect().head
+    assert(r.getLong(0) === base.length.toLong)
+    assert(r.getLong(4) === Stats.BootstrapReps.toLong)
+    assert(math.abs(r.getDouble(2) - sortedMeans(1)) < 1e-9, "ci_lo = rank-2 mean")
+    assert(math.abs(r.getDouble(3) - sortedMeans(Stats.BootstrapReps - 2)) < 1e-9,
+      "ci_hi = rank-63 mean")
+    assert(r.getDouble(2) < r.getDouble(1) && r.getDouble(1) < r.getDouble(3),
+      "CI must bracket the full-sample mean")
+  }
+
+  test("PoissonCdf is a valid CDF with mean-1 weights") {
+    assert(Stats.PoissonCdf.length === 8)
+    assert(Stats.PoissonCdf.sliding(2).forall(p => p(1) > p(0)))
+    assert(math.abs(Stats.PoissonCdf.head - math.exp(-1.0)) < 1e-6)
+    assert(Stats.PoissonCdf.last > 0.99998) // P(w > 8) ≈ 1e-5 truncated
+    // E[w] under the discretized CDF = sum over k of P(w > k) = sum(1 - cdf)
+    val ew = Stats.PoissonCdf.map(1.0 - _).sum
+    assert(math.abs(ew - 1.0) < 1e-3, s"E[w] = $ew")
+  }
+}
