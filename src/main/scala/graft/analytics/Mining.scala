@@ -659,4 +659,126 @@ object Mining {
       |  max(day_value) OVER (PARTITION BY event_type, grp) AS value_ffill,
       |  day_value IS NULL AS is_gap
       |FROM j ORDER BY event_type, day""".stripMargin
+
+  /** §2.212 forecast backtest (`forecast_backtest`): per event_type,
+    * walk-forward accuracy of the 7-day moving-average forecaster
+    * against the persistence (yesterday = today) baseline on the daily
+    * volume series — the harness that says whether a forecaster earns
+    * its keep (a model that can't beat persistence shouldn't page
+    * anyone). One corpus scan collapses to the day-grain series; both
+    * predictors are frame windows over it; scoring is day-grain
+    * arithmetic. Each APE addend is an identical-integer division
+    * (window sums of BIGINT counts), so only the final per-type mean
+    * is rounded (4 dp). Days without ≥7 prior days are not scored. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val scored = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ma7",
+        sum("n").over(w.rowsBetween(-7, -1)).cast("double") / 7.0)
+      .withColumn("naive", lag("n", 1).over(w).cast("double"))
+      .filter(col("rn") > 7)
+    scored.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      round(avg(abs(col("n") - col("ma7")) / col("n")), 4).as("mape_ma7"),
+      round(avg(abs(col("n") - col("naive")) / col("n")), 4)
+        .as("mape_naive"))
+      .withColumn("improvement",
+        round(col("mape_naive") - col("mape_ma7"), 4))
+      .orderBy("event_type")
+  }
+
+  val forecastBacktestSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (SELECT event_type, n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DOUBLE) / 7.0 AS ma7,
+      |    CAST(lag(n, 1) OVER (PARTITION BY event_type ORDER BY day)
+      |      AS DOUBLE) AS naive
+      |  FROM daily)
+      |SELECT event_type, count(*) AS n_days,
+      |  round(avg(abs(n - ma7) / n), 4) AS mape_ma7,
+      |  round(avg(abs(n - naive) / n), 4) AS mape_naive,
+      |  round(round(avg(abs(n - naive) / n), 4)
+      |    - round(avg(abs(n - ma7) / n), 4), 4) AS improvement
+      |FROM scored WHERE rn > 7
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** §2.213 CUSUM change-point detection (`changepoint_cusum`): per
+    * event_type, the day where the cumulative sum of (daily volume −
+    * series mean) peaks in magnitude — the classic level-shift locator
+    * (Page's CUSUM in its retrospective form), with the before/after
+    * means quantifying the shift. The running sum is ORDERED
+    * arithmetic, so both engines produce bit-identical partials
+    * (left-to-right over the same integers); the argmax tie-breaks on
+    * earliest day. Day-grain frames throughout; the corpus is touched
+    * once. */
+  def changepointCusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy("event_type")
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val cusum = daily
+      .withColumn("mean_n",
+        sum("n").over(wAll).cast("double") /
+          count(lit(1)).over(wAll).cast("double"))
+      .withColumn("cusum", sum(col("n").cast("double") - col("mean_n"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(abs(col("cusum")).desc, col("day").asc)))
+    val change = cusum.filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        round(col("cusum"), 4).as("peak_cusum"))
+    val sides = daily.join(change, "event_type")
+      .groupBy("event_type").agg(
+        round(avg(when(col("day") <= col("change_day"), col("n"))), 4)
+          .as("mean_before"),
+        round(avg(when(col("day") > col("change_day"), col("n"))), 4)
+          .as("mean_after"))
+    change.join(sides, "event_type")
+      .select(col("event_type"), col("change_day").cast("timestamp")
+        .as("change_day"), col("peak_cusum"), col("mean_before"),
+        col("mean_after"))
+      .orderBy("event_type")
+  }
+
+  val changepointCusumSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |withmean AS (SELECT event_type, day, n,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+      |      / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS mean_n
+      |  FROM daily),
+      |c AS (SELECT event_type, day, n,
+      |    sum(CAST(n AS DOUBLE) - mean_n)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |  FROM withmean),
+      |r AS (SELECT event_type, day, cusum,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(cusum) DESC, day ASC) AS rk
+      |  FROM c),
+      |chg AS (SELECT event_type, day AS change_day,
+      |    round(cusum, 4) AS peak_cusum FROM r WHERE rk = 1),
+      |sides AS (SELECT d.event_type,
+      |    round(avg(CASE WHEN d.day <= g.change_day THEN d.n END), 4)
+      |      AS mean_before,
+      |    round(avg(CASE WHEN d.day > g.change_day THEN d.n END), 4)
+      |      AS mean_after
+      |  FROM daily d JOIN chg g USING (event_type) GROUP BY 1)
+      |SELECT c.event_type, CAST(c.change_day AS TIMESTAMP) AS change_day,
+      |  c.peak_cusum, s.mean_before, s.mean_after
+      |FROM chg c JOIN sides s USING (event_type)
+      |ORDER BY c.event_type""".stripMargin
 }

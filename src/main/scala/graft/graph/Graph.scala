@@ -437,7 +437,11 @@ object Graph {
        |SELECT node, c AS deg_core FROM f ORDER BY node""".stripMargin
   }
 
-  val labelPropagationSql: String = {
+  /** The LP iteration as a reusable WITH-body: CTEs uv/e/deg/adj/nodes/
+    * l0…l[[LpIters]] — shared by the §2.146 rollup and the §2.211
+    * modularity metric (both engines replay the identical unrolled
+    * fixed point, so the community assignment is one definition). */
+  private[graft] val lpCtesSql: String = {
     val rounds = (1 to LpIters).map { t =>
       s"""v$t AS (SELECT dst, lbl, count(*) AS c
          |  FROM adj JOIN l${t - 1} ON adj.src = l${t - 1}.node
@@ -447,7 +451,7 @@ object Graph {
          |l$t AS (SELECT dst AS node, min(lbl) AS lbl FROM m$t
          |  WHERE c = mx GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH uv AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+    s"""uv AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
        |    'i' || CAST(json_extract_string(props, '$$.k') AS VARCHAR) AS v
        |  FROM events WHERE event_type = 'click'),
        |e AS (SELECT u AS src, v AS dst FROM uv
@@ -456,10 +460,70 @@ object Graph {
        |adj AS (SELECT e.src, e.dst FROM e),
        |nodes AS (SELECT src AS node FROM deg),
        |l0 AS (SELECT node, node AS lbl FROM nodes),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val labelPropagationSql: String =
+    s"""WITH $lpCtesSql
        |SELECT lbl AS community, count(*) AS n_nodes FROM l$LpIters
        |GROUP BY 1 ORDER BY n_nodes DESC, community""".stripMargin
+
+  /** §2.211 modularity of the §2.146 label-propagation communities:
+    * Q = Σ_c (L_c/m − (D_c/2m)²) — the judge-of-the-judge for
+    * community detection (LP always RETURNS a partition; Q says
+    * whether it beats random edge placement — natural communities land
+    * ≈0.3–0.7, Q≈0 means the partition is noise). Everything is
+    * integer arithmetic on the directed edge list (m_dir = 2m,
+    * directed within-edges = 2L_c, D_c = Σdeg) until the final
+    * per-community divisions; communities are bounded by nodes, the
+    * two label joins are node-grain hash joins onto the edge list —
+    * same shape class as the LP rounds themselves. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val (adj, _, _) = adjacency(spark, dir)
+    // three joins consume the labels; without the barrier each re-runs
+    // the full LP fixed point (3 iterations × 3 consumers)
+    val labels = lpLabels(spark, dir).localCheckpoint(eager = false)
+    val e = adj.select("src", "dst")
+    val withL = e
+      .join(labels.select(col("node").as("src"), col("lbl").as("la")), "src")
+      .join(labels.select(col("node").as("dst"), col("lbl").as("lb")), "dst")
+    val mDir = withL.agg(count(lit(1)).as("m_dir"))
+    val lIn = withL.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("l_dir"))
+    val dC = adj.select("src", "deg").distinct()
+      .join(labels.select(col("node").as("src"), col("lbl")), "src")
+      .groupBy("lbl").agg(sum("deg").as("d_c"))
+    dC.join(lIn, Seq("lbl"), "left").na.fill(0L, Seq("l_dir"))
+      .crossJoin(mDir) // 1-row broadcast
+      .select(
+        (col("l_dir").cast("double") / col("m_dir") -
+          (col("d_c").cast("double") / col("m_dir")) *
+          (col("d_c").cast("double") / col("m_dir"))).as("q_c"),
+        col("m_dir"))
+      .groupBy("m_dir").agg(
+        count(lit(1)).as("n_communities"),
+        round(sum("q_c"), 6).as("modularity"))
+      .select((col("m_dir") / 2).cast("long").as("n_edges"),
+        col("n_communities"), col("modularity"))
   }
+
+  val graphModularitySql: String =
+    s"""WITH $lpCtesSql,
+       |lab AS (SELECT node, lbl FROM l$LpIters),
+       |el AS (SELECT a.lbl AS la, b.lbl AS lb FROM e
+       |  JOIN lab a ON e.src = a.node JOIN lab b ON e.dst = b.node),
+       |m AS (SELECT count(*) AS m_dir FROM el),
+       |lin AS (SELECT la AS lbl, count(*) AS l_dir FROM el
+       |  WHERE la = lb GROUP BY 1),
+       |dc AS (SELECT lab.lbl, CAST(sum(deg.deg) AS BIGINT) AS d_c
+       |  FROM deg JOIN lab ON deg.src = lab.node GROUP BY 1),
+       |qc AS (SELECT CAST(coalesce(lin.l_dir, 0) AS DOUBLE) / m.m_dir
+       |    - (CAST(dc.d_c AS DOUBLE) / m.m_dir)
+       |      * (CAST(dc.d_c AS DOUBLE) / m.m_dir) AS q_c, m.m_dir
+       |  FROM dc LEFT JOIN lin USING (lbl) CROSS JOIN m)
+       |SELECT CAST(m_dir / 2 AS BIGINT) AS n_edges,
+       |  count(*) AS n_communities, round(sum(q_c), 6) AS modularity
+       |FROM qc GROUP BY m_dir""".stripMargin
 
   /** jaccard_neighbors similarity floor. */
   val MinJaccard = 0.1

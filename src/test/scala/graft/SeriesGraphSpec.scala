@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analytics.Mining
+import graft.graph.Graph
+
+/** §2.211–213: graph_modularity, forecast_backtest, changepoint_cusum
+  * — brute-force replays over the collected sf0.001 tables. */
+class SeriesGraphSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  private def dailyCounts: Map[(String, java.time.LocalDate), Long] =
+    Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate), r.getLong(2)))
+      .toMap
+
+  test("forecast_backtest = walk-forward MA7/persistence replay") {
+    val daily = dailyCounts
+    val got = Mining.forecastBacktest(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val et = r.getString(0)
+      val series = daily.collect { case ((e, d), n) if e == et => (d, n) }
+        .toSeq.sortBy(_._1)
+      val ns = series.map(_._2)
+      val scored = (7 until ns.length).map { i =>
+        val ma7 = ns.slice(i - 7, i).sum.toDouble / 7.0
+        val naive = ns(i - 1).toDouble
+        (math.abs(ns(i) - ma7) / ns(i), math.abs(ns(i) - naive) / ns(i))
+      }
+      assert(r.getLong(1) === scored.size.toLong, s"$et n_days")
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - r4(scored.map(_._1).sum / scored.size)) < 1e-9)
+      assert(math.abs(r.getDouble(3) - r4(scored.map(_._2).sum / scored.size)) < 1e-9)
+      assert(math.abs(r.getDouble(4) - r4(r.getDouble(3) - r.getDouble(2))) < 1e-9)
+    }
+  }
+
+  test("changepoint_cusum = brute argmax |cusum|; sides partition the series") {
+    val daily = dailyCounts
+    val got = Mining.changepointCusum(spark, sf).collect()
+    got.foreach { r =>
+      val et = r.getString(0)
+      val series = daily.collect { case ((e, d), n) if e == et => (d, n) }
+        .toSeq.sortBy(_._1)
+      val mean = series.map(_._2).sum.toDouble / series.size
+      var acc = 0.0
+      val cusums = series.map { case (d, n) => acc += n - mean; (d, acc) }
+      val (bd, bc) = cusums.maxBy { case (d, c) =>
+        (math.abs(c), -d.toEpochDay) } // ties -> earliest day
+      assert(r.getTimestamp(1).toLocalDateTime.toLocalDate === bd, s"$et day")
+      assert(math.abs(r.getDouble(2) - bc) < 1e-3, s"$et peak")
+      val before = series.filter(!_._1.isAfter(bd)).map(_._2)
+      val after = series.filter(_._1.isAfter(bd)).map(_._2)
+      assert(math.abs(r.getDouble(3) - before.sum.toDouble / before.size) < 1e-3)
+      if (after.nonEmpty)
+        assert(math.abs(r.getDouble(4) - after.sum.toDouble / after.size) < 1e-3)
+      // final cusum returns to ~0 by construction
+      assert(math.abs(cusums.last._2) < 1e-6)
+    }
+  }
+
+  test("graph_modularity = brute Q over the LP communities") {
+    val labels = Graph.lpLabels(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val uv = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(concat(lit("u"), col("user_id")).as("u"),
+        concat(lit("i"), get_json_object(col("props"), "$.k")).as("v"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val m = uv.length.toDouble // undirected edges
+    val deg = (uv.map(_._1) ++ uv.map(_._2)).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val byComm = deg.groupBy { case (n, _) => labels(n) }.view
+      .mapValues(_.values.sum).toMap
+    val q = byComm.map { case (c, dc) =>
+      uv.count { case (a, b) =>
+        labels(a) == c && labels(b) == c }.toDouble / m -
+        math.pow(dc / (2.0 * m), 2)
+    }.sum
+
+    val r = Graph.graphModularity(spark, sf).collect().head
+    assert(r.getLong(0) === uv.length.toLong, "n_edges")
+    assert(r.getLong(1) === byComm.size.toLong, "n_communities")
+    assert(math.abs(r.getDouble(2) - q) < 1e-4, s"Q got ${r.getDouble(2)} want $q")
+  }
+}
