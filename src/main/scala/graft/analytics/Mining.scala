@@ -781,4 +781,66 @@ object Mining {
       |  c.peak_cusum, s.mean_before, s.mean_after
       |FROM chg c JOIN sides s USING (event_type)
       |ORDER BY c.event_type""".stripMargin
+
+  /** §2.216 click-concentration report (`pareto_report`): the share of
+    * all clicks captured by the top 1/5/10/25% of items — §2.171's
+    * Zipf law operationalized into the number a curation meeting acts
+    * on ("the head owns X%"; exposure risk, cache sizing, how much a
+    * popularity recommender can ever cover). One item-grain groupBy
+    * (bounded by catalog, not events), one rank window with a running
+    * sum over it, then the constant threshold grid joins against the
+    * cumulative frame at its exact rank — integers end-to-end until
+    * the final share division. Ties rank deterministically
+    * (count desc, item asc). */
+  def paretoReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy("item").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("item").asc)
+    val ranked = counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = counts.agg(count(lit(1)).as("n_items"),
+      sum("n").as("total_clicks"))
+    val thresholds = totals
+      .select(explode(array(Seq(1, 5, 10, 25).map(lit): _*)).as("top_pct"),
+        col("n_items"), col("total_clicks"))
+      .withColumn("top_n", greatest(lit(1L),
+        floor(col("n_items") * col("top_pct") / 100.0).cast("long")))
+    thresholds
+      .join(ranked.select(col("rk").as("top_n"), col("cum")), "top_n")
+      .select(col("top_pct"), col("top_n"), col("n_items"),
+        col("total_clicks"),
+        round(col("cum").cast("double") / col("total_clicks"), 6)
+          .as("click_share"))
+      .orderBy("top_pct")
+  }
+
+  val paretoReportSql: String =
+    """WITH counts AS (SELECT
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+      |    count(*) AS n
+      |  FROM events WHERE event_type = 'click'
+      |    AND json_extract_string(props, '$.k') IS NOT NULL
+      |  GROUP BY 1),
+      |ranked AS (SELECT n,
+      |    row_number() OVER (ORDER BY n DESC, item ASC) AS rk,
+      |    CAST(sum(n) OVER (ORDER BY n DESC, item ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM counts),
+      |t AS (SELECT count(*) AS n_items, CAST(sum(n) AS BIGINT) AS total_clicks
+      |  FROM counts),
+      |grid AS (SELECT unnest([1, 5, 10, 25]) AS top_pct),
+      |th AS (SELECT g.top_pct,
+      |    greatest(1, CAST(floor(t.n_items * g.top_pct / 100.0) AS BIGINT))
+      |      AS top_n, t.n_items, t.total_clicks
+      |  FROM grid g CROSS JOIN t)
+      |SELECT th.top_pct, th.top_n, th.n_items, th.total_clicks,
+      |  round(CAST(r.cum AS DOUBLE) / th.total_clicks, 6) AS click_share
+      |FROM th JOIN ranked r ON r.rk = th.top_n
+      |ORDER BY th.top_pct""".stripMargin
 }

@@ -222,4 +222,79 @@ object Stats {
        |CROSS JOIN (SELECT rep_mean FROM rk WHERE rk = 2) lo
        |CROSS JOIN (SELECT rep_mean FROM rk WHERE rk = ${B - 1}) hi""".stripMargin
   }
+
+  /** Conversion window for §2.215: a purchase counts as converted only
+    * within this many days of the user's FIRST signup (an unbounded
+    * "ever purchased" definition saturates to 100% on any active user
+    * base and the pooled-variance z degenerates to 0/0). */
+  val ConvWindowDays = 3
+
+  /** §2.215 two-proportion z-test on funnel conversion
+    * (`funnel_significance`): signup→purchase-within-[[ConvWindowDays]]
+    * conversion per §2.208's user_id%2 arms — the categorical sibling
+    * of the t-test (rates, not means; the metric most experiments
+    * actually ship on). One user-grain aggregate for first-signup, one
+    * user-co-partitioned semi join marks converters, pooled-variance z
+    * from the four integers on a 2-row frame. */
+  def funnelSignificance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("s_ts"))
+    val conv = su.join(
+      ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts").as("p_ts")),
+      Seq("user_id"))
+      .filter(col("p_ts") > col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr(s"INTERVAL $ConvWindowDays DAYS"))
+      .select("user_id").distinct()
+      .withColumn("conv", lit(1L))
+    val users = su.join(conv, Seq("user_id"), "left")
+      .na.fill(0L, Seq("conv"))
+      .withColumn("arm", when(col("user_id") % 2 === 0, "A").otherwise("B"))
+    val arms = users.groupBy("arm").agg(
+      count(lit(1)).as("n"), sum("conv").as("k"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("k").as("k_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("k").as("k_b"))
+    val pa = col("k_a").cast("double") / col("n_a")
+    val pb = col("k_b").cast("double") / col("n_b")
+    val pPool = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    a.crossJoin(b)
+      .withColumn("z_stat", round((pa - pb) /
+        sqrt(pPool * (lit(1.0) - pPool) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4))
+      .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        round(pa, 4).as("rate_a"), round(pb, 4).as("rate_b"),
+        col("z_stat"), (abs(col("z_stat")) > 1.96).as("significant"))
+  }
+
+  val funnelSignificanceSql: String =
+    s"""WITH su AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS s_ts
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |cv AS (SELECT DISTINCT su.user_id FROM su
+      |  JOIN events p ON p.user_id = su.user_id
+      |    AND p.event_type = 'purchase'
+      |    AND CAST(p.ts AS TIMESTAMP) > su.s_ts
+      |    AND CAST(p.ts AS TIMESTAMP) <= su.s_ts + INTERVAL $ConvWindowDays DAY),
+      |users AS (SELECT su.user_id,
+      |    CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+      |  FROM su LEFT JOIN cv USING (user_id)),
+      |arms AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+      |    count(*) AS n, CAST(sum(conv) AS BIGINT) AS k
+      |  FROM users GROUP BY 1),
+      |a AS (SELECT n AS n_a, k AS k_a FROM arms WHERE arm = 'A'),
+      |b AS (SELECT n AS n_b, k AS k_b FROM arms WHERE arm = 'B'),
+      |x AS (SELECT n_a, k_a, n_b, k_b,
+      |    CAST(k_a AS DOUBLE) / n_a AS pa, CAST(k_b AS DOUBLE) / n_b AS pb,
+      |    CAST(k_a + k_b AS DOUBLE) / (n_a + n_b) AS pp
+      |  FROM a CROSS JOIN b)
+      |SELECT n_a, k_a, n_b, k_b,
+      |  round(pa, 4) AS rate_a, round(pb, 4) AS rate_b,
+      |  round((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)), 4)
+      |    AS z_stat,
+      |  abs(round((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)), 4))
+      |    > 1.96 AS significant
+      |FROM x""".stripMargin
 }

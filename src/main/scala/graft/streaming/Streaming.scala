@@ -434,6 +434,21 @@ object Streaming {
         graft.text.TextFunctions.hash64(col("user_id").cast("string")))
         .as("hll_users"))
 
+  /** §2.214 streaming day-grain HLL register maintenance — the
+    * production half of §2.202's merged-rollup story: the stream keeps
+    * ONE 4 KB register row per day (state bounded by days, never
+    * events), and because max-merge is associative+commutative the
+    * registers are BIT-IDENTICAL to a batch rebuild whatever the
+    * micro-batch boundaries — so any trailing-window / cross-slice
+    * distinct rollup (§2.202's WAU) reads this table instead of
+    * re-scanning the corpus. The ingest loop maintains the state; the
+    * rollup is day-grain arithmetic downstream. */
+  def dayRegistersStream(events: DataFrame): DataFrame =
+    events.groupBy(to_date(col("ts")).as("day"))
+      .agg(graft.functions.HllRegisters.hll_registers(
+        graft.text.TextFunctions.hash64(col("user_id").cast("string")))
+        .as("regs"))
+
   // ---- sessionization ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,

@@ -108,6 +108,58 @@ class StatsSpec extends AnyFunSuite {
       "CI must bracket the full-sample mean")
   }
 
+  test("funnel_significance = brute two-proportion z on signup->purchase arms") {
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val firstSignup = rows.filter(_._2 == "signup")
+      .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val winMs = Stats.ConvWindowDays * 86400000L
+    val converted = rows.filter(_._2 == "purchase").filter { case (u, _, t) =>
+      firstSignup.get(u).exists(s => t > s && t <= s + winMs)
+    }.map(_._1).toSet
+    def arm(sel: Long => Boolean) = {
+      val us = firstSignup.keys.filter(sel).toSeq
+      (us.size.toLong, us.count(converted).toLong)
+    }
+    val (na, ka) = arm(_ % 2 == 0)
+    val (nb, kb) = arm(_ % 2 != 0)
+    val (pa, pb) = (ka.toDouble / na, kb.toDouble / nb)
+    val pp = (ka + kb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+
+    val r = Stats.funnelSignificance(spark, sf).collect().head
+    assert(r.getLong(0) === na); assert(r.getLong(1) === ka)
+    assert(r.getLong(2) === nb); assert(r.getLong(3) === kb)
+    assert(math.abs(r.getDouble(6) - z) < 1e-3, s"z got ${r.getDouble(6)} want $z")
+    assert(r.getBoolean(7) === (math.abs(r.getDouble(6)) > 1.96))
+  }
+
+  test("pareto_report = brute concentration curve; shares monotone") {
+    val counts = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("item"))
+      .filter(col("item").isNotNull)
+      .collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ranked = counts.toSeq.sortBy { case (item, n) => (-n, item) }.map(_._2)
+    val total = ranked.sum.toDouble
+
+    val got = analytics.Mining.paretoReport(spark, sf).collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(1, 5, 10, 25))
+    got.foreach { r =>
+      val topN = math.max(1L,
+        math.floor(counts.size * r.getInt(0) / 100.0).toLong)
+      assert(r.getLong(1) === topN, s"top_n at ${r.getInt(0)}%")
+      assert(r.getLong(2) === counts.size.toLong)
+      val share = ranked.take(topN.toInt).sum / total
+      assert(math.abs(r.getDouble(4) - share) < 1e-6, s"share at ${r.getInt(0)}%")
+    }
+    // concentration curve must be monotone nondecreasing
+    assert(got.map(_.getDouble(4)).sliding(2).forall(p => p(1) >= p(0)))
+  }
+
   test("PoissonCdf is a valid CDF with mean-1 weights") {
     assert(Stats.PoissonCdf.length === 8)
     assert(Stats.PoissonCdf.sliding(2).forall(p => p(1) > p(0)))

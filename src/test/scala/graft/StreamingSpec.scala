@@ -317,6 +317,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(atLeast(3) == batch("purchase"))
   }
 
+  test("streaming day registers: bit-identical to batch; merged rollup = rolling_hll_users") {
+    import graft.functions.HllSketch.{M, ScalePow}
+    val dir = java.nio.file.Files.createTempDirectory("graft-dayreg").toString
+    writeEventFiles(dir, 4,
+      pmod(graft.text.TextFunctions.hash64(col("event_id").cast("string")), lit(4)))
+    val src = spark.readStream.schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Streaming.dayRegistersStream(src)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dayreg_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dayreg_stream").collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getSeq[Int](1).toArray).toMap
+    // 1) state is one register row per day, bit-identical to batch
+    val batch = Streaming.dayRegistersStream(Tables.events(spark, sf))
+      .collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getSeq[Int](1).toArray).toMap
+    assert(got.keySet === batch.keySet)
+    got.foreach { case (d, regs) =>
+      assert(regs.sameElements(batch(d)), s"registers for $d") }
+    // 2) max-merging the streamed per-day state reproduces the batch
+    // trailing-window estimates of rolling_hll_users EXACTLY
+    def estimate(regs: Array[Int]): Double = {
+      val present = regs.count(_ > 0)
+      val ssum = regs.filter(_ > 0)
+        .map(r => 1L << (ScalePow - r)).sum + (M.toLong - present) * (1L << ScalePow)
+      val zeros = M - present
+      val eRaw = (0.7213 / (1.0 + 1.079 / M.toDouble)) * M.toDouble *
+        M.toDouble * (1L << ScalePow).toDouble / ssum.toDouble
+      val e = if (eRaw <= 2.5 * M && zeros > 0)
+        M.toDouble * math.log(M.toDouble / zeros) else eRaw
+      BigDecimal(e).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = graft.analytics.Mining.rollingHllUsers(spark, sf)
+      .collect().map(r =>
+        r.getTimestamp(0).toLocalDateTime.toLocalDate -> r.getDouble(2)).toMap
+    expected.foreach { case (d, wau) =>
+      val win = (0 to 6).map(k => d.minusDays(k)).flatMap(got.get)
+      val merged = win.reduce((a, b) => a.zip(b).map(p => math.max(p._1, p._2)))
+      assert(math.abs(estimate(merged) - wau) < 1e-9,
+        s"day $d: merged-stream estimate vs rolling_hll_users")
+    }
+  }
+
   test("streaming HLL distinct: bit-identical to the batch twin under any batching") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
     writeEventFiles(dir, 4,
