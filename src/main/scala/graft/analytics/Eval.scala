@@ -260,4 +260,86 @@ object Eval {
        |  round(dcg / $idcgList[CAST(least(n_rel, 10) AS INTEGER)], 6) AS ndcg
        |FROM per_user ORDER BY user_id""".stripMargin
   }
+
+  /** §2.218 recommender coverage & exposure concentration
+    * (`recommender_coverage`): what share of the catalog the §2.205
+    * popularity recommender ever surfaces (coverage@10) and how
+    * unequally it distributes exposure (Gini over per-item top-10
+    * appearance counts, zero-exposure catalog items included) — the
+    * two numbers that expose a recommender's filter-bubble/long-tail
+    * problem before any user does. Same candidate machinery as
+    * §2.205 (WindowGroupLimit-pruned rank-10); exposure is an
+    * item-grain aggregate; the Gini rank-sum Σi·xᵢ is EXACT integer
+    * arithmetic over the catalog-bounded frame (the §2.203 trick) —
+    * two divisions at the end. */
+  def recommenderCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("item"))
+      .filter(col("item").isNotNull)
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "item").distinct()
+    val pop = ev.filter(col("event_type") === "click")
+      .groupBy("item").agg(count(lit(1)).as("pop"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("pop").desc, col("item").asc)
+    val top10 = views
+      .join(broadcast(pop), Seq("item"), "left")
+      .na.fill(0L, Seq("pop"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+    val catalog = views.select("item").distinct()
+    val exposure = catalog
+      .join(top10.groupBy("item").agg(count(lit(1)).as("x")),
+        Seq("item"), "left")
+      .na.fill(0L, Seq("x"))
+    val ranked = exposure.withColumn("i",
+      row_number().over(Window.orderBy(col("x").asc, col("item").asc)))
+    ranked.agg(
+      count(lit(1)).as("n_catalog"),
+      sum(when(col("x") > 0, 1L).otherwise(0L)).as("n_recommended"),
+      sum("x").as("total_exposures"),
+      sum(col("i") * col("x")).as("rank_sum"))
+      .select(col("n_catalog"), col("n_recommended"),
+        round(col("n_recommended").cast("double") / col("n_catalog"), 6)
+          .as("coverage"),
+        round((col("rank_sum") * 2).cast("double") /
+          (col("n_catalog") * col("total_exposures")).cast("double") -
+          (col("n_catalog") + 1).cast("double") /
+          col("n_catalog").cast("double"), 6).as("gini"))
+  }
+
+  val recommenderCoverageSql: String =
+    """WITH ev AS (SELECT user_id, event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |views AS (SELECT DISTINCT user_id, item FROM ev WHERE event_type = 'view'),
+      |pop AS (SELECT item, count(*) AS pop FROM ev
+      |  WHERE event_type = 'click' GROUP BY 1),
+      |top10 AS (SELECT user_id, item FROM (
+      |    SELECT v.user_id, v.item,
+      |      row_number() OVER (PARTITION BY v.user_id
+      |        ORDER BY coalesce(p.pop, 0) DESC, v.item ASC) AS rn
+      |    FROM views v LEFT JOIN pop p USING (item)) t
+      |  WHERE rn <= 10),
+      |catalog AS (SELECT DISTINCT item FROM views),
+      |exposure AS (SELECT c.item,
+      |    CAST(coalesce(e.x, 0) AS BIGINT) AS x
+      |  FROM catalog c LEFT JOIN (SELECT item, count(*) AS x
+      |    FROM top10 GROUP BY 1) e USING (item)),
+      |ranked AS (SELECT x,
+      |    row_number() OVER (ORDER BY x ASC, item ASC) AS i
+      |  FROM exposure),
+      |agg AS (SELECT count(*) AS n_catalog,
+      |    CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_recommended,
+      |    CAST(sum(x) AS BIGINT) AS total_exposures,
+      |    CAST(sum(i * x) AS BIGINT) AS rank_sum
+      |  FROM ranked)
+      |SELECT n_catalog, n_recommended,
+      |  round(CAST(n_recommended AS DOUBLE) / n_catalog, 6) AS coverage,
+      |  round(CAST(rank_sum * 2 AS DOUBLE)
+      |      / CAST(n_catalog * total_exposures AS DOUBLE)
+      |    - CAST(n_catalog + 1 AS DOUBLE) / CAST(n_catalog AS DOUBLE), 6)
+      |    AS gini
+      |FROM agg""".stripMargin
 }

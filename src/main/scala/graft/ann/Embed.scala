@@ -93,4 +93,67 @@ object Embed {
        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY n_votes DESC, label) AS vr FROM votes) t
        |WHERE vr = 1 ORDER BY q_id""".stripMargin
+
+  /** §2.217 embedding distribution drift (`embed_drift`): per-dimension
+    * Welch t between the OLD half of the corpus (vec_id below the
+    * midpoint — ingest order as batch proxy) and the NEW half, top-10
+    * dimensions by |t| — the "did the upstream encoder change?" alarm
+    * an embedding pipeline runs before re-using a tuned IVF/PQ index
+    * on a new batch (§2.80's PSI watches scalar columns; this watches
+    * the vector column per-dimension). ONE posexplode scan →
+    * (dim, half) cells (2×64 whatever the corpus), per-dim Welch on
+    * the cell frame, top-10 via ORDER BY |t| over ≤64 rows. */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+    val mid = v.agg(((max("vec_id") + 1) / 2).cast("long").as("mid"))
+    val cells = v.crossJoin(mid) // 1-row broadcast
+      .select(when(col("vec_id") < col("mid"), 0).otherwise(1).as("half"),
+        posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("half"), col("dim"), col("xf").cast("double").as("x"))
+      .groupBy("dim", "half").agg(
+        count(lit(1)).as("n"), avg("x").as("m"), var_samp(col("x")).as("v"))
+    val byDim = cells.groupBy("dim").agg(
+      max(when(col("half") === 0, col("n"))).as("n0"),
+      max(when(col("half") === 0, col("m"))).as("m0"),
+      max(when(col("half") === 0, col("v"))).as("v0"),
+      max(when(col("half") === 1, col("n"))).as("n1"),
+      max(when(col("half") === 1, col("m"))).as("m1"),
+      max(when(col("half") === 1, col("v"))).as("v1"))
+    byDim
+      .withColumn("t_stat", round((col("m0") - col("m1")) /
+        sqrt(col("v0") / col("n0") + col("v1") / col("n1")), 4))
+      .select(col("dim"),
+        round(col("m0"), 4).as("mean_old"),
+        round(col("m1"), 4).as("mean_new"),
+        round(col("m1") - col("m0"), 4).as("shift"),
+        col("t_stat"))
+      .orderBy(abs(col("t_stat")).desc, col("dim").asc)
+      .limit(10)
+  }
+
+  val embedDriftSql: String =
+    """WITH mid AS (SELECT CAST(floor((max(vec_id) + 1) / 2) AS BIGINT) AS mid
+      |  FROM embeddings),
+      |ex AS (SELECT half, u.dim AS dim, u.x AS x FROM (
+      |    SELECT CASE WHEN e.vec_id < m.mid THEN 0 ELSE 1 END AS half,
+      |      unnest(list_transform(generate_series(1, len(e.embedding)),
+      |        i -> {'dim': i - 1, 'x': CAST(e.embedding[i] AS DOUBLE)})) AS u
+      |    FROM embeddings e CROSS JOIN mid m) t),
+      |cells AS (SELECT dim, half, count(*) AS n, avg(x) AS m,
+      |    var_samp(x) AS v
+      |  FROM ex GROUP BY 1, 2),
+      |bydim AS (SELECT dim,
+      |    max(CASE WHEN half = 0 THEN n END) AS n0,
+      |    max(CASE WHEN half = 0 THEN m END) AS m0,
+      |    max(CASE WHEN half = 0 THEN v END) AS v0,
+      |    max(CASE WHEN half = 1 THEN n END) AS n1,
+      |    max(CASE WHEN half = 1 THEN m END) AS m1,
+      |    max(CASE WHEN half = 1 THEN v END) AS v1
+      |  FROM cells GROUP BY 1)
+      |SELECT dim, round(m0, 4) AS mean_old, round(m1, 4) AS mean_new,
+      |  round(m1 - m0, 4) AS shift,
+      |  round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 4) AS t_stat
+      |FROM bydim
+      |ORDER BY abs(round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 4)) DESC, dim
+      |LIMIT 10""".stripMargin
 }

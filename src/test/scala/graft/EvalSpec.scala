@@ -117,6 +117,66 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_drift = brute per-dim Welch between vec_id halves; top-10 by |t|") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val mid = (vecs.map(_._1).max + 1) / 2
+    val dims = vecs.head._2.length
+    def welch(dim: Int): (Double, Double, Double) = {
+      val old = vecs.filter(_._1 < mid).map(_._2(dim))
+      val nw = vecs.filter(_._1 >= mid).map(_._2(dim))
+      def mv(xs: Array[Double]) = {
+        val m = xs.sum / xs.length
+        (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+      }
+      val ((m0, v0), (m1, v1)) = (mv(old), mv(nw))
+      ((m0 - m1) / math.sqrt(v0 / old.length + v1 / nw.length), m0, m1)
+    }
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val all = (0 until dims).map(d => d -> welch(d))
+    val top = all.sortBy { case (d, (t, _, _)) => (-math.abs(r4(t)), d) }.take(10)
+
+    val got = ann.Embed.embedDrift(spark, sf).collect()
+    assert(got.length === 10)
+    got.zip(top).foreach { case (r, (d, (t, m0, m1))) =>
+      assert(r.getInt(0) === d, s"dim order: got ${r.getInt(0)} want $d")
+      assert(math.abs(r.getDouble(4) - t) < 1e-3, s"dim $d t")
+      assert(math.abs(r.getDouble(1) - m0) < 1e-3)
+      assert(math.abs(r.getDouble(2) - m1) < 1e-3)
+      assert(math.abs(r.getDouble(3) - (m1 - m0)) < 1e-3)
+    }
+  }
+
+  test("recommender_coverage = brute coverage + Gini over exposure") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("item"))
+      .filter(col("item").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val views = ev.filter(_._2 == "view").map(t => (t._1, t._3)).distinct
+    val pop = ev.filter(_._2 == "click").groupBy(_._3).view
+      .mapValues(_.size.toLong).toMap
+    val top10 = views.groupBy(_._1).toSeq.flatMap { case (_, vs) =>
+      vs.map(_._2).sortBy(i => (-pop.getOrElse(i, 0L), i)).take(10)
+    }
+    val catalog = views.map(_._2).distinct.sorted
+    val expo = catalog.map(i => i -> top10.count(_ == i).toLong)
+    val sorted = expo.sortBy { case (i, x) => (x, i) }.map(_._2)
+    val n = sorted.size.toLong
+    val total = sorted.sum
+    val rankSum = sorted.zipWithIndex.map { case (x, idx) => (idx + 1) * x }.sum
+    val gini = 2.0 * rankSum / (n * total) - (n + 1).toDouble / n
+
+    val r = analytics.Eval.recommenderCoverage(spark, sf).collect().head
+    assert(r.getLong(0) === n, "n_catalog")
+    assert(r.getLong(1) === expo.count(_._2 > 0).toLong, "n_recommended")
+    assert(math.abs(r.getDouble(2) - expo.count(_._2 > 0).toDouble / n) < 1e-6)
+    assert(math.abs(r.getDouble(3) - gini) < 1e-6, s"gini got ${r.getDouble(3)} want $gini")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("IdcgCum is the cumulative rounded 1/log2(i+1) series") {
     assert(Eval.IdcgCum.length === 10)
     assert(math.abs(Eval.IdcgCum.head - 1.0) < 1e-9) // 1/log2(2) = 1
