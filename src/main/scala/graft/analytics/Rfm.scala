@@ -26,15 +26,21 @@ object Rfm {
     * ntile a naive RFM would use (a single-partition window over ALL
     * customers — the №1 RFM scale trap). Boundary comparisons use
     * the unrounded interpolated quartiles (identical IEEE both
-    * engines, the §2.15/2.81 precedent); monetary sums round to
-    * cents BEFORE quantiles so summation order can't move a
-    * boundary. */
+    * engines, the §2.15/2.81 precedent); monetary is carried as
+    * EXACT integer cents end-to-end (each price → BIGINT cents
+    * before ANY sum), so neither the per-customer totals, the
+    * quartile boundaries, nor the per-segment averages depend on
+    * float summation order — the r07 local gate caught one segment's
+    * avg_monetary straddling its 4 dp rounding boundary under a
+    * different partition count when the sums were double. */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(max("o_orderdate").as("last_order"),
         count(lit(1)).as("frequency"),
-        round(sum("o_totalprice"), 2).as("monetary"))
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("m_cents"))
+      .withColumn("monetary", col("m_cents").cast("double") / 100.0)
     val maxDate = Tables.orders(spark, dir)
       .agg(max("o_orderdate").as("corpus_max"))
     val rfm = per.crossJoin(broadcast(maxDate))
@@ -61,16 +67,22 @@ object Rfm {
       .agg(count(lit(1)).as("n_customers"),
         round(avg("recency"), 4).as("avg_recency"),
         round(avg("frequency"), 4).as("avg_frequency"),
-        round(avg("monetary"), 4).as("avg_monetary"))
+        // exact BIGINT cent sum → one identical division per engine
+        round(sum("m_cents").cast("double") / 100.0 /
+          count(lit(1)), 4).as("avg_monetary"))
       .orderBy("r_score", "f_score", "m_score")
   }
 
   val rfmSegmentsSql: String =
     """WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_order,
-      |    count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+      |    count(*) AS frequency,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS m_cents,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |      / 100.0 AS monetary
       |  FROM orders GROUP BY 1),
       |mx AS (SELECT max(o_orderdate) AS corpus_max FROM orders),
-      |rfm AS (SELECT o_custkey, frequency, monetary,
+      |rfm AS (SELECT o_custkey, frequency, monetary, m_cents,
       |    date_diff('day', last_order, corpus_max) AS recency
       |  FROM per CROSS JOIN mx),
       |b AS (SELECT
@@ -81,7 +93,7 @@ object Rfm {
       |    quantile_cont(monetary, 0.25) AS m1, quantile_cont(monetary, 0.5) AS m2,
       |    quantile_cont(monetary, 0.75) AS m3
       |  FROM rfm),
-      |scored AS (SELECT recency, frequency, monetary,
+      |scored AS (SELECT recency, frequency, monetary, m_cents,
       |    5 - (1 + CAST(recency > r1 AS INT) + CAST(recency > r2 AS INT)
       |      + CAST(recency > r3 AS INT)) AS r_score,
       |    1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
@@ -92,6 +104,7 @@ object Rfm {
       |SELECT r_score, f_score, m_score, count(*) AS n_customers,
       |  round(avg(recency), 4) AS avg_recency,
       |  round(avg(frequency), 4) AS avg_frequency,
-      |  round(avg(monetary), 4) AS avg_monetary
+      |  round(CAST(sum(m_cents) AS DOUBLE) / 100.0 / count(*), 4)
+      |    AS avg_monetary
       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 }

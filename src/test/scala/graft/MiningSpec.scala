@@ -150,8 +150,8 @@ class MiningSpec extends AnyFunSuite {
     val per = orders.groupBy(_._1).map { case (_, os) =>
       val recency = java.time.temporal.ChronoUnit.DAYS.between(
         os.map(_._2).max, maxDate).toDouble
-      val monetary = BigDecimal(os.map(_._3).sum)
-        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // exact per-row cents, matching the engine's BIGINT carry
+      val monetary = os.map(o => math.round(o._3 * 100)).sum / 100.0
       (recency, os.length.toDouble, monetary)
     }.toSeq
     def q(xs: Seq[Double], p: Double): Double = {
