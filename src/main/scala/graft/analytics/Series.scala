@@ -1,0 +1,113 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-series diagnostics over the daily event-volume series —
+  * SURVEY.md §2 items 220–221.
+  */
+object Series {
+
+  /** Autocorrelation lags reported: 1..7 days (one week captures both
+    * the day-over-day persistence and the weekly cycle peak). */
+  val AcfMaxLag = 7
+
+  /** §2.220 `acf_lags`: sample autocorrelation of each event type's
+    * daily volume at lags 1..[[AcfMaxLag]] —
+    * r_l = Σ(x_t−x̄)(x_{t+l}−x̄) / Σ(x_t−x̄)² on the zero-filled day
+    * spine (gap days are real zeros of the volume series; skipping
+    * them would splice non-adjacent days into "adjacent" pairs). The
+    * seasonality detector that picks the period §2.151/§2.212 assume.
+    *
+    * Scale shape: ONE map-side-combined groupBy collapses the corpus
+    * to the (type, day) grain; the spine, the lag windows (all l share
+    * one per-type sort), and the moment sums live on that
+    * calendar-bounded frame.
+    *
+    * Determinism: counts are integers, so Σx, Σx², Σx_t·x_{t+l} are
+    * EXACT BIGINTs and the estimator expands to
+    * (Σxy − x̄(Σx_a+Σx_b) + n_l·x̄²)/(Σx² − n·x̄²) — every float op a
+    * fixed-sequence function of identical integers on both engines
+    * (the §2.203 exact-moment trick); one 6 dp rounding at the end. */
+  def acfLags(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = spine.select(
+      Seq(col("event_type"), col("n")) ++
+        (1 to AcfMaxLag).map(l => lag("n", l).over(w).as(s"x$l")): _*)
+    val stackExpr = (1 to AcfMaxLag)
+      .map(l => s"$l, x$l").mkString(s"stack($AcfMaxLag, ", ", ", ") AS (lag, y)")
+    val perLag = lagged
+      .select(col("event_type"), col("n"), expr(stackExpr))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"), col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("y").as("sa"), sum("n").as("sb"),
+        sum(col("n") * col("y")).as("sab"))
+    val perType = spine.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("n").as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    val mu = col("s1").cast("double") / col("n_days")
+    perLag.join(broadcast(perType), Seq("event_type"))
+      .withColumn("acf", round(
+        (col("sab").cast("double") - mu * (col("sa") + col("sb")).cast("double")
+          + col("n_pairs").cast("double") * mu * mu) /
+        (col("s2").cast("double") -
+          col("n_days").cast("double") * mu * mu), 6))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        col("n_days"), col("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  val acfLagsSql: String = {
+    val lagCols = (1 to AcfMaxLag)
+      .map(l => s"lag(n, $l) OVER (PARTITION BY event_type ORDER BY day) AS x$l")
+      .mkString(", ")
+    val caseY = (1 to AcfMaxLag)
+      .map(l => s"WHEN $l THEN x$l").mkString("CASE l.lag ", " ", " END")
+    val lagVals = (1 to AcfMaxLag).map(l => s"($l)").mkString(", ")
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |spine AS (SELECT s.event_type, s.day,
+       |    COALESCE(d.n, 0) AS n
+       |  FROM (SELECT event_type,
+       |      unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+       |    FROM (SELECT event_type, CAST(min(day) AS TIMESTAMP) AS d0,
+       |        CAST(max(day) AS TIMESTAMP) AS d1 FROM daily GROUP BY 1) t) s
+       |  LEFT JOIN daily d
+       |    ON s.event_type = d.event_type AND CAST(s.day AS DATE) = d.day),
+       |lagged AS (SELECT event_type, n, $lagCols FROM spine),
+       |pairs AS (SELECT event_type, n, l.lag, $caseY AS y
+       |  FROM lagged CROSS JOIN (VALUES $lagVals) l(lag)),
+       |perlag AS (SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       |    count(*) AS n_pairs,
+       |    CAST(sum(y) AS BIGINT) AS sa, CAST(sum(n) AS BIGINT) AS sb,
+       |    CAST(sum(n * y) AS BIGINT) AS sab
+       |  FROM pairs WHERE y IS NOT NULL GROUP BY 1, 2),
+       |pertype AS (SELECT event_type, count(*) AS n_days,
+       |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+       |  FROM spine GROUP BY 1)
+       |SELECT p.event_type, p.lag, p.n_pairs, t.n_days,
+       |  round((CAST(sab AS DOUBLE)
+       |      - (CAST(s1 AS DOUBLE) / t.n_days) * CAST(sa + sb AS DOUBLE)
+       |      + CAST(n_pairs AS DOUBLE) * (CAST(s1 AS DOUBLE) / t.n_days)
+       |        * (CAST(s1 AS DOUBLE) / t.n_days))
+       |    / (CAST(s2 AS DOUBLE) - CAST(t.n_days AS DOUBLE)
+       |      * (CAST(s1 AS DOUBLE) / t.n_days)
+       |      * (CAST(s1 AS DOUBLE) / t.n_days)), 6) AS acf
+       |FROM perlag p JOIN pertype t USING (event_type)
+       |ORDER BY event_type, lag""".stripMargin
+  }
+}

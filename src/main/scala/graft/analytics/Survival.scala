@@ -1,0 +1,123 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Kaplan–Meier survival estimation — SURVEY.md §2.219.
+  *
+  * Time-to-event with right-censoring: the lifetime analysis every
+  * subscription/engagement warehouse runs, and the one the naive
+  * "average days to convert among converters" query gets WRONG
+  * (dropping censored users biases the estimate — the whole point of
+  * KM is that not-yet-converted users contribute their lower bound).
+  */
+object Survival {
+
+  /** Only purchases above this value count as the conversion event —
+    * the big-ticket purchase a fraction of users never make, so the
+    * curve carries BOTH conversions and right-censored users (every
+    * user makes some small purchase on this corpus, which would leave
+    * the censoring path vacuously untested). */
+  val ConvValueMin = 120.0
+
+  /** §2.219 `survival_km`: Kaplan–Meier curve for days from a user's
+    * first event to their first big-ticket purchase
+    * (value > [[ConvValueMin]]); users who never make one are
+    * right-censored at the corpus horizon (their time-to-convert is
+    * known only to exceed their observation window). d_t
+    * conversions and c_t censorings at each distinct duration t, risk
+    * set n_t = Σ_{s≥t}(d_s+c_s), Ŝ(t) = Π_{s≤t}(1 − d_s/n_s) — the
+    * probability of still being un-converted after t days.
+    *
+    * Scale shape: the corpus collapses to user grain in ONE
+    * map-side-combined groupBy (min/max day per user — the only
+    * corpus-sized shuffle), then to lifetime grain (bounded by the
+    * calendar: a decade is ≤ 3 653 rows whatever the corpus size);
+    * the product-limit recursion is a cumulative window over that
+    * bounded frame, and the horizon is a 1-row broadcast.
+    *
+    * Determinism: d and n are exact BIGINTs, so each hazard factor
+    * 1 − d/n is one division of identical integers; the cumulative
+    * product runs as exp∘Σ∘ln with each ln addend rounded at 6 dp
+    * BEFORE the ordered window sum (the §2.149 per-addend-rounding
+    * rule — engine-local addition order cannot flip the final 6 dp
+    * rounding), and an S=0 guard (cumulative min factor) avoids
+    * ln(0) = −∞ arithmetic entirely. */
+  def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+    val users = ev.groupBy("user_id")
+      .agg(min("day").as("first_day"),
+        min(when(col("event_type") === "purchase" &&
+          col("value") > ConvValueMin, col("day"))).as("purchase_day"))
+    val horizon = ev.agg(max("day").as("h"))
+    val lives = users.crossJoin(broadcast(horizon))
+      .select(
+        datediff(coalesce(col("purchase_day"), col("h")), col("first_day"))
+          .cast("long").as("duration_days"),
+        when(col("purchase_day").isNotNull, 1L).otherwise(0L).as("event"))
+    val km = lives.groupBy("duration_days")
+      .agg(sum("event").as("n_conv"),
+        (count(lit(1)) - sum(col("event"))).as("n_censored"))
+    val w = Window.orderBy("duration_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km
+      // risk set = everyone with a lifetime ≥ t: total minus strictly-
+      // earlier exits, all exact integers off the same cumulative sum
+      .withColumn("n_risk",
+        sum(col("n_conv") + col("n_censored"))
+          .over(Window.orderBy("duration_days")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("factor",
+        lit(1.0) - col("n_conv").cast("double") / col("n_risk"))
+      .withColumn("lf",
+        round(log(when(col("factor") > 0, col("factor")).otherwise(1.0)), 6))
+      .withColumn("survival",
+        when(min("factor").over(w) === 0.0, 0.0)
+          .otherwise(round(exp(sum("lf").over(w)), 6)))
+      .select(col("duration_days"), col("n_risk"), col("n_conv"),
+        col("n_censored"), col("survival"))
+      .orderBy("duration_days")
+  }
+
+  val survivalKmSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, value,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+       |users AS (SELECT user_id, min(day) AS first_day,
+       |    min(CASE WHEN event_type = 'purchase' AND value > $ConvValueMin
+       |      THEN day END) AS purchase_day
+       |  FROM ev GROUP BY 1),
+       |hz AS (SELECT max(day) AS h FROM ev),
+       |lives AS (SELECT
+       |    CAST(date_diff('day', first_day, COALESCE(purchase_day, h))
+       |      AS BIGINT) AS duration_days,
+       |    CASE WHEN purchase_day IS NOT NULL THEN 1 ELSE 0 END AS event
+       |  FROM users CROSS JOIN hz),
+       |km AS (SELECT duration_days,
+       |    CAST(sum(event) AS BIGINT) AS n_conv,
+       |    CAST(count(*) - sum(event) AS BIGINT) AS n_censored
+       |  FROM lives GROUP BY 1),
+       |risk AS (SELECT duration_days, n_conv, n_censored,
+       |    CAST(sum(n_conv + n_censored) OVER (ORDER BY duration_days
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+       |      AS n_risk
+       |  FROM km),
+       |f AS (SELECT duration_days, n_risk, n_conv, n_censored,
+       |    1.0 - CAST(n_conv AS DOUBLE) / n_risk AS factor
+       |  FROM risk),
+       |lf AS (SELECT duration_days, n_risk, n_conv, n_censored, factor,
+       |    round(ln(CASE WHEN factor > 0 THEN factor ELSE 1.0 END), 6)
+       |      AS lf
+       |  FROM f)
+       |SELECT duration_days, n_risk, n_conv, n_censored,
+       |  CASE WHEN min(factor) OVER (ORDER BY duration_days
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0.0
+       |    THEN 0.0
+       |    ELSE round(exp(sum(lf) OVER (ORDER BY duration_days
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+       |  END AS survival
+       |FROM lf ORDER BY duration_days""".stripMargin
+}

@@ -88,4 +88,73 @@ class SeriesGraphSpec extends AnyFunSuite {
     assert(r.getLong(1) === byComm.size.toLong, "n_communities")
     assert(math.abs(r.getDouble(2) - q) < 1e-4, s"Q got ${r.getDouble(2)} want $q")
   }
+
+  test("survival_km = brute product-limit; risk sets telescope; S monotone") {
+    import graft.analytics.Survival
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDate(3).toLocalDate))
+    val horizon = ev.map(_._4).max
+    val perUser = ev.groupBy(_._1).toSeq.map { case (_, es) =>
+      val first = es.map(_._4).min
+      val conv = es.filter(e =>
+        e._2 == "purchase" && e._3 > Survival.ConvValueMin).map(_._4)
+      if (conv.nonEmpty)
+        (java.time.temporal.ChronoUnit.DAYS.between(first, conv.min), 1L)
+      else (java.time.temporal.ChronoUnit.DAYS.between(first, horizon), 0L)
+    }.toSeq
+    val byDur = perUser.groupBy(_._1).view.mapValues { xs =>
+      (xs.count(_._2 == 1L).toLong, xs.count(_._2 == 0L).toLong)
+    }.toMap
+    val durs = byDur.keys.toSeq.sorted
+    var atRisk = perUser.size.toLong
+    var s = 1.0
+    val expected = durs.map { t =>
+      val (d, c) = byDur(t)
+      s *= 1.0 - d.toDouble / atRisk
+      val row = (t, atRisk, d, c, s)
+      atRisk -= d + c
+      row
+    }
+    val got = Survival.survivalKm(spark, sf).collect()
+    assert(got.length == expected.length)
+    got.sortBy(_.getLong(0)).zip(expected).foreach { case (r, (t, n, d, c, sv)) =>
+      assert(r.getLong(0) == t && r.getLong(1) == n &&
+        r.getLong(2) == d && r.getLong(3) == c, s"counts at t=$t")
+      assert(math.abs(r.getDouble(4) - sv) < 1e-4, s"S(t=$t)")
+    }
+    // survival is non-increasing and starts ≤ 1
+    val ss = got.sortBy(_.getLong(0)).map(_.getDouble(4))
+    assert(ss.head <= 1.0 + 1e-9)
+    ss.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-9) }
+    // the risk sets telescope back to the full population
+    assert(got.map(r => r.getLong(2) + r.getLong(3)).sum == perUser.size)
+  }
+
+  test("acf_lags = brute autocorrelation on the zero-filled spine") {
+    import graft.analytics.Series
+    val daily = dailyCounts
+    val got = Series.acfLags(spark, sf).collect()
+    val types = daily.keys.map(_._1).toSeq.distinct
+    assert(got.length == types.size * Series.AcfMaxLag)
+    types.foreach { et =>
+      val days = daily.keys.collect { case (e, d) if e == et => d }
+      val (d0, d1) = (days.min, days.max)
+      val xs = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(d => daily.getOrElse((et, d), 0L).toDouble).toSeq
+      val mu = xs.sum / xs.length
+      val den = xs.map(x => (x - mu) * (x - mu)).sum
+      (1 to Series.AcfMaxLag).foreach { l =>
+        val num = (0 until xs.length - l)
+          .map(t => (xs(t) - mu) * (xs(t + l) - mu)).sum
+        val r = got.find(r => r.getString(0) == et && r.getLong(1) == l).get
+        assert(r.getLong(2) == xs.length - l, s"n_pairs $et lag $l")
+        assert(r.getLong(3) == xs.length, s"n_days $et")
+        assert(math.abs(r.getDouble(4) - num / den) < 1e-4,
+          s"acf($et, $l) got ${r.getDouble(4)} want ${num / den}")
+      }
+    }
+  }
 }
