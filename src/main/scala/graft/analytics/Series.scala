@@ -31,17 +31,24 @@ object Series {
     * (Σxy − x̄(Σx_a+Σx_b) + n_l·x̄²)/(Σx² − n·x̄²) — every float op a
     * fixed-sequence function of identical integers on both engines
     * (the §2.203 exact-moment trick); one 6 dp rounding at the end. */
-  def acfLags(spark: SparkSession, dir: String): DataFrame = {
+  /** Zero-filled (event_type, day, n) daily-volume spine — the shared
+    * front of both series diagnostics: one map-side-combined groupBy
+    * to day grain, per-type calendar densification. */
+  private def daySpine(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-    val spine = daily.groupBy("event_type")
+    daily.groupBy("event_type")
       .agg(min("day").as("d0"), max("day").as("d1"))
       .select(col("event_type"),
         explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
       .join(daily, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"),
         coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  def acfLags(spark: SparkSession, dir: String): DataFrame = {
+    val spine = daySpine(spark, dir)
     val w = Window.partitionBy("event_type").orderBy("day")
     val lagged = spine.select(
       Seq(col("event_type"), col("n")) ++
@@ -110,4 +117,76 @@ object Series {
        |FROM perlag p JOIN pertype t USING (event_type)
        |ORDER BY event_type, lag""".stripMargin
   }
+
+  /** §2.222 `stl_decompose`: the classical additive decomposition x_t = trend + seasonal + resid
+    * of each event type's daily volume — trend is the centered 7-day
+    * moving average (full windows only), the weekly seasonal component
+    * is the day-of-week mean of the detrended series, and the residual
+    * is what anomaly detectors should be fed (raw volume alarms on
+    * every weekend; the residual alarms on real deviations).
+    *
+    * Scale shape: identical to [[acfLags]] — corpus → day grain once,
+    * everything after lives on the calendar-bounded spine; the
+    * seasonal table is ≤ types×7 rows broadcast back.
+    *
+    * Determinism: counts are integers, so 7·trend = Σ₇x is an exact
+    * BIGINT, the detrended value scales to the exact BIGINT
+    * 7x − Σ₇x, and the seasonal mean is Σ(7x−Σ₇x)/(7·cnt) — every
+    * reported float a fixed-sequence expression of identical BIGINTs;
+    * there is NO cross-row float sum anywhere (the §2.203 discipline,
+    * here taken to zero float aggregation at all). */
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val spine = daySpine(spark, dir)
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val t = spine
+      .withColumn("s7", sum("n").over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .filter(col("c7") === 7)
+      .withColumn("det7", lit(7L) * col("n") - col("s7"))
+      .withColumn("dow", dayofweek(col("day")))
+    val seas = t.groupBy("event_type", "dow")
+      .agg(sum("det7").as("ssum"), count(lit(1)).as("cnt"))
+    t.join(broadcast(seas), Seq("event_type", "dow"))
+      .withColumn("trend", col("s7").cast("double") / 7.0)
+      .withColumn("seasonal",
+        col("ssum").cast("double") / (lit(7.0) * col("cnt")))
+      .select(col("event_type"), col("day").cast("timestamp").as("day"),
+        col("n"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("n") - col("trend") - col("seasonal"), 4).as("resid"))
+      .orderBy("event_type", "day")
+  }
+
+  val stlDecomposeSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+      |  FROM (SELECT event_type,
+      |      unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      |    FROM (SELECT event_type, CAST(min(day) AS TIMESTAMP) AS d0,
+      |        CAST(max(day) AS TIMESTAMP) AS d1 FROM daily GROUP BY 1) t) s
+      |  LEFT JOIN daily d
+      |    ON s.event_type = d.event_type AND CAST(s.day AS DATE) = d.day),
+      |t AS (SELECT event_type, day, n,
+      |    CAST(sum(n) OVER w AS BIGINT) AS s7,
+      |    count(*) OVER w AS c7,
+      |    7 * n - CAST(sum(n) OVER w AS BIGINT) AS det7,
+      |    dayofweek(CAST(day AS DATE)) + 1 AS dow
+      |  FROM spine
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |tf AS (SELECT * FROM t WHERE c7 = 7),
+      |seas AS (SELECT event_type, dow,
+      |    CAST(sum(det7) AS BIGINT) AS ssum, count(*) AS cnt
+      |  FROM tf GROUP BY 1, 2)
+      |SELECT tf.event_type, tf.day, tf.n,
+      |  round(CAST(s7 AS DOUBLE) / 7.0, 4) AS trend,
+      |  round(CAST(ssum AS DOUBLE) / (7.0 * cnt), 4) AS seasonal,
+      |  round(tf.n - CAST(s7 AS DOUBLE) / 7.0
+      |    - CAST(ssum AS DOUBLE) / (7.0 * cnt), 4) AS resid
+      |FROM tf JOIN seas USING (event_type, dow)
+      |ORDER BY tf.event_type, tf.day""".stripMargin
 }

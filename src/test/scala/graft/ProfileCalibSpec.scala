@@ -70,4 +70,42 @@ class ProfileCalibSpec extends AnyFunSuite {
         math.rint((r.getDouble(3) - exact) * 100.0 / exact * 1e4) / 1e4) < 1e-9)
     }
   }
+
+  test("k_anonymity = brute group-size/diversity audit for both QI configs") {
+    import graft.dq.Privacy
+    val rows = Tables.customer(spark, sf)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    def audit(qi: ((Int, String, Double)) => Product)
+        : (Long, Long, Long, Double, Long, Long) = {
+      val groups = rows.groupBy(qi).values.toSeq
+      val ks = groups.map(_.length.toLong).sorted
+      val med = { // same interpolation as percentile/quantile_cont
+        val pos = (ks.length - 1) * 0.5
+        val lo = ks(pos.toInt).toDouble
+        if (pos.toInt + 1 < ks.length)
+          lo + (ks(pos.toInt + 1) - lo) * (pos - pos.toInt) else lo
+      }
+      (groups.size.toLong, rows.length.toLong, ks.min, med,
+        groups.filter(_.length < Privacy.KThreshold)
+          .map(_.length.toLong).sum,
+        groups.map(_.map(_._3).distinct.length.toLong).min)
+    }
+    val expected = Map(
+      "coarse" -> audit(t => (t._1, t._2)),
+      "fine" -> audit(t => (t._1, t._2, math.floor(t._3 / 1000.0).toLong)))
+    val got = Privacy.kAnonymity(spark, sf).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      val (ng, nr, mk, med, below, ml) = expected(r.getString(0))
+      assert(r.getLong(1) == ng && r.getLong(2) == nr &&
+        r.getLong(3) == mk && r.getLong(5) == below && r.getLong(7) == ml,
+        s"config ${r.getString(0)}")
+      assert(math.abs(r.getDouble(4) - med) < 1e-4)
+      assert(math.abs(r.getDouble(6) - below.toDouble / nr) < 1e-4)
+    }
+    // the fine view can only fragment groups: risk never decreases
+    val byCfg = got.map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(byCfg("fine") >= byCfg("coarse"))
+  }
 }

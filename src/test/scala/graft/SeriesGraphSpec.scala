@@ -133,6 +133,42 @@ class SeriesGraphSpec extends AnyFunSuite {
     assert(got.map(r => r.getLong(2) + r.getLong(3)).sum == perUser.size)
   }
 
+  test("stl_decompose: components rebuild x; seasonal = dow mean of detrended") {
+    import graft.analytics.Series
+    val daily = dailyCounts
+    val got = Series.stlDecompose(spark, sf).collect()
+    assert(got.nonEmpty)
+    val byType = got.groupBy(_.getString(0))
+    byType.foreach { case (et, rs) =>
+      val days = daily.keys.collect { case (e, d) if e == et => d }
+      val (d0, d1) = (days.min, days.max)
+      val series = Iterator.iterate(d0)(_.plusDays(1))
+        .takeWhile(!_.isAfter(d1))
+        .map(d => d -> daily.getOrElse((et, d), 0L)).toIndexedSeq
+      // trend = centered MA7 on full windows only
+      val trend = (3 until series.length - 3).map { i =>
+        series(i)._1 -> series.slice(i - 3, i + 4).map(_._2).sum / 7.0
+      }.toMap
+      assert(rs.length == trend.size, s"$et scored-day count")
+      val det = trend.map { case (d, tr) =>
+        d -> (daily.getOrElse((et, d), 0L) - tr) }
+      val seas = det.groupBy(_._1.getDayOfWeek).view
+        .mapValues(v => v.values.sum / v.size).toMap
+      rs.foreach { r =>
+        val d = r.getTimestamp(1).toLocalDateTime.toLocalDate
+        assert(math.abs(r.getDouble(3) - trend(d)) < 1e-4, s"trend $et $d")
+        assert(math.abs(r.getDouble(4) - seas(d.getDayOfWeek)) < 1e-4)
+        // decomposition identity: n = trend + seasonal + resid
+        assert(math.abs(r.getLong(2) -
+          (r.getDouble(3) + r.getDouble(4) + r.getDouble(5))) < 2e-4)
+      }
+      // seasonal components of the scored days sum to ~0 when every dow
+      // appears equally often; weaker invariant: mean of residuals ≈ 0
+      val meanResid = rs.map(_.getDouble(5)).sum / rs.length
+      assert(math.abs(meanResid) < 1.0)
+    }
+  }
+
   test("acf_lags = brute autocorrelation on the zero-filled spine") {
     import graft.analytics.Series
     val daily = dailyCounts
