@@ -342,4 +342,164 @@ object Eval {
       |    - CAST(n_catalog + 1 AS DOUBLE) / CAST(n_catalog AS DOUBLE), 6)
       |    AS gini
       |FROM agg""".stripMargin
+
+  /** The fixed decision thresholds the PR sweep scores (the deploy
+    * question is "what θ do we ship?" — a dense curve is the §2.203
+    * AUC's job; the sweep prices each candidate cut). */
+  val PrThresholds: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  /** §2.224 `pr_curve`: precision / recall / F1 of the §2.29 quality
+    * score as an English-document classifier at each θ in
+    * [[PrThresholds]] — the operating-point companion to §2.203's
+    * threshold-free AUC.
+    *
+    * Scale shape: the 6 dp score grid bounds the cell frame at ≤10⁶
+    * rows whatever the corpus size; the threshold sweep is a cross
+    * join over that bounded frame (never the corpus), collapsed by
+    * one groupBy(θ). Counts stay BIGINT to the end; precision/recall/
+    * F1 are fixed-sequence divisions of identical integers.
+    *
+    * Deliberately NOT re-gridded to 4 dp: re-rounding an already-6 dp
+    * double lands exactly on .5 boundaries, where Spark (HALF_UP on
+    * the shortest decimal string) and DuckDB (round of the binary
+    * value) disagree — 0.69405 → 0.6941 vs 0.694 — which here could
+    * flip a doc across a decision threshold. The 6 dp score itself is
+    * bit-identical on both engines, so every s ≥ θ compare agrees. */
+  def prCurve(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.text.TextQueries.qualityFrame(Tables.documents(spark, dir))
+      .select(col("quality_score").as("s"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val cells = f.groupBy("s").agg(
+      sum("y").as("np"), (count(lit(1)) - sum(col("y"))).as("nn"))
+    val grid = PrThresholds.map(t => s"(CAST($t AS DOUBLE))").mkString(",")
+    val thresholds = spark.sql(s"SELECT * FROM VALUES $grid AS t(threshold)")
+    cells.crossJoin(broadcast(thresholds))
+      .groupBy("threshold").agg(
+        sum(when(col("s") >= col("threshold"), col("np")).otherwise(0L))
+          .as("tp"),
+        sum(when(col("s") >= col("threshold"), col("nn")).otherwise(0L))
+          .as("fp"),
+        sum(when(col("s") < col("threshold"), col("np")).otherwise(0L))
+          .as("fn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+        .otherwise(0.0))
+      .withColumn("recall", when(col("tp") + col("fn") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+        .otherwise(0.0))
+      .withColumn("f1", when(col("precision") + col("recall") > 0,
+        round(lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall")), 6)).otherwise(0.0))
+      .select("threshold", "tp", "fp", "fn", "precision", "recall", "f1")
+      .orderBy("threshold")
+  }
+
+  val prCurveSql: String = {
+    import graft.text.TextQueries.stopListSql
+    val grid = PrThresholds.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+    s"""WITH f AS (SELECT
+       |    round(0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text))
+       |      + 0.4 * (1.0 - abs(len(list_filter(_toks, t -> t IN ($stopListSql))) / n_tokens - 0.3))
+       |      + 0.2 * least(1.0, n_tokens / 100.0), 6) AS s,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT lang, text, string_split_regex(trim(text), '\\s+') AS _toks,
+       |          CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens
+       |        FROM documents) t),
+       |cells AS (SELECT s, CAST(sum(y) AS BIGINT) AS np,
+       |    CAST(count(*) - sum(y) AS BIGINT) AS nn
+       |  FROM f GROUP BY s),
+       |sweep AS (SELECT g.threshold,
+       |    CAST(sum(CASE WHEN s >= g.threshold THEN np ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN s >= g.threshold THEN nn ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN s < g.threshold THEN np ELSE 0 END) AS BIGINT) AS fn
+       |  FROM cells CROSS JOIN (VALUES $grid) g(threshold)
+       |  GROUP BY 1),
+       |pr AS (SELECT threshold, tp, fp, fn,
+       |    CASE WHEN tp + fp > 0
+       |      THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) ELSE 0.0 END
+       |      AS precision,
+       |    CASE WHEN tp + fn > 0
+       |      THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) ELSE 0.0 END
+       |      AS recall
+       |  FROM sweep)
+       |SELECT threshold, tp, fp, fn, precision, recall,
+       |  CASE WHEN precision + recall > 0
+       |    THEN round(2.0 * precision * recall / (precision + recall), 6)
+       |    ELSE 0.0 END AS f1
+       |FROM pr ORDER BY threshold""".stripMargin
+  }
+
+  /** §2.225 `ece_calibration`: expected calibration error of the
+    * quality score read as P(lang = en) — 10 fixed-width confidence
+    * bins, per bin the mean score ("confidence") vs the observed
+    * positive rate ("accuracy"), ECE = Σ (n_b/N)·|acc_b − conf_b|
+    * (Naeini et al. 2015; the reliability-diagram table). A score can
+    * have perfect AUC and still be badly calibrated — ranking metrics
+    * cannot see it — and the §2.96 importance sampler weighs BY the
+    * score, so miscalibration directly distorts the sampled corpus.
+    *
+    * Scale shape: one map-side-combined groupBy to ≤10 bins. The
+    * per-bin mean score sums the 6 dp-gridded score as EXACT integer
+    * e6 units (BIGINT — no float sum over the corpus), so conf is one
+    * division of identical integers; the 10 ECE addends round at 6 dp
+    * before the final sum (the §2.204 iv_term convention). The score
+    * is used at its native 6 dp — NOT re-rounded to 4 dp, which lands
+    * on .5 boundaries where the two engines' round() disagree (see
+    * [[prCurve]]); round(s·10⁶) of a 6 dp value sits ~integer, never
+    * near a half, so the e6 units are engine-identical. */
+  def eceCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.text.TextQueries.qualityFrame(Tables.documents(spark, dir))
+      .select(col("quality_score").as("s"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val bins = f
+      .withColumn("bin", least(floor(col("s") * 10), lit(9L)).cast("int"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum(round(col("s") * 1000000).cast("long")).as("s_e6"),
+        sum("y").as("n_pos"))
+    val total = bins.agg(sum("n").as("n_total"))
+    bins.crossJoin(broadcast(total))
+      .withColumn("confidence",
+        round(col("s_e6").cast("double") / 1000000.0 / col("n"), 6))
+      .withColumn("accuracy",
+        round(col("n_pos").cast("double") / col("n"), 6))
+      .withColumn("gap", round(abs(col("accuracy") - col("confidence")), 6))
+      .withColumn("ece_term", round(
+        col("n").cast("double") / col("n_total") * col("gap"), 6))
+      .withColumn("ece",
+        round(sum("ece_term").over(Window.partitionBy("n_total")), 6))
+      .select("bin", "n", "confidence", "accuracy", "gap", "ece")
+      .orderBy("bin")
+  }
+
+  val eceCalibrationSql: String = {
+    import graft.text.TextQueries.stopListSql
+    s"""WITH f AS (SELECT
+       |    round(0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text))
+       |      + 0.4 * (1.0 - abs(len(list_filter(_toks, t -> t IN ($stopListSql))) / n_tokens - 0.3))
+       |      + 0.2 * least(1.0, n_tokens / 100.0), 6) AS s,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT lang, text, string_split_regex(trim(text), '\\s+') AS _toks,
+       |          CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens
+       |        FROM documents) t),
+       |bins AS (SELECT CAST(least(floor(s * 10), 9) AS INTEGER) AS bin,
+       |    count(*) AS n,
+       |    CAST(sum(CAST(round(s * 1000000) AS BIGINT)) AS BIGINT) AS s_e6,
+       |    CAST(sum(y) AS BIGINT) AS n_pos
+       |  FROM f GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM bins),
+       |g AS (SELECT bin, n,
+       |    round(CAST(s_e6 AS DOUBLE) / 1000000.0 / n, 6) AS confidence,
+       |    round(CAST(n_pos AS DOUBLE) / n, 6) AS accuracy,
+       |    round(abs(round(CAST(n_pos AS DOUBLE) / n, 6)
+       |      - round(CAST(s_e6 AS DOUBLE) / 1000000.0 / n, 6)), 6) AS gap,
+       |    n_total
+       |  FROM bins CROSS JOIN t),
+       |e AS (SELECT bin, n, confidence, accuracy, gap, n_total,
+       |    round(CAST(n AS DOUBLE) / n_total * gap, 6) AS ece_term
+       |  FROM g)
+       |SELECT bin, n, confidence, accuracy, gap,
+       |  round(sum(ece_term) OVER (PARTITION BY n_total), 6) AS ece
+       |FROM e ORDER BY bin""".stripMargin
+  }
 }

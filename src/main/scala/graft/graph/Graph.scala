@@ -525,6 +525,77 @@ object Graph {
        |  count(*) AS n_communities, round(sum(q_c), 6) AS modularity
        |FROM qc GROUP BY m_dir""".stripMargin
 
+  /** §2.223 `graph_assortativity`: degree assortativity of the
+    * user↔item click graph — the Pearson correlation of endpoint
+    * degrees over all directed edges (Newman 2002), THE one-number
+    * answer to "do hubs attach to hubs?" (r<0, typical of bipartite
+    * user–item graphs: high-degree users click long-tail items) that
+    * decides whether degree-based sampling/salting strategies see
+    * correlated or anti-correlated hot spots.
+    *
+    * Scale shape: reuses the persisted (src, dst, deg) adjacency
+    * (§2.131's MemoCache contract); one node-sized degree frame joins
+    * back by dst (hash join, AQE-splittable on hub nodes), and the
+    * FIVE moment sums collapse map-side in a single aggregate.
+    *
+    * Determinism: degrees are integers; every moment sums as
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — EXACT whatever the
+    * edge count, immune to both overflow and summation order (at
+    * 10¹² edges Σd·d′ overflows int64, the §2.140 lesson, but a
+    * 128-bit integer sum stays exact where a double sum would go
+    * order-dependent). The correlation is then one fixed-sequence
+    * double expression of identical integers, rounded at 6 dp. */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val (adj, nodes, _) = adjacency(spark, dir)
+    val degD = adj.select("src", "deg").distinct()
+    val ed = adj.select(col("dst"), col("deg").as("dx"))
+      .join(degD.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+    val dec = "decimal(38,0)"
+    val s = ed.agg(
+      count(lit(1)).as("m_dir"),
+      sum(col("dx").cast(dec)).as("sx"),
+      sum(col("dy").cast(dec)).as("sy"),
+      sum((col("dx").cast(dec) * col("dy").cast(dec)).cast(dec)).as("sxy"),
+      sum((col("dx").cast(dec) * col("dx").cast(dec)).cast(dec)).as("sxx"),
+      sum((col("dy").cast(dec) * col("dy").cast(dec)).cast(dec)).as("syy"))
+    val m = col("m_dir").cast("double")
+    def d(c: String) = col(c).cast("double")
+    s.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_nodes"),
+        (col("m_dir") / 2).cast("long").as("n_edges"),
+        round(d("sx") / m, 4).as("avg_deg"),
+        round((m * d("sxy") - d("sx") * d("sy")) /
+          sqrt((m * d("sxx") - d("sx") * d("sx")) *
+            (m * d("syy") - d("sy") * d("sy"))), 6).as("assortativity"))
+  }
+
+  val graphAssortativitySql: String =
+    """WITH uv AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+      |    'i' || CAST(json_extract_string(props, '$.k') AS VARCHAR) AS v
+      |  FROM events WHERE event_type = 'click'),
+      |e AS (SELECT u AS src, v AS dst FROM uv
+      |      UNION ALL SELECT v AS src, u AS dst FROM uv),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |ed AS (SELECT a.deg AS dx, b.deg AS dy
+      |  FROM e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src),
+      |s AS (SELECT count(*) AS m_dir,
+      |    sum(CAST(dx AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT)) AS sy,
+      |    sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+      |    sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+      |    sum(CAST(dy AS HUGEINT) * dy) AS syy
+      |  FROM ed),
+      |n AS (SELECT count(*) AS n_nodes FROM deg)
+      |SELECT n.n_nodes, CAST(m_dir / 2 AS BIGINT) AS n_edges,
+      |  round(CAST(sx AS DOUBLE) / CAST(m_dir AS DOUBLE), 4) AS avg_deg,
+      |  round((CAST(m_dir AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(m_dir AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(m_dir AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS assortativity
+      |FROM s CROSS JOIN n""".stripMargin
+
   /** jaccard_neighbors similarity floor. */
   val MinJaccard = 0.1
 

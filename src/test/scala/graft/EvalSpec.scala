@@ -185,4 +185,76 @@ class EvalSpec extends AnyFunSuite {
     assert(incs.forall(_ > 0))
     assert(incs.sliding(2).forall(p => p(1) < p(0) + 1e-9))
   }
+
+  private def scoreRows: Array[(Double, Int)] =
+    graft.text.TextQueries.qualityFrame(Tables.documents(spark, sf))
+      .select(col("quality_score").as("s"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+
+  test("pr_curve = brute confusion counts at every threshold; P/R trade off") {
+    val rows = scoreRows
+    val got = Eval.prCurve(spark, sf).collect()
+    assert(got.length == Eval.PrThresholds.length)
+    got.foreach { r =>
+      val th = r.getDouble(0)
+      val tp = rows.count(x => x._1 >= th && x._2 == 1).toLong
+      val fp = rows.count(x => x._1 >= th && x._2 == 0).toLong
+      val fn = rows.count(x => x._1 < th && x._2 == 1).toLong
+      assert(r.getLong(1) == tp && r.getLong(2) == fp && r.getLong(3) == fn,
+        s"confusion at θ=$th")
+      val prec = if (tp + fp > 0) tp.toDouble / (tp + fp) else 0.0
+      val rec = if (tp + fn > 0) tp.toDouble / (tp + fn) else 0.0
+      assert(math.abs(r.getDouble(4) - prec) < 1e-4)
+      assert(math.abs(r.getDouble(5) - rec) < 1e-4)
+    }
+    // recall is monotone non-increasing in θ
+    val recs = got.sortBy(_.getDouble(0)).map(_.getDouble(5))
+    recs.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-9) }
+  }
+
+  test("ece_calibration = brute reliability bins; ece = weighted gap sum") {
+    val rows = scoreRows
+    val byBin = rows.groupBy(x => math.min((x._1 * 10).toInt, 9))
+    val n = rows.length.toDouble
+    val got = Eval.eceCalibration(spark, sf).collect()
+    assert(got.length == byBin.size)
+    var ece = 0.0
+    got.sortBy(_.getInt(0)).foreach { r =>
+      val xs = byBin(r.getInt(0))
+      assert(r.getLong(1) == xs.length.toLong)
+      val conf = xs.map(_._1).sum / xs.length
+      val acc = xs.count(_._2 == 1).toDouble / xs.length
+      assert(math.abs(r.getDouble(2) - conf) < 1e-4, s"conf bin ${r.getInt(0)}")
+      assert(math.abs(r.getDouble(3) - acc) < 1e-4)
+      assert(math.abs(r.getDouble(4) - math.abs(acc - conf)) < 1e-4)
+      ece += xs.length / n * math.abs(acc - conf)
+    }
+    // the shared ece column equals the weighted gap sum on every row
+    got.foreach(r => assert(math.abs(r.getDouble(5) - ece) < 1e-4))
+  }
+
+  test("graph_assortativity = brute Pearson over directed endpoint degrees") {
+    val uv = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(concat(lit("u"), col("user_id")).as("u"),
+        concat(lit("i"), get_json_object(col("props"), "$.k")).as("v"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val dirEdges = uv ++ uv.map(e => (e._2, e._1))
+    val deg = dirEdges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xs = dirEdges.map(e => deg(e._1).toDouble)
+    val ys = dirEdges.map(e => deg(e._2).toDouble)
+    val m = xs.length.toDouble
+    val (mx, my) = (xs.sum / m, ys.sum / m)
+    val num = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val den = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum *
+      ys.map(b => (b - my) * (b - my)).sum)
+    val r = graft.graph.Graph.graphAssortativity(spark, sf).collect().head
+    assert(r.getLong(0) == deg.size.toLong, "n_nodes")
+    assert(r.getLong(1) == uv.length.toLong, "n_edges")
+    assert(math.abs(r.getDouble(2) - xs.sum / m) < 1e-3, "avg_deg")
+    assert(math.abs(r.getDouble(3) - num / den) < 1e-4,
+      s"r got ${r.getDouble(3)} want ${num / den}")
+    assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
+  }
 }
