@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -297,4 +297,106 @@ object Stats {
       |  abs(round((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)), 4))
       |    > 1.96 AS significant
       |FROM x""".stripMargin
+
+  /** Two-sided standard-normal critical values z(α·i/m ÷ 2) for the
+    * §2.228 Benjamini–Hochberg step-up at α = 0.05 over m = 5
+    * hypotheses (i = 1..5 → p = 0.01..0.05): the textbook quantiles
+    * Φ⁻¹(1 − p/2), inlined as the SAME literals in both engines (the
+    * §2.205 IdcgCum convention — no engine-side inverse CDF). */
+  val BhCritZ: IndexedSeq[Double] =
+    IndexedSeq(2.5758, 2.3263, 2.1701, 2.0537, 1.96)
+
+  /** §2.228 `ab_test_multi`: the §2.208 Welch test run per EVENT TYPE
+    * (5 hypotheses on one experiment) with Benjamini–Hochberg FDR
+    * correction — the multiple-testing discipline a metrics platform
+    * needs (5 uncorrected tests at α=0.05 false-alarm ~23% of the
+    * time under the global null). BH step-up: rank |z| descending,
+    * reject hypotheses 1..i* where i* is the largest rank whose |z|
+    * clears its [[BhCritZ]] rung.
+    *
+    * Scale shape: ONE map-side-combined groupBy collapses the corpus
+    * to (type, arm) cells carrying exact integer moments (n, Σcents,
+    * Σcents² as DECIMAL(38,0)/HUGEINT — the §2.223 overflow-proof
+    * sums); the Welch arithmetic, ranking, and step-up are windows
+    * over the ≤5-row frame. Mean/variance derive from identical
+    * integers in a fixed sequence; z rounds at 4 dp BEFORE ranking so
+    * the rank order is grid-stable cross-engine. */
+  def abTestMulti(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "arm").agg(
+        count(lit(1)).as("n"), sum("cents").as("s"),
+        sum((col("cents").cast(dec) * col("cents").cast(dec)).cast(dec))
+          .as("s2"))
+    def d(c: Column) = c.cast("double")
+    def side(a: String) = cells.filter(col("arm") === a)
+      .select(col("event_type"), col("n").as(s"n_$a"),
+        (d(col("s")) / 100.0 / col("n")).as(s"m_$a"),
+        (((d(col("s2")) - d(col("s")) * d(col("s")) / col("n")) /
+          (col("n") - 1)) / 10000.0).as(s"v_$a"))
+    val z = side("A").join(side("B"), "event_type")
+      .withColumn("z_stat", round((col("m_A") - col("m_B")) /
+        sqrt(col("v_A") / col("n_A") + col("v_B") / col("n_B")), 4))
+    val w = Window.orderBy(abs(col("z_stat")).desc, col("event_type"))
+    val crit = BhCritZ.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, CAST($c AS DOUBLE))" }
+      .mkString(",")
+    val critDf = spark.sql(s"SELECT * FROM VALUES $crit AS t(rk, crit_z)")
+    val ranked = z.withColumn("rk", row_number().over(w))
+      .join(broadcast(critDf), Seq("rk"))
+      .withColumn("pass", abs(col("z_stat")) >= col("crit_z"))
+    val istar = Window.partitionBy(lit(1))
+    ranked
+      .withColumn("i_star", max(when(col("pass"), col("rk"))).over(istar))
+      .select(col("event_type"), col("n_A").as("n_a"), col("n_B").as("n_b"),
+        round(col("m_A"), 4).as("mean_a"), round(col("m_B"), 4).as("mean_b"),
+        col("z_stat"), col("rk").as("z_rank"), col("crit_z"),
+        (abs(col("z_stat")) > 1.96).as("sig_raw"),
+        coalesce(col("rk") <= col("i_star"), lit(false)).as("sig_bh"))
+      .orderBy("z_rank")
+  }
+
+  val abTestMultiSql: String = {
+    val crit = BhCritZ.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, CAST($c AS DOUBLE))" }
+      .mkString(", ")
+    s"""WITH cells AS (SELECT event_type,
+       |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    count(*) AS n,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+       |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+       |      * CAST(round(value * 100) AS BIGINT)) AS s2
+       |  FROM events GROUP BY 1, 2),
+       |sides AS (SELECT a.event_type,
+       |    a.n AS n_a, b.n AS n_b,
+       |    CAST(a.s AS DOUBLE) / 100.0 / a.n AS m_a,
+       |    CAST(b.s AS DOUBLE) / 100.0 / b.n AS m_b,
+       |    ((CAST(a.s2 AS DOUBLE) - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / a.n)
+       |      / (a.n - 1)) / 10000.0 AS v_a,
+       |    ((CAST(b.s2 AS DOUBLE) - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.n)
+       |      / (b.n - 1)) / 10000.0 AS v_b
+       |  FROM cells a JOIN cells b ON a.event_type = b.event_type
+       |  WHERE a.arm = 'A' AND b.arm = 'B'),
+       |z AS (SELECT event_type, n_a, n_b, m_a, m_b,
+       |    round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS z_stat
+       |  FROM sides),
+       |rk AS (SELECT z.*,
+       |    row_number() OVER (ORDER BY abs(z_stat) DESC, event_type) AS z_rank
+       |  FROM z),
+       |joined AS (SELECT rk.*, c.crit_z,
+       |    abs(rk.z_stat) >= c.crit_z AS pass
+       |  FROM rk JOIN (VALUES $crit) c(rk2, crit_z) ON c.rk2 = rk.z_rank),
+       |flagged AS (SELECT joined.*,
+       |    max(CASE WHEN pass THEN z_rank END) OVER () AS i_star
+       |  FROM joined)
+       |SELECT event_type, n_a, n_b,
+       |  round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+       |  z_stat, z_rank, crit_z,
+       |  abs(z_stat) > 1.96 AS sig_raw,
+       |  COALESCE(z_rank <= i_star, FALSE) AS sig_bh
+       |FROM flagged ORDER BY z_rank""".stripMargin
+  }
 }

@@ -169,4 +169,106 @@ class StatsSpec extends AnyFunSuite {
     val ew = Stats.PoissonCdf.map(1.0 - _).sum
     assert(math.abs(ew - 1.0) < 1e-3, s"E[w] = $ew")
   }
+
+  test("ab_test_multi = per-type Welch z + BH step-up replay") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def welch(et: String): (Long, Long, Double) = {
+      val cents = rows.filter(_._1 == et)
+        .map(r => (r._2 % 2 == 0, math.round(r._3 * 100)))
+      val a = cents.filter(_._1).map(_._2)
+      val b = cents.filterNot(_._1).map(_._2)
+      def mv(xs: Array[Long]): (Double, Double) = {
+        val m = xs.sum.toDouble / xs.length / 100.0
+        val v = xs.map(x => (x / 100.0 - m) * (x / 100.0 - m)).sum /
+          (xs.length - 1)
+        (m, v)
+      }
+      val ((ma, va), (mb, vb)) = (mv(a), mv(b))
+      (a.length.toLong, b.length.toLong,
+        (ma - mb) / math.sqrt(va / a.length + vb / b.length))
+    }
+    val types = rows.map(_._1).distinct.sorted
+    val zs = types.map(et => et -> welch(et)).toMap
+    val got = Stats.abTestMulti(spark, sf).collect()
+    assert(got.length == types.length)
+    got.foreach { r =>
+      val (na, nb, z) = zs(r.getString(0))
+      assert(r.getLong(1) == na && r.getLong(2) == nb)
+      assert(math.abs(r.getDouble(5) - z) < 1e-3, s"z for ${r.getString(0)}")
+      assert(r.getBoolean(8) == (math.abs(r.getDouble(5)) > 1.96))
+    }
+    // BH step-up replay over the engine's own (rounded) z values
+    val byRank = got.sortBy(_.getInt(6))
+    val pass = byRank.zipWithIndex.collect {
+      case (r, i) if math.abs(r.getDouble(5)) >= Stats.BhCritZ(i) => i + 1
+    }
+    val iStar = if (pass.isEmpty) 0 else pass.max
+    byRank.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getBoolean(9) == (i + 1 <= iStar), s"sig_bh rank ${i + 1}")
+    }
+    // BH never rejects fewer than... sanity: sig_bh implies |z| can be
+    // below 1.96 only via the step-up, never above crit(1) unrejected
+    if (iStar >= 1)
+      assert(math.abs(byRank.head.getDouble(5)) >= Stats.BhCritZ(iStar - 1))
+  }
+
+  test("target_encode = brute smoothed encoding; LOO sd = sd/(n-1)") {
+    import graft.analytics.Features
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (cust(r.getLong(0)), math.round(r.getDouble(1) * 100)))
+    val prior = orders.map(_._2).sum.toDouble / orders.length / 100.0
+    val got = graft.analytics.Features.targetEncode(spark, sf).collect()
+    val byCat = orders.groupBy(_._1)
+    assert(got.length == byCat.size)
+    got.foreach { r =>
+      val xs = byCat(r.getString(0)).map(_._2)
+      val n = xs.length
+      assert(r.getLong(1) == n.toLong)
+      val mean = xs.sum.toDouble / n / 100.0
+      assert(math.abs(r.getDouble(2) - mean) < 1e-3)
+      val smoothed = (mean * n + prior * Features.SmoothM) /
+        (n + Features.SmoothM)
+      assert(math.abs(r.getDouble(3) - smoothed) < 1e-3)
+      val sd = math.sqrt(xs.map(x => (x / 100.0 - mean) * (x / 100.0 - mean))
+        .sum / (n - 1))
+      assert(math.abs(r.getDouble(4) - sd / (n - 1)) < 1e-4)
+      // shrinkage: smoothed sits between the raw mean and the prior
+      assert((smoothed - mean) * (smoothed - prior) <= 1e-9)
+    }
+  }
+
+  test("cohort_ltv = brute cohort revenue accumulation; cells partition revenue") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.sql.Timestamp](1).toLocalDateTime.getYear,
+        math.round(r.getDouble(2) * 100)))
+    val firstYr = orders.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = orders.groupBy(o => (firstYr(o._1), o._2 - firstYr(o._1)))
+      .view.mapValues(_.map(_._3).sum).toMap
+    val sizes = firstYr.values.groupBy(identity).view.mapValues(_.size).toMap
+    val got = graft.analytics.Cohorts.cohortLtv(spark, sf).collect()
+    assert(got.length == cells.size)
+    val byCohort = got.groupBy(_.getInt(0))
+    byCohort.foreach { case (cy, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getInt(1)).foreach { r =>
+        val rev = cells((cy, r.getInt(1)))
+        cum += rev
+        assert(r.getLong(2) == sizes(cy).toLong, "cohort size")
+        assert(math.abs(r.getDouble(3) - rev / 100.0) < 1e-6)
+        assert(math.abs(r.getDouble(4) - cum / 100.0) < 1e-6)
+        assert(math.abs(r.getDouble(5) - cum / 100.0 / sizes(cy)) < 1e-3)
+      }
+    }
+    // every order dollar lands in exactly one cell
+    assert(math.abs(got.map(_.getDouble(3)).sum -
+      orders.map(_._3).sum / 100.0) < 1e-4)
+  }
 }
