@@ -156,4 +156,128 @@ object Embed {
       |FROM bydim
       |ORDER BY abs(round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 4)) DESC, dim
       |LIMIT 10""".stripMargin
+
+  /** Power-iteration rounds for [[embedPca]] — enough for the dominant
+    * eigenvector on any spectrum with a visible gap; FIXED so both
+    * engines replay the identical arithmetic sequence. */
+  val PcaIters = 20
+
+  /** §2.230 `embed_pca`: dominant principal component of the embedding
+    * cloud — the loading vector + its explained-variance share, the
+    * embedding-health summary (a collapsed encoder concentrates
+    * variance in one direction; PCA whitening and the IVF cell shapes
+    * both start here). Method: distributed Gram matrix, then power
+    * iteration on the driver over the BOUNDED 64×64 frame (the K×dim
+    * Lloyd-centroid collect pattern — §2.73's driver-side exception).
+    *
+    * Scale shape: components quantize to exact e6-unit BIGINTs, and
+    * the ONLY corpus-sized work is one pass producing (j, k, Σeⱼeₖ)
+    * cells — a 64² row multiplier collapsed map-side into 4 096
+    * DECIMAL(38,0)/HUGEINT cells (the §2.223 overflow-proof sums) —
+    * plus a 64-cell mean frame. Everything after is arithmetic on
+    * ≤4 096 numbers.
+    *
+    * Determinism: the centered covariance n·S − sⱼsₖ is EXACT integer
+    * arithmetic; the power iteration is pure IEEE add/mul/div/sqrt in
+    * a FIXED order (k-ascending dot products, j-ascending norms), so
+    * the Scala fold and the DuckDB ordered-list_sum replay (list_sum
+    * folds left in list order — verified) produce BIT-IDENTICAL
+    * doubles, no rounding tricks needed until the 6 dp display. Sign
+    * is canonicalized on the largest-|loading| dimension (ties →
+    * lowest j). */
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = Tables.embeddings(spark, dir).select(expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+      .as("e"))
+    val sums = e.select(posexplode(col("e")).as(Seq("j", "ej")))
+      .groupBy("j").agg(sum("ej").as("sj"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), (BigInt(r.getLong(1)), r.getLong(2))))
+      .toMap
+    val dim = sums.size
+    val n = BigInt(sums(0)._2)
+    val gram = e.select(posexplode(col("e")).as(Seq("j", "ej")), col("e"))
+      .select(col("j"), col("ej"), posexplode(col("e")).as(Seq("k", "ek")))
+      .groupBy("j", "k")
+      .agg(sum((col("ej").cast(dec) * col("ek").cast(dec)).cast(dec))
+        .as("s"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        BigInt(r.getDecimal(2).toBigInteger))).toMap
+    // centered covariance scaled by n² (scale cancels in the
+    // eigenvector and in the variance SHARE)
+    val c = Array.tabulate(dim, dim) { (j, k) =>
+      (n * gram((j, k)) - sums(j)._1 * sums(k)._1).toDouble
+    }
+    var v = Array.fill(dim)(1.0 / 8.0) // unit for dim=64
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(dim)(j =>
+        (0 until dim).foldLeft(0.0)((acc, k) => acc + c(j)(k) * v(k)))
+      val norm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      v = w.map(_ / norm)
+    }
+    val cv = Array.tabulate(dim)(j =>
+      (0 until dim).foldLeft(0.0)((acc, k) => acc + c(j)(k) * v(k)))
+    val lambda = (0 until dim).foldLeft(0.0)((acc, j) => acc + v(j) * cv(j))
+    val trace = (0 until dim).foldLeft(0.0)((acc, j) => acc + c(j)(j))
+    val jmax = (0 until dim).minBy(j => (-math.abs(v(j)), j))
+    val sg = if (v(jmax) < 0) -1.0 else 1.0
+    // round exactly like DuckDB's round(x, 6): HALF_UP (= half away
+    // from zero) on the EXACT binary value — math.rint is HALF_EVEN
+    // and Spark's round() uses the shortest decimal string (the
+    // §2.224 trap); this helper matches the oracle by construction
+    def r6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val share = r6(lambda / trace)
+    import spark.implicits._
+    (0 until dim).map(j => (j, r6(sg * v(j)), share))
+      .toDF("dim", "loading", "explained_share")
+  }
+
+  val embedPcaSql: String = {
+    // every per-iteration CTE is MATERIALIZED: w_t is referenced by
+    // both n_t and v_t, so inlining doubles the subtree per level —
+    // 2^20 blowup (measured: 9 inlined iterations = 45 s, 20
+    // materialized = instant); each is a 64-row frame
+    val iters = (1 to PcaIters).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT c.j,
+         |    list_sum(list(c.cd * v${t - 1}.val ORDER BY c.k)) AS wv
+         |  FROM c JOIN v${t - 1} ON v${t - 1}.j = c.k GROUP BY c.j),
+         |n$t AS MATERIALIZED (SELECT
+         |    sqrt(list_sum(list(wv * wv ORDER BY j))) AS nm
+         |  FROM w$t),
+         |v$t AS MATERIALIZED (SELECT j, wv / nm AS val
+         |  FROM w$t CROSS JOIN n$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |ex AS MATERIALIZED (SELECT vec_id, u.j AS j, u.ej AS ej FROM (
+       |    SELECT vec_id, unnest(list_transform(generate_series(1, len(e)),
+       |      i -> {'j': i - 1, 'ej': e[i]})) AS u FROM q) t),
+       |g AS MATERIALIZED (SELECT a.j, b.j AS k,
+       |    sum(CAST(a.ej AS HUGEINT) * b.ej) AS s
+       |  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+       |m AS MATERIALIZED (SELECT j AS mj, CAST(sum(ej) AS HUGEINT) AS sj,
+       |    count(*) AS nn FROM ex GROUP BY 1),
+       |c AS MATERIALIZED (SELECT g.j, g.k,
+       |    CAST(a.nn * g.s - a.sj * b.sj AS DOUBLE) AS cd
+       |  FROM g JOIN m a ON a.mj = g.j JOIN m b ON b.mj = g.k),
+       |v0 AS (SELECT mj AS j, CAST(0.125 AS DOUBLE) AS val FROM m),
+       |$iters,
+       |cv AS (SELECT c.j,
+       |    list_sum(list(c.cd * v$PcaIters.val ORDER BY c.k)) AS t
+       |  FROM c JOIN v$PcaIters ON v$PcaIters.j = c.k GROUP BY c.j),
+       |lam AS (SELECT list_sum(list(v.val * cv.t ORDER BY v.j)) AS l
+       |  FROM v$PcaIters v JOIN cv ON cv.j = v.j),
+       |tr AS (SELECT list_sum(list(cd ORDER BY j)) AS t FROM c
+       |  WHERE j = k),
+       |sg AS (SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS s
+       |  FROM v$PcaIters ORDER BY abs(val) DESC, j LIMIT 1)
+       |SELECT v.j AS dim, round(sg.s * v.val, 6) AS loading,
+       |  round(lam.l / tr.t, 6) AS explained_share
+       |FROM v$PcaIters v CROSS JOIN sg CROSS JOIN lam CROSS JOIN tr
+       |ORDER BY dim""".stripMargin
+  }
 }

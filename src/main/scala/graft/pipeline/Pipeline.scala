@@ -68,6 +68,47 @@ object Pipeline {
        |  < quality_score * 1000000.0
        |ORDER BY doc_id""".stripMargin
 
+  /** Sample size for [[sampleAes]]. */
+  val AesK = 100
+
+  /** §2.229 `sample_aes`: EXACT-k weighted sampling without
+    * replacement via Efraimidis–Spirakis A-ES keys — the missing
+    * combination in the sampling family: §2.96 is weighted but
+    * Bernoulli (binomial size), §2.91 is exact-k but uniform. Each
+    * doc draws key = ln(u)/w (u a deterministic hash uniform, w its
+    * quality weight); the k largest keys ARE a weighted sample
+    * without replacement (Efraimidis & Spirakis 2006, the u^(1/w)
+    * trick in log space — same order, no pow()).
+    *
+    * Scale shape: one scan, zero shuffle — the global top-k plans as
+    * TakeOrderedAndProject (per-partition heaps, k-row merge), the
+    * §2.103 pattern; no window ever sees the corpus.
+    *
+    * Determinism: u = (h%10⁶ + 0.5)/10⁶ is integer-derived (never 0,
+    * so ln is finite) and identical cross-engine; ln's last-ulp
+    * wobble is absorbed by rounding the key at 9 dp before ranking
+    * (|ln u|/w ≤ ~10⁴, so 9 dp is far inside double precision), ties
+    * break on doc_id. */
+  def sampleAes(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextQueries.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("w", greatest(col("quality_score"), lit(0.001)))
+      .withColumn("u",
+        (pmod(hash64(concat_ws(":", lit("aes"), col("doc_id"))),
+          lit(1000000)).cast("double") + 0.5) / 1000000.0)
+      .withColumn("aes_key", round(log(col("u")) / col("w"), 9))
+      .orderBy(col("aes_key").desc, col("doc_id"))
+      .limit(AesK)
+      .select("doc_id", "quality_score", "aes_key")
+
+  val sampleAesSql: String =
+    s"""SELECT doc_id, quality_score,
+       |  round(ln((${hash64Sql("concat_ws(':', 'aes', doc_id)")} % 1000000
+       |      + 0.5) / 1000000.0)
+       |    / greatest(quality_score, 0.001), 9) AS aes_key
+       |FROM (${graft.text.TextQueries.textQualitySql}) q
+       |ORDER BY aes_key DESC, doc_id LIMIT $AesK""".stripMargin
+
   /** Fixed sample size per stratum for [[sampleFixed]]. */
   val FixedPerStratum = 20
 

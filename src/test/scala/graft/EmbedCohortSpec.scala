@@ -108,4 +108,44 @@ class EmbedCohortSpec extends AnyFunSuite {
     val brute = perDoc.groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(rows.map(r => (r._1, r._2) -> r._3).toMap === brute)
   }
+
+  test("embed_pca: unit eigenvector of the brute covariance, dominant share") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, sf).select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).map(x =>
+        math.round(x.toDouble * 1e6).toDouble).toArray)
+    val n = vecs.length
+    val dim = vecs.head.length
+    val s = Array.tabulate(dim)(j => vecs.map(_(j)).sum)
+    val c = Array.tabulate(dim, dim) { (j, k) =>
+      n.toDouble * vecs.map(v => v(j) * v(k)).sum - s(j) * s(k)
+    }
+    val got = graft.ann.Embed.embedPca(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(got.length == dim)
+    val v = got.map(_.getDouble(1))
+    // unit norm (up to the 6 dp display rounding)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3)
+    // Rayleigh quotient + eigen-residual: after 20 power iterations the
+    // loading vector must be an (approximate) eigenvector of C
+    val w = Array.tabulate(dim)(j =>
+      (0 until dim).map(k => c(j)(k) * v(k)).sum)
+    val lambda = (0 until dim).map(j => v(j) * w(j)).sum
+    val residual = math.sqrt((0 until dim)
+      .map(j => math.pow(w(j) - lambda * v(j), 2)).sum)
+    assert(residual < 0.05 * math.abs(lambda),
+      s"eigen residual ${residual / lambda}")
+    // top eigenvalue dominates every coordinate direction
+    assert(lambda >= (0 until dim).map(j => c(j)(j)).max * (1 - 1e-9))
+    // explained share replayed from the brute covariance
+    val share = got.head.getDouble(2)
+    val trace = (0 until dim).map(j => c(j)(j)).sum
+    assert(math.abs(share - lambda / trace) < 1e-3,
+      s"share $share vs ${lambda / trace}")
+    assert(share > 0.0 && share <= 1.0)
+    // sign canonicalization: the largest-|loading| dim is positive
+    val jmax = (0 until dim).minBy(j => (-math.abs(v(j)), j))
+    assert(v(jmax) > 0.0)
+  }
 }

@@ -231,4 +231,33 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == want)
   }
+
+  test("sample_aes = brute A-ES top-k; weighted inclusion beats uniform") {
+    import graft.pipeline.Pipeline
+    val scores = graft.text.TextQueries.textQuality(spark, sf)
+      .select("doc_id", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def key(id: Long, w: Double): Double = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"aes:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(md5.take(15), 16) % 1000000
+        + 0.5) / 1000000.0
+      val k = math.log(u) / math.max(w, 0.001)
+      new java.math.BigDecimal(k)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val expected = scores.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }
+      .take(math.min(Pipeline.AesK, scores.length))
+    val got = graft.pipeline.Pipeline.sampleAes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.sortBy(x => (-x._3, x._1)).toSeq == expected.toSeq)
+    // A-ES law: E[key] grows with w, so the selected set's mean weight
+    // should not be BELOW the corpus mean (weighted sampling pulls
+    // high-quality docs in expectation)
+    if (scores.length > Pipeline.AesK)
+      assert(got.map(_._2).sum / got.length >=
+        scores.map(_._2).sum / scores.length - 0.05)
+  }
 }
