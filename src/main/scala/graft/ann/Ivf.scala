@@ -208,4 +208,52 @@ object Ivf {
        |  FROM scored) t
        |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
   }
+
+  /** §2.232 `ann_recall`: recall@k of the IVF index against the exact
+    * brute-force scan, AS AN ORACLE QUERY — the "measure, don't
+    * guess" discipline (AnnRecallSpec measures on planted clusters;
+    * this measures on the live corpus, which is what an index-tuning
+    * job would watch before raising nprobe). Per query: hits = |IVF
+    * top-k ∩ exact top-k|; plus the mean over the query set repeated
+    * per row (bounded frame, one window).
+    *
+    * Scale shape: both arms are the existing §2.26/§2.73 plans (one
+    * linear scan each, nq bounded); the intersection is a leftsemi
+    * join on (q_id, vec_id) over two nq·k-row frames — nothing new
+    * is data-sized. Counts are integers; recall = hits/k is one
+    * division. */
+  def annRecall(spark: SparkSession, dir: String,
+      nq: Int = 5, k: Int = 10): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val ivf = ivfTopK(emb, nq, k).select("q_id", "vec_id")
+    val brute = Ann.bruteForceTopK(emb, nq, k).select("q_id", "vec_id")
+    val hits = ivf.join(brute, Seq("q_id", "vec_id"), "leftsemi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    val base = brute.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+    val per = base.join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_exact"), 6))
+    per
+      .withColumn("avg_recall", round(
+        sum("n_hits").over(Window.partitionBy(lit(1))).cast("double") /
+          sum("n_exact").over(Window.partitionBy(lit(1))), 6))
+      .select("q_id", "n_hits", "n_exact", "recall", "avg_recall")
+      .orderBy("q_id")
+  }
+
+  def annRecallSql(nq: Int = 5, k: Int = 10): String =
+    s"""WITH ivf AS (${ivfTopKSql(nq, k)}),
+       |brute AS (${Ann.bruteForceTopKSql(nq, k)}),
+       |hits AS (SELECT b.q_id, count(i.vec_id) AS n_hits,
+       |    count(*) AS n_exact
+       |  FROM brute b LEFT JOIN ivf i
+       |    ON i.q_id = b.q_id AND i.vec_id = b.vec_id
+       |  GROUP BY 1)
+       |SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(n_exact AS BIGINT) AS n_exact,
+       |  round(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall,
+       |  round(CAST(sum(n_hits) OVER () AS DOUBLE)
+       |    / CAST(sum(n_exact) OVER () AS BIGINT), 6) AS avg_recall
+       |FROM hits ORDER BY q_id""".stripMargin
 }

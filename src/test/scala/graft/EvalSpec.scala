@@ -234,6 +234,76 @@ class EvalSpec extends AnyFunSuite {
     got.foreach(r => assert(math.abs(r.getDouble(5) - ece) < 1e-4))
   }
 
+  test("mi_matrix = brute entropies/MI per pair; MI bounds respected") {
+    import graft.analytics.Features
+    def brute(xy: Seq[(String, String)]): (Double, Double, Double) = {
+      val n = xy.length.toDouble
+      def h(counts: Iterable[Int]): Double =
+        math.log(n) - counts.map(c => c * math.log(c)).sum / n
+      val hx = h(xy.groupBy(_._1).values.map(_.size))
+      val hy = h(xy.groupBy(_._2).values.map(_.size))
+      val hxy = h(xy.groupBy(identity).values.map(_.size))
+      (hx, hy, hx + hy - hxy)
+    }
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("string"), col("c_mktsegment"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), dayofweek(col("ts")).cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val want = Map("nation|segment" -> brute(cust),
+      "event_type|dow" -> brute(ev), "priority|status" -> brute(ord))
+    val got = graft.analytics.Features.miMatrix(spark, sf).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val (hx, hy, mi) = want(r.getString(0))
+      assert(math.abs(r.getDouble(4) - hx) < 1e-4, s"hx ${r.getString(0)}")
+      assert(math.abs(r.getDouble(5) - hy) < 1e-4)
+      assert(math.abs(r.getDouble(6) - mi) < 1e-4)
+      // information-theoretic bounds: 0 ≤ MI ≤ min(H(X), H(Y)); NMI ≤ 1
+      assert(r.getDouble(6) >= -1e-6 &&
+        r.getDouble(6) <= math.min(hx, hy) + 1e-6)
+      assert(r.getDouble(7) >= -1e-6 && r.getDouble(7) <= 1.0 + 1e-6)
+    }
+  }
+
+  test("ann_recall: hits replayed against a JVM exact top-k") {
+    import graft.ann.{Ann, Ivf}
+    val emb = Tables.embeddings(spark, sf)
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val k = 10
+    val exact = (0L until 5L).map { q =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, math.rint(cos(vecs(q), v) * 1e6) / 1e6) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    }.toMap
+    val ivf = Ivf.ivfTopK(emb).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val got = Ivf.annRecall(spark, sf).collect()
+    assert(got.length == 5)
+    var totHits = 0L
+    got.foreach { r =>
+      val q = r.getLong(0)
+      val hits = (ivf(q) intersect exact(q)).size.toLong
+      assert(r.getLong(1) == hits, s"hits q=$q")
+      assert(r.getLong(2) == k.toLong)
+      assert(math.abs(r.getDouble(3) - hits.toDouble / k) < 1e-6)
+      totHits += hits
+    }
+    got.foreach(r => assert(
+      math.abs(r.getDouble(4) - totHits.toDouble / (5 * k)) < 1e-4))
+  }
+
   test("graph_assortativity = brute Pearson over directed endpoint degrees") {
     val uv = Tables.events(spark, sf)
       .filter(col("event_type") === "click")
