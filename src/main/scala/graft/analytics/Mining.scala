@@ -843,4 +843,176 @@ object Mining {
       |  round(CAST(r.cum AS DOUBLE) / th.total_clicks, 6) AS click_share
       |FROM th JOIN ranked r ON r.rk = th.top_n
       |ORDER BY th.top_pct""".stripMargin
+
+  /** Absorption-iteration rounds for [[attributionMarkov]] — FIXED so
+    * both engines replay the identical truncated arithmetic (the
+    * output is DEFINED as the 64-round value; parity never depends on
+    * convergence, only quality does, and 64 rounds is far past the
+    * 6 dp horizon on journey-shaped chains). */
+  val MarkovIters = 64
+
+  /** The synthetic start/terminal state names — digit-prefixed so
+    * their byte order sorts BEFORE every lowercase event type in both
+    * engines' binary collation (the iteration's ordered dot products
+    * key on this shared ordering). */
+  val StartState = "0start"
+  val NullState = "1null"
+
+  /** §2.234 `attribution_markov`: Markov removal-effect attribution
+    * (the Anderl et al. data-driven model) — the principled sibling
+    * of §2.149's positional rules: build the first-order journey
+    * chain (START → events → purchase|dropout), compute P(conversion)
+    * by absorption, and credit each channel by how much conversion
+    * COLLAPSES when that channel's state is removed (paths through it
+    * break) — removal_effect(c) = 1 − P_conv^{−c}/P_conv, shares
+    * normalized.
+    *
+    * Scale shape: journeys need exactly ONE user_id exchange (the
+    * §2.137 lag-window class); transitions partial-aggregate map-side
+    * into a ≤(types+2)² cell frame; the absorbing-chain solve runs on
+    * the DRIVER over that bounded matrix (the §2.230 pattern) as
+    * [[MarkovIters]] fixed iterations.
+    *
+    * Determinism: transition probabilities are single divisions of
+    * exact integer counts; each iteration's dot products fold in
+    * dst-byte-order over EXISTING cells (sparse ≡ dense: the missing
+    * terms are exact +0.0), so Scala's fold and DuckDB's ordered
+    * list_sum (§2.230) yield bit-identical doubles; 6 dp display. */
+  def attributionMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("rn").as("prn"))
+    val jj = ev.join(firstPurchase, Seq("user_id"), "left")
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+    val wj = Window.partitionBy("user_id").orderBy("rn")
+    val steps = jj
+      .withColumn("nxt", lead("event_type", 1).over(wj))
+      .select(col("rn"), col("event_type"), col("nxt"))
+    val starts = jj.filter(col("rn") === 1)
+      .select(lit(StartState).as("src"), col("event_type").as("dst"))
+    val moves = steps.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("src"),
+        coalesce(col("nxt"), lit(NullState)).as("dst"))
+    val counts = starts.unionAll(moves)
+      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    // driver-side absorbing-chain iteration over the bounded matrix
+    val states = (counts.keys.map(_._1) ++ counts.keys.map(_._2))
+      .toSeq.distinct.sorted
+    val rowTot = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val outEdges = counts.keys.toSeq.sorted // (src, dst) byte order
+      .groupBy(_._1).view
+      .mapValues(_.map { case (s, d) =>
+        (d, counts((s, d)).toDouble / rowTot(s)) }).toMap
+    def solve(removed: Option[String]): Double = {
+      var v = states.map(s =>
+        s -> (if (s == "purchase") 1.0 else 0.0)).toMap
+      for (_ <- 1 to MarkovIters) {
+        v = states.map { s =>
+          val nv =
+            if (s == "purchase") 1.0
+            else if (s == NullState) 0.0
+            else if (removed.contains(s)) 0.0
+            else outEdges.get(s) match {
+              case None => 0.0
+              case Some(es) =>
+                es.foldLeft(0.0) { case (acc, (d, p)) => acc + p * v(d) }
+            }
+          s -> nv
+        }.toMap
+      }
+      v(StartState)
+    }
+    val pFull = solve(None)
+    val channels = states
+      .filterNot(s => s == StartState || s == NullState || s == "purchase")
+    val ratios = channels.map(c => c -> solve(Some(c)) / pFull)
+    val totEff = ratios.foldLeft(0.0) { case (acc, (_, r)) =>
+      acc + (1.0 - r) }
+    def r6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    import spark.implicits._
+    ratios.map { case (c, ratio) =>
+      (c, r6(pFull), r6(ratio), r6(1.0 - ratio),
+        if (totEff > 0) r6((1.0 - ratio) / totEff) else 0.0)
+    }.toDF("channel", "p_conv", "p_conv_ratio_removed", "removal_effect",
+      "credit_share")
+      .orderBy("channel")
+  }
+
+  val attributionMarkovSql: String = {
+    def chain(tag: String, removedCase: String): String =
+      (1 to MarkovIters).map { t =>
+        s"""v$tag$t AS MATERIALIZED (SELECT st.s,
+           |    CASE WHEN st.s = 'purchase' THEN 1.0
+           |      WHEN st.s = '$NullState' THEN 0.0
+           |      $removedCase
+           |      ELSE COALESCE(agg.x, 0.0) END AS val
+           |  FROM states st LEFT JOIN (
+           |    SELECT t.src AS s,
+           |        list_sum(list(t.p * v.val ORDER BY t.dst)) AS x
+           |      FROM tp t JOIN v$tag${t - 1} v ON v.s = t.dst
+           |      GROUP BY t.src) agg ON agg.s = st.s)""".stripMargin
+      }.mkString(",\n")
+    val channels = Seq("click", "error", "signup", "view")
+    val chains = (("f", "") +: channels.map(c =>
+      (c.take(2) + c.length, s"WHEN st.s = '$c' THEN 0.0")))
+      .map { case (tag, rc) =>
+        s"""v${tag}0 AS (SELECT s,
+           |    CASE WHEN s = 'purchase' THEN 1.0 ELSE 0.0 END AS val
+           |  FROM states),
+           |${chain(tag, rc)}""".stripMargin
+      }.mkString(",\n")
+    val results = channels.map { c =>
+      val tag = c.take(2) + c.length
+      s"""SELECT '$c' AS channel,
+         |  (SELECT val FROM vf$MarkovIters
+         |   WHERE s = '$StartState') AS p_full_raw,
+         |  (SELECT val FROM v$tag$MarkovIters
+         |   WHERE s = '$StartState') AS p_rem_raw""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH j AS (SELECT user_id, event_type, event_id,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+       |  FROM events),
+       |fp AS (SELECT user_id, min(rn) AS prn FROM j
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |jj AS (SELECT j.user_id, j.event_type, j.rn FROM j
+       |  LEFT JOIN fp USING (user_id)
+       |  WHERE fp.prn IS NULL OR j.rn <= fp.prn),
+       |steps AS (SELECT user_id, event_type, rn,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+       |  FROM jj),
+       |tr AS (
+       |  SELECT '$StartState' AS src, event_type AS dst FROM jj WHERE rn = 1
+       |  UNION ALL
+       |  SELECT event_type AS src, COALESCE(nxt, '$NullState') AS dst
+       |  FROM steps WHERE event_type != 'purchase'),
+       |cnt AS (SELECT src, dst, count(*) AS c FROM tr GROUP BY 1, 2),
+       |rt AS (SELECT src, CAST(sum(c) AS BIGINT) AS tot FROM cnt
+       |  GROUP BY 1),
+       |tp AS MATERIALIZED (SELECT cnt.src, cnt.dst,
+       |    CAST(cnt.c AS DOUBLE) / rt.tot AS p
+       |  FROM cnt JOIN rt USING (src)),
+       |states AS MATERIALIZED (SELECT DISTINCT src AS s FROM cnt
+       |  UNION SELECT DISTINCT dst FROM cnt),
+       |$chains,
+       |res AS ($results),
+       |eff AS (SELECT channel, p_full_raw,
+       |    p_rem_raw / p_full_raw AS ratio_raw,
+       |    1.0 - p_rem_raw / p_full_raw AS eff_raw
+       |  FROM res),
+       |tot AS (SELECT list_sum(list(eff_raw ORDER BY channel)) AS tot_eff
+       |  FROM eff)
+       |SELECT channel, round(p_full_raw, 6) AS p_conv,
+       |  round(ratio_raw, 6) AS p_conv_ratio_removed,
+       |  round(eff_raw, 6) AS removal_effect,
+       |  CASE WHEN tot_eff > 0 THEN round(eff_raw / tot_eff, 6)
+       |    ELSE 0.0 END AS credit_share
+       |FROM eff CROSS JOIN tot ORDER BY channel""".stripMargin
+  }
 }

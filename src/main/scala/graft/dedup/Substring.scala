@@ -174,4 +174,90 @@ object Substring {
        |    CAST(n_tokens AS DOUBLE), 6), 0.0) AS coverage_frac
        |FROM documents d LEFT JOIN per_doc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** CDC boundary divisor: a token opens a new chunk when its compiled
+    * poly hash ≡ 0 (mod this), giving ~[[CdcDivisor]]-token expected
+    * chunks — the content-defined analogue of fixed windows. */
+  val CdcDivisor = 32
+
+  /** §2.233 `dedup_cdc`: content-defined-chunking dedup — the
+    * rsync/LBFS/backup-dedup technique applied to text: chunk
+    * boundaries are CONTENT positions (token hash ≡ 0 mod
+    * [[CdcDivisor]]), so an insertion early in a document shifts
+    * every FIXED window (§2.117's chunks all change) but leaves all
+    * later CDC chunks byte-identical — exactly why dedup storage uses
+    * it. Each chunk fingerprints to md5 over its ordered token
+    * hashes; chunks recurring corpus-wide (count ≥ 2) are duplicated
+    * content, reported per doc as chunk counts + duplicated-token
+    * coverage.
+    *
+    * Scale shape: the token stream carries ONE corpus-sized shuffle
+    * (the (doc, chunk) groupBy); the boundary flag is row-local, the
+    * chunk id a per-doc running count (one doc-partitioned window —
+    * the §2.134 shared-sort class), and the signature-total frame is
+    * chunk-vocabulary-sized, joined back hash-partitioned. Chunk
+    * length is content-bounded (expected [[CdcDivisor]] tokens,
+    * hard-capped by doc length like every per-doc structure here).
+    *
+    * Determinism: signatures are md5 over comma-joined BIGINT hashes
+    * in position order — string-exact on both engines; counts are
+    * integers; the one ratio rounds at 6 dp. */
+  def dedupCdc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.native.token_poly_hashes(col("text")).as("th"))
+      .select(col("doc_id"), posexplode(col("th")))
+      .toDF("doc_id", "p", "th")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = toks
+      .withColumn("b", when(pmod(col("th"), lit(CdcDivisor)) === 0, 1L)
+        .otherwise(0L))
+      .withColumn("cid", sum("b").over(w))
+      .groupBy("doc_id", "cid")
+      .agg(count(lit(1)).as("n_toks"),
+        expr("""md5(array_join(transform(
+          sort_array(collect_list(struct(p, th))),
+          s -> CAST(s.th AS STRING)), ','))""").as("sig"))
+    val totals = chunks.groupBy("sig").agg(count(lit(1)).as("total"))
+    chunks.join(totals, "sig")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("total") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum("n_toks").as("n_tokens"),
+        sum(when(col("total") >= 2, col("n_toks")).otherwise(0L))
+          .as("dup_tokens"))
+      .withColumn("dup_coverage",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+      .select("doc_id", "n_chunks", "dup_chunks", "n_tokens",
+        "dup_tokens", "dup_coverage")
+      .orderBy("doc_id")
+  }
+
+  val dedupCdcSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    generate_subscripts(th, 1) AS p, unnest(th) AS th
+       |  FROM (SELECT doc_id, ${tokenHashesSql("text")} AS th
+       |        FROM documents) t),
+       |flagged AS (SELECT doc_id, p, th,
+       |    CAST(sum(CASE WHEN th % $CdcDivisor = 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY p
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cid
+       |  FROM toks),
+       |chunks AS (SELECT doc_id, cid, count(*) AS n_toks,
+       |    md5(string_agg(CAST(th AS VARCHAR), ',' ORDER BY p)) AS sig
+       |  FROM flagged GROUP BY 1, 2),
+       |tot AS (SELECT sig, count(*) AS total FROM chunks GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN total >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dup_chunks,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN total >= 2 THEN n_toks ELSE 0 END) AS BIGINT)
+       |    AS dup_tokens,
+       |  round(CAST(sum(CASE WHEN total >= 2 THEN n_toks ELSE 0 END)
+       |      AS DOUBLE) / sum(n_toks), 6) AS dup_coverage
+       |FROM chunks JOIN tot USING (sig)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

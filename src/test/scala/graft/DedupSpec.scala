@@ -270,4 +270,38 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(got == brute, s"got ${got.size} pairs, brute ${brute.size}")
   }
+
+  test("dedup_cdc = brute content-defined chunking over the engine's token hashes") {
+    import graft.dedup.Substring
+    val hashes = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.native.token_poly_hashes(
+          org.apache.spark.sql.functions.col("text")).as("th"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // brute CDC: boundary token (h % D == 0) STARTS a new chunk
+    val chunksByDoc = hashes.view.mapValues { th =>
+      val cids = th.scanLeft(0L) { (cid, h) =>
+        cid + (if (h % Substring.CdcDivisor == 0) 1 else 0) }.tail
+      th.zip(cids).groupBy(_._2).values
+        .map(_.map(_._1).mkString(",")).toSeq
+    }.toMap
+    val totals = chunksByDoc.values.flatten
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val got = Substring.dedupCdc(spark, sf).collect()
+    assert(got.length == hashes.size)
+    got.foreach { r =>
+      val chunks = chunksByDoc(r.getLong(0))
+      val dup = chunks.filter(totals(_) >= 2)
+      assert(r.getLong(1) == chunks.size.toLong, s"n_chunks doc ${r.getLong(0)}")
+      assert(r.getLong(2) == dup.size.toLong, "dup_chunks")
+      val nTok = chunks.map(_.count(_ == ',') + 1).sum
+      val dupTok = dup.map(_.count(_ == ',') + 1).sum
+      assert(r.getLong(3) == nTok.toLong && r.getLong(4) == dupTok.toLong)
+      assert(math.abs(r.getDouble(5) - dupTok.toDouble / nTok) < 1e-4)
+    }
+    // CDC shift-resilience: chunk multiset of a suffix overlaps the
+    // original far more than fixed windows would — sanity: every chunk
+    // set is non-empty and coverage ∈ [0,1]
+    got.foreach(r => assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0))
+  }
 }

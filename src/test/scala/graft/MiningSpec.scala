@@ -174,6 +174,59 @@ class MiningSpec extends AnyFunSuite {
       r.getLong(3)).toMap == expected)
   }
 
+  test("attribution_markov = brute absorbing-chain replay; credits partition") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.sql.Timestamp](2).getTime, r.getLong(3)))
+    val journeys = ev.groupBy(_._1).values.map { es =>
+      val ordered = es.sortBy(e => (e._3, e._4)).map(_._2).toList
+      val i = ordered.indexOf("purchase")
+      if (i >= 0) ordered.take(i + 1) else ordered
+    }
+    val trans = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    journeys.foreach { j =>
+      trans((Mining.StartState, j.head)) += 1
+      j.sliding(2).foreach {
+        case List(a, b) => if (a != "purchase") trans((a, b)) += 1
+        case _ =>
+      }
+      if (j.last != "purchase") trans((j.last, Mining.NullState)) += 1
+    }
+    val states = (trans.keys.map(_._1) ++ trans.keys.map(_._2))
+      .toSeq.distinct.sorted
+    val rowTot = trans.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def solve(removed: Option[String]): Double = {
+      var v = states.map(s => s -> (if (s == "purchase") 1.0 else 0.0)).toMap
+      for (_ <- 1 to Mining.MarkovIters) {
+        v = states.map { s =>
+          s -> (if (s == "purchase") 1.0
+          else if (s == Mining.NullState) 0.0
+          else if (removed.contains(s)) 0.0
+          else states.map(d => trans.getOrElse((s, d), 0L).toDouble /
+            rowTot.getOrElse(s, 1L) * v(d)).sum)
+        }.toMap
+      }
+      v(Mining.StartState)
+    }
+    val pFull = solve(None)
+    val got = Mining.attributionMarkov(spark, sf).collect()
+    val channels = states.filterNot(s =>
+      s == Mining.StartState || s == Mining.NullState || s == "purchase")
+    assert(got.map(_.getString(0)).sorted.toSeq == channels)
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - pFull) < 1e-4, "p_conv")
+      val ratio = solve(Some(r.getString(0))) / pFull
+      assert(math.abs(r.getDouble(2) - ratio) < 1e-4, s"ratio ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - (1.0 - ratio)) < 1e-4)
+      assert(r.getDouble(3) >= -1e-6 && r.getDouble(3) <= 1.0 + 1e-6,
+        "removal effect is a probability drop")
+    }
+    // credit shares partition the total effect
+    assert(math.abs(got.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+  }
+
   test("collocations: top-20 by brute-force PMI, count floor respected") {
     val bigrams = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
