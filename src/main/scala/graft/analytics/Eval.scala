@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -428,6 +428,79 @@ object Eval {
        |    ELSE 0.0 END AS f1
        |FROM pr ORDER BY threshold""".stripMargin
   }
+
+  /** Depth for [[rankOverlap]]. */
+  val RoDepth = 20
+
+  /** §2.235 `rank_overlap`: average overlap AO@20 (Fagin et al.'s
+    * top-k rank-similarity) between the item ranking BY CLICKS and BY
+    * PURCHASE REVENUE — the "does engagement predict monetization?"
+    * report, and the guardrail for swapping ranking signals in a
+    * recommender (AO ≈ 1 → the cheap signal is a safe proxy).
+    * AO@k = (1/k)·Σ_{d≤k} |top_d(R₁) ∩ top_d(R₂)|/d.
+    *
+    * Scale shape: both rankings are catalog-bounded item aggregates
+    * (map-side combined) topped by TakeOrderedAndProject into k-row
+    * frames; the depth sweep is a k×k join of those two frames.
+    * Overlaps are integers; each AO addend A_d/d is one division of
+    * identical integers, and the ≤k-term mean rounds at 6 dp (the
+    * §2.204 bounded-sum convention). Rank ties break on item id. */
+  def rankOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("item", get_json_object(col("props"), "$.k"))
+      .filter(col("item").isNotNull)
+    def top(df: DataFrame, metric: Column, asName: String): DataFrame = {
+      val agg = df.groupBy("item").agg(metric.as("m"))
+      agg.orderBy(col("m").desc, col("item")).limit(RoDepth)
+        .withColumn(asName, row_number().over(
+          Window.orderBy(col("m").desc, col("item"))))
+        .select(col("item"), col(asName))
+    }
+    val r1 = top(ev.filter(col("event_type") === "click"),
+      count(lit(1)), "rk1")
+    val r2 = top(ev.filter(col("event_type") === "purchase"),
+      sum(expr("CAST(round(value * 100) AS BIGINT)")), "rk2")
+    val depths = spark.sql(
+      s"SELECT explode(sequence(1, $RoDepth)) AS d")
+    val overlaps = r1.join(r2, "item")
+      .crossJoin(broadcast(depths))
+      .filter(col("rk1") <= col("d") && col("rk2") <= col("d"))
+      .groupBy("d").agg(count(lit(1)).as("overlap"))
+    depths.join(overlaps, Seq("d"), "left")
+      .na.fill(0L, Seq("overlap"))
+      .withColumn("a_d",
+        round(col("overlap").cast("double") / col("d"), 6))
+      .withColumn("ao", round(
+        sum(round(col("overlap").cast("double") / col("d"), 6))
+          .over(Window.partitionBy(lit(1))) / RoDepth, 6))
+      .select(col("d"), col("overlap"), col("a_d"), col("ao"))
+      .orderBy("d")
+  }
+
+  val rankOverlapSql: String =
+    s"""WITH ev AS (SELECT event_type, value,
+       |    json_extract_string(props, '$$.k') AS item
+       |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |r1 AS (SELECT item, row_number() OVER (ORDER BY m DESC, item) AS rk1
+       |  FROM (SELECT item, count(*) AS m FROM ev
+       |        WHERE event_type = 'click' GROUP BY 1
+       |        ORDER BY m DESC, item LIMIT $RoDepth) t),
+       |r2 AS (SELECT item, row_number() OVER (ORDER BY m DESC, item) AS rk2
+       |  FROM (SELECT item,
+       |          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+       |        FROM ev WHERE event_type = 'purchase' GROUP BY 1
+       |        ORDER BY m DESC, item LIMIT $RoDepth) t),
+       |depths AS (SELECT unnest(generate_series(1, $RoDepth)) AS d),
+       |ov AS (SELECT d.d, count(*) AS overlap
+       |  FROM r1 JOIN r2 USING (item) CROSS JOIN depths d
+       |  WHERE r1.rk1 <= d.d AND r2.rk2 <= d.d GROUP BY 1),
+       |f AS (SELECT depths.d, COALESCE(ov.overlap, 0) AS overlap,
+       |    round(CAST(COALESCE(ov.overlap, 0) AS DOUBLE) / depths.d, 6)
+       |      AS a_d
+       |  FROM depths LEFT JOIN ov ON ov.d = depths.d)
+       |SELECT d, CAST(overlap AS BIGINT) AS overlap, a_d,
+       |  round(sum(a_d) OVER () / $RoDepth, 6) AS ao
+       |FROM f ORDER BY d""".stripMargin
 
   /** §2.225 `ece_calibration`: expected calibration error of the
     * quality score read as P(lang = en) — 10 fixed-width confidence

@@ -189,4 +189,82 @@ object Series {
       |    - CAST(ssum AS DOUBLE) / (7.0 * cnt), 4) AS resid
       |FROM tf JOIN seas USING (event_type, dow)
       |ORDER BY tf.event_type, tf.day""".stripMargin
+
+  /** §2.236 `dispersion_report`: burstiness diagnostics per event type
+    * — Fano factor (variance/mean of daily volume; 1 = Poisson, ≫1 =
+    * bursty), peak-to-mean ratio (the provisioning number), and
+    * hour-of-day entropy/evenness (is load diurnal or flat?) — the
+    * capacity-planning triple that decides partition sizing and
+    * autoscale headroom before a 100 TB backfill.
+    *
+    * Scale shape: two map-side-combined groupBys (day grain on the
+    * zero-filled spine; ≤24 hour cells per type); every statistic
+    * derives from exact integer moments (Σx, Σx², max on the
+    * calendar-bounded frame; Σc·ln c with integer log arguments on
+    * the hour cells — §2.95/231 conventions), one fixed-sequence
+    * float expression each, 6 dp. */
+  def dispersionReport(spark: SparkSession, dir: String): DataFrame = {
+    val spine = daySpine(spark, dir)
+    val daily = spine.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"), sum("n").as("s1"),
+      sum(col("n") * col("n")).as("s2"), max("n").as("mx"))
+    val hours = Tables.events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val hstats = hours.groupBy("event_type").agg(
+      sum("c").as("nh"),
+      sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"),
+      count(lit(1)).as("n_hours"))
+    def d(c: String) = col(c).cast("double")
+    val mean = d("s1") / col("n_days")
+    val vars = (d("s2") - d("s1") * d("s1") / col("n_days")) /
+      (col("n_days") - 1)
+    val hEnt = log(d("nh")) - col("slc") / d("nh")
+    daily.join(hstats, "event_type")
+      .select(col("event_type"), col("n_days"),
+        round(mean, 4).as("mean_daily"),
+        round(vars / mean, 6).as("fano"),
+        round(d("mx") / mean, 6).as("peak_to_mean"),
+        col("n_hours"),
+        round(hEnt, 6).as("hour_entropy"),
+        round(hEnt / log(lit(24.0)), 6).as("hour_evenness"))
+      .orderBy("event_type")
+  }
+
+  val dispersionReportSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+      |  FROM (SELECT event_type,
+      |      unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      |    FROM (SELECT event_type, CAST(min(day) AS TIMESTAMP) AS d0,
+      |        CAST(max(day) AS TIMESTAMP) AS d1 FROM daily GROUP BY 1) t) s
+      |  LEFT JOIN daily d
+      |    ON s.event_type = d.event_type AND CAST(s.day AS DATE) = d.day),
+      |dstats AS (SELECT event_type, count(*) AS n_days,
+      |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2,
+      |    CAST(max(n) AS BIGINT) AS mx
+      |  FROM spine GROUP BY 1),
+      |hcells AS (SELECT event_type,
+      |    hour(CAST(ts AS TIMESTAMP)) AS h, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |hstats AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS nh,
+      |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc,
+      |    count(*) AS n_hours
+      |  FROM hcells GROUP BY 1)
+      |SELECT d.event_type, d.n_days,
+      |  round(CAST(s1 AS DOUBLE) / d.n_days, 4) AS mean_daily,
+      |  round(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |        / d.n_days) / (d.n_days - 1))
+      |    / (CAST(s1 AS DOUBLE) / d.n_days), 6) AS fano,
+      |  round(CAST(mx AS DOUBLE) / (CAST(s1 AS DOUBLE) / d.n_days), 6)
+      |    AS peak_to_mean,
+      |  h.n_hours,
+      |  round(ln(CAST(nh AS DOUBLE)) - slc / CAST(nh AS DOUBLE), 6)
+      |    AS hour_entropy,
+      |  round((ln(CAST(nh AS DOUBLE)) - slc / CAST(nh AS DOUBLE))
+      |    / ln(24.0), 6) AS hour_evenness
+      |FROM dstats d JOIN hstats h USING (event_type)
+      |ORDER BY d.event_type""".stripMargin
 }

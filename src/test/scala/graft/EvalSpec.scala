@@ -234,6 +234,38 @@ class EvalSpec extends AnyFunSuite {
     got.foreach(r => assert(math.abs(r.getDouble(5) - ece) < 1e-4))
   }
 
+  test("rank_overlap = brute AO@20 of click-rank vs revenue-rank") {
+    import graft.analytics.Eval
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").as("item"))
+      .filter(col("item").isNotNull).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    val k = Eval.RoDepth
+    val byClicks = ev.filter(_._1 == "click").groupBy(_._3).view
+      .mapValues(_.size.toLong).toSeq
+      .sortBy { case (i, m) => (-m, i) }.take(k).map(_._1)
+    val byRev = ev.filter(_._1 == "purchase").groupBy(_._3).view
+      .mapValues(_.map(e => math.round(e._2 * 100)).sum).toSeq
+      .sortBy { case (i, m) => (-m, i) }.take(k).map(_._1)
+    val got = Eval.rankOverlap(spark, sf).collect().sortBy(_.getInt(0))
+    assert(got.length == math.min(k, math.max(byClicks.size, byRev.size))
+      || got.length == k)
+    var aoSum = 0.0
+    got.foreach { r =>
+      val d = r.getInt(0)
+      val ov = (byClicks.take(d).toSet intersect byRev.take(d).toSet).size
+      assert(r.getLong(1) == ov.toLong, s"overlap at depth $d")
+      assert(math.abs(r.getDouble(2) - ov.toDouble / d) < 1e-6)
+      aoSum += ov.toDouble / d
+    }
+    got.foreach(r => assert(math.abs(r.getDouble(3) - aoSum / k) < 1e-4))
+    // overlap is monotone non-decreasing in depth
+    got.map(_.getLong(1)).sliding(2).foreach {
+      case Array(a, b) => assert(b >= a); case _ =>
+    }
+  }
+
   test("mi_matrix = brute entropies/MI per pair; MI bounds respected") {
     import graft.analytics.Features
     def brute(xy: Seq[(String, String)]): (Double, Double, Double) = {

@@ -169,6 +169,36 @@ class SeriesGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("dispersion_report = brute Fano/peak/hour-entropy per type") {
+    import graft.analytics.Series
+    val daily = dailyCounts
+    val hoursByType = Tables.events(spark, sf)
+      .select(col("event_type"), hour(col("ts")).as("h")).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = Series.dispersionReport(spark, sf).collect()
+    got.foreach { r =>
+      val et = r.getString(0)
+      val days = daily.keys.collect { case (e, d) if e == et => d }
+      val (d0, d1) = (days.min, days.max)
+      val xs = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(d => daily.getOrElse((et, d), 0L).toDouble).toSeq
+      val mean = xs.sum / xs.length
+      val v = xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1)
+      assert(r.getLong(1) == xs.length.toLong)
+      assert(math.abs(r.getDouble(2) - mean) < 1e-3)
+      assert(math.abs(r.getDouble(3) - v / mean) < 1e-3, s"fano $et")
+      assert(math.abs(r.getDouble(4) - xs.max / mean) < 1e-3)
+      val hc = hoursByType(et).groupBy(identity).values.map(_.size).toSeq
+      val n = hc.sum.toDouble
+      val h = math.log(n) - hc.map(c => c * math.log(c)).sum / n
+      assert(r.getLong(5) == hc.size.toLong)
+      assert(math.abs(r.getDouble(6) - h) < 1e-4, s"hour entropy $et")
+      assert(math.abs(r.getDouble(7) - h / math.log(24.0)) < 1e-4)
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0 + 1e-9)
+    }
+  }
+
   test("acf_lags = brute autocorrelation on the zero-filled spine") {
     import graft.analytics.Series
     val daily = dailyCounts
