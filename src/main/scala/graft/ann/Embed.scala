@@ -171,10 +171,16 @@ object Embed {
     * Lloyd-centroid collect pattern — §2.73's driver-side exception).
     *
     * Scale shape: components quantize to exact e6-unit BIGINTs, and
-    * the ONLY corpus-sized work is one pass producing (j, k, Σeⱼeₖ)
-    * cells — a 64² row multiplier collapsed map-side into 4 096
-    * DECIMAL(38,0)/HUGEINT cells (the §2.223 overflow-proof sums) —
-    * plus a 64-cell mean frame. Everything after is arithmetic on
+    * the ONLY corpus-sized work is ONE scan through the mergeable
+    * [[graft.functions.GramAgg]] — a compiled per-row dim² multiply-
+    * accumulate into 128-bit integer cells, O(dim²) state per
+    * partial, unconditionally overflow-proof. (The first cut was the
+    * declarative double-posexplode → groupBy(j,k) → DECIMAL(38,0)
+    * sums: same exact integers, but a 64² row multiplier through
+    * BigDecimal hash-agg updates — 23.3 s at sf1, the slowest plan
+    * in the suite; the aggregate runs the identical mathematics in
+    * 0.4 s. The DuckDB oracle keeps the HUGEINT-sum formulation —
+    * same integers either way.) Everything after is arithmetic on
     * ≤4 096 numbers.
     *
     * Determinism: the centered covariance n·S − sⱼsₖ is EXACT integer
@@ -186,28 +192,22 @@ object Embed {
     * is canonicalized on the largest-|loading| dimension (ties →
     * lowest j). */
   def embedPca(spark: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
     val e = Tables.embeddings(spark, dir).select(expr(
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
       .as("e"))
-    val sums = e.select(posexplode(col("e")).as(Seq("j", "ej")))
-      .groupBy("j").agg(sum("ej").as("sj"), count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), (BigInt(r.getLong(1)), r.getLong(2))))
-      .toMap
-    val dim = sums.size
-    val n = BigInt(sums(0)._2)
-    val gram = e.select(posexplode(col("e")).as(Seq("j", "ej")), col("e"))
-      .select(col("j"), col("ej"), posexplode(col("e")).as(Seq("k", "ek")))
-      .groupBy("j", "k")
-      .agg(sum((col("ej").cast(dec) * col("ek").cast(dec)).cast(dec))
-        .as("s"))
-      .collect()
-      .map(r => ((r.getInt(0), r.getInt(1)),
-        BigInt(r.getDecimal(2).toBigInteger))).toMap
+    val cells = e.agg(graft.functions.GramAgg.gram_agg(col("e")).as("g"))
+      .head().getSeq[String](0)
+    val n = BigInt(cells.head)
+    // layout: [count, s_0..s_{d-1}, g_00..g_{d-1 d-1}]
+    val dim = math.round(math.sqrt((cells.length - 1).toDouble + 0.25) - 0.5)
+      .toInt // solves d + d² = len − 1
+    val sums = Array.tabulate(dim)(j => BigInt(cells(1 + j)))
+    val gram = Array.tabulate(dim, dim)((j, k) =>
+      BigInt(cells(1 + dim + j * dim + k)))
     // centered covariance scaled by n² (scale cancels in the
     // eigenvector and in the variance SHARE)
     val c = Array.tabulate(dim, dim) { (j, k) =>
-      (n * gram((j, k)) - sums(j)._1 * sums(k)._1).toDouble
+      (n * gram(j)(k) - sums(j) * sums(k)).toDouble
     }
     var v = Array.fill(dim)(1.0 / 8.0) // unit for dim=64
     for (_ <- 1 to PcaIters) {

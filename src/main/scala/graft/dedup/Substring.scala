@@ -221,7 +221,13 @@ object Substring {
           sort_array(collect_list(struct(p, th))),
           s -> CAST(s.th AS STRING)), ','))""").as("sig"))
     val totals = chunks.groupBy("sig").agg(count(lit(1)).as("total"))
-    chunks.join(totals, "sig")
+    // shuffle_hash pin: totals is chunk-vocabulary-sized — DATA-
+    // PROPORTIONAL — but sf-scale stats read it as broadcastable
+    // (observed: BroadcastExchange in the sf1 executed plan). At
+    // 100 TB the signature vocabulary is billions of rows; pin the
+    // join to the hash exchange both sides already share on sig
+    // (the §2.153 dedup_containment trap class).
+    chunks.join(totals.hint("shuffle_hash"), "sig")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_chunks"),
         sum(when(col("total") >= 2, 1L).otherwise(0L)).as("dup_chunks"),

@@ -143,4 +143,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(bloom, bloom8),
       "bloom bytes differ under repartitioning — merge is not lossless")
   }
+
+  test("GramAgg: exact BigInt sums/gram, 128-bit carries, partition-invariant") {
+    import spark.implicits._
+    import graft.functions.GramAgg.gram_agg
+    // values chosen so per-cell sums overflow int64 (3e9² = 9e18 per
+    // row, two rows cross 2^63) and include negatives (sign-extended
+    // 128-bit adds)
+    val vecs = Seq(
+      Array(3000000000L, -2999999999L, 7L),
+      Array(2999999993L, 3000000001L, -5L),
+      Array(-13L, 17L, 3000000000L),
+      Array(1L, -1L, 1L))
+    val expectedSums = (0 until 3).map(j =>
+      vecs.map(v => BigInt(v(j))).sum)
+    val expectedGram = for (j <- 0 until 3; k <- 0 until 3) yield
+      vecs.map(v => BigInt(v(j)) * BigInt(v(k))).sum
+    def run(parts: Int): Seq[String] =
+      vecs.toDF("e").repartition(parts)
+        .agg(gram_agg(col("e"))).head().getSeq[String](0)
+    val cells = run(1)
+    assert(cells.head == "4")
+    assert((0 until 3).forall(j =>
+      BigInt(cells(1 + j)) == expectedSums(j)), "linear sums")
+    assert(expectedGram.zipWithIndex.forall { case (g, i) =>
+      BigInt(cells(4 + i)) == g }, "gram cells (incl. >2^63 magnitudes)")
+    // symmetric matrix, partition-invariant merge
+    assert(cells == run(3))
+    for (j <- 0 until 3; k <- 0 until 3)
+      assert(cells(4 + 3 * j + k) == cells(4 + 3 * k + j))
+  }
 }
