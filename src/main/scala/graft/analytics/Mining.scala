@@ -844,6 +844,98 @@ object Mining {
       |FROM th JOIN ranked r ON r.rk = th.top_n
       |ORDER BY th.top_pct""".stripMargin
 
+  /** §2.237 `peak_concurrency`: maximum concurrent user sessions per
+    * day — the sweep-line (max-overlapping-intervals) workload class
+    * and the capacity number connection pools / rate limits are sized
+    * from (daily volume says how MUCH, concurrency says how AT-ONCE;
+    * §2.236's Fano says bursty, this says how high the burst stacks).
+    * Sessions are the §2.36 30-minute-gap sessions; each emits a
+    * (+1 at start, −1 after end) delta, and per day a running sum
+    * ordered by (ts, delta, user) — ends sort before starts at the
+    * same instant, so back-to-back sessions don't double-count — whose
+    * max is the day's peak.
+    *
+    * Scale shape: ONE user_id exchange builds sessions (the shared-
+    * sort family); deltas are 2 rows per session; the sweep is a
+    * day-partitioned window over the delta stream (a day's deltas ≤
+    * 2× that day's sessions — the same per-partition bound every
+    * calendar-grain window here rides; a GLOBAL sweep would be one
+    * unbounded sorted partition). A session belongs WHOLLY to its
+    * start day (midnight-spanners keep their −1 in the start day's
+    * sweep), so the sweep never goes negative and "peak on day d" =
+    * max concurrency among day-d-started sessions — identical
+    * convention both engines. Integers end-to-end. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") >
+            graft.streaming.Streaming.SessionGapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("new_session").over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+    // both deltas key on the session's START day, so every session is
+    // whole within one partition and the sweep never goes negative
+    val deltas = sess.select(col("user_id"), col("s_start").as("t"),
+        lit(1L).as("delta"), to_date(col("s_start")).as("day"))
+      .unionAll(sess.select(col("user_id"), col("s_end").as("t"),
+        lit(-1L).as("delta"), to_date(col("s_start")).as("day")))
+    // starts sort BEFORE ends at the same instant (delta desc): a
+    // single-event session is active AT its instant, and an interval
+    // closed at both ends counts at its boundary
+    val sweep = Window.partitionBy("day")
+      .orderBy(col("t"), col("delta").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("conc", sum("delta").over(sweep))
+      .groupBy("day").agg(
+        (sum(when(col("delta") === 1, 1L).otherwise(0L))).as("n_sessions"),
+        max("conc").as("peak_concurrent"))
+      .select(col("day").cast("timestamp").as("day"), col("n_sessions"),
+        col("peak_concurrent"))
+      .orderBy("day")
+  }
+
+  val peakConcurrencySql: String =
+    s"""WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+       |  FROM events),
+       |flagged AS (SELECT user_id, event_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |      OR epoch(ts) - epoch(lag(ts) OVER w)
+       |        > ${graft.streaming.Streaming.SessionGapMinutes} * 60
+       |      THEN 1 ELSE 0 END AS new_session
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (SELECT user_id, session_id,
+       |    min(ts) AS s_start, max(ts) AS s_end
+       |  FROM (SELECT user_id, ts,
+       |      sum(new_session) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |        AS session_id
+       |    FROM flagged) t GROUP BY 1, 2),
+       |deltas AS (
+       |  SELECT user_id, s_start AS t, 1 AS delta,
+       |    CAST(s_start AS DATE) AS d FROM sess
+       |  UNION ALL
+       |  SELECT user_id, s_end AS t, -1 AS delta,
+       |    CAST(s_start AS DATE) AS d FROM sess),
+       |sweep AS (SELECT CAST(d AS TIMESTAMP) AS day, delta,
+       |    CAST(sum(delta) OVER (PARTITION BY d
+       |      ORDER BY t, delta DESC, user_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS conc
+       |  FROM deltas)
+       |SELECT day,
+       |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_sessions,
+       |  CAST(max(conc) AS BIGINT) AS peak_concurrent
+       |FROM sweep GROUP BY day ORDER BY day""".stripMargin
+
   /** Absorption-iteration rounds for [[attributionMarkov]] — FIXED so
     * both engines replay the identical truncated arithmetic (the
     * output is DEFINED as the 64-round value; parity never depends on

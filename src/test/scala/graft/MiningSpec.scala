@@ -174,6 +174,48 @@ class MiningSpec extends AnyFunSuite {
       r.getLong(3)).toMap == expected)
   }
 
+  test("peak_concurrency = brute interval sweep per day") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Timestamp](2).getTime))
+    val gapMs = graft.streaming.Streaming.SessionGapMinutes * 60000L
+    val sessions = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var start = sorted.head._3; var last = sorted.head._3
+      sorted.tail.foreach { e =>
+        if (e._3 - last > gapMs) {
+          out += ((es.head._1, start, last)); start = e._3
+        }
+        last = e._3
+      }
+      out += ((es.head._1, start, last))
+      out
+    }.toSeq
+    def day(t: Long): java.time.LocalDate =
+      java.time.Instant.ofEpochMilli(t).atZone(java.time.ZoneOffset.UTC)
+        .toLocalDate
+    val deltas = sessions.flatMap { case (u, s, e) =>
+      Seq((day(s), s, 1, u), (day(s), e, -1, u)) } // both on start day
+    val expected = deltas.groupBy(_._1).view.mapValues { ds =>
+      var cur = 0L; var peak = Long.MinValue
+      ds.sortBy(d => (d._2, -d._3, d._4)).foreach { d =>
+        cur += d._3; peak = math.max(peak, cur) }
+      (ds.count(_._3 == 1).toLong, peak)
+    }.toMap
+    val got = Mining.peakConcurrency(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val d = r.getAs[java.sql.Timestamp](0).toLocalDateTime.toLocalDate
+      val (ns, pk) = expected(d)
+      assert(r.getLong(1) == ns, s"n_sessions $d")
+      assert(r.getLong(2) == pk, s"peak $d")
+      // sessions are whole within their start day: 1 ≤ peak ≤ starts
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1))
+    }
+  }
+
   test("attribution_markov = brute absorbing-chain replay; credits partition") {
     val ev = Tables.events(spark, sf)
       .select("user_id", "event_type", "ts", "event_id").collect()
