@@ -37,8 +37,15 @@ object Eval {
     * (2·R⁺ = Σ n⁺(s)·(2·cum_below(s) + n(s) + 1)) until the single
     * final division; both engines divide the identical integers. */
   def aucEval(spark: SparkSession, dir: String): DataFrame = {
+    // 4 dp regrid via INTEGER product rounding, not round(x, 4):
+    // decimal-scale rounding of an already-6 dp double lands exactly
+    // on .5 boundaries where the engines disagree (§2.224 — Spark
+    // rounds the shortest decimal string, DuckDB the binary value;
+    // 0.69405 → 0.6941 vs 0.694, two docs at sf0.01). round(x·10⁴)
+    // evaluates the SAME product double on both engines, where the
+    // string/binary views can no longer differ about the half.
     val f = graft.text.TextQueries.qualityFrame(Tables.documents(spark, dir))
-      .select(round(col("quality_score"), 4).as("s"),
+      .select((round(col("quality_score") * 10000) / 10000.0).as("s"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"))
     val cells = f.groupBy("s").agg(
       sum("y").as("np"), (count(lit(1)) - sum(col("y"))).as("nn"))
@@ -64,7 +71,7 @@ object Eval {
     s"""WITH f AS (SELECT
        |    round(round(0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text))
        |      + 0.4 * (1.0 - abs(len(list_filter(_toks, t -> t IN ($stopListSql))) / n_tokens - 0.3))
-       |      + 0.2 * least(1.0, n_tokens / 100.0), 6), 4) AS s,
+       |      + 0.2 * least(1.0, n_tokens / 100.0), 6) * 10000) / 10000.0 AS s,
        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
        |  FROM (SELECT lang, text, string_split_regex(trim(text), '\\s+') AS _toks,
        |          CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens

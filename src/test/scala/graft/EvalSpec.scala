@@ -13,7 +13,7 @@ class EvalSpec extends AnyFunSuite {
 
   private def qualityRows: Array[(Double, Int)] =
     graft.text.TextQueries.qualityFrame(Tables.documents(spark, sf))
-      .select(round(col("quality_score"), 4).as("s"),
+      .select((round(col("quality_score") * 10000) / 10000.0).as("s"),
         when(col("lang") === "en", 1).otherwise(0).as("y"))
       .collect().map(r => (r.getDouble(0), r.getInt(1)))
 
