@@ -135,29 +135,14 @@ object Series {
     * reported float a fixed-sequence expression of identical BIGINTs;
     * there is NO cross-row float sum anywhere (the §2.203 discipline,
     * here taken to zero float aggregation at all). */
-  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
-    val spine = daySpine(spark, dir)
-    val w7 = Window.partitionBy("event_type").orderBy("day")
-      .rowsBetween(-3, 3)
-    val t = spine
-      .withColumn("s7", sum("n").over(w7))
-      .withColumn("c7", count(lit(1)).over(w7))
-      .filter(col("c7") === 7)
-      .withColumn("det7", lit(7L) * col("n") - col("s7"))
-      .withColumn("dow", dayofweek(col("day")))
-    val seas = t.groupBy("event_type", "dow")
-      .agg(sum("det7").as("ssum"), count(lit(1)).as("cnt"))
-    t.join(broadcast(seas), Seq("event_type", "dow"))
-      .withColumn("trend", col("s7").cast("double") / 7.0)
-      .withColumn("seasonal",
-        col("ssum").cast("double") / (lit(7.0) * col("cnt")))
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame =
+    stlFrame(spark, dir)
       .select(col("event_type"), col("day").cast("timestamp").as("day"),
         col("n"),
         round(col("trend"), 4).as("trend"),
         round(col("seasonal"), 4).as("seasonal"),
-        round(col("n") - col("trend") - col("seasonal"), 4).as("resid"))
+        round(col("resid"), 4).as("resid"))
       .orderBy("event_type", "day")
-  }
 
   val stlDecomposeSql: String =
     """WITH daily AS (SELECT event_type,
@@ -189,6 +174,100 @@ object Series {
       |    - CAST(ssum AS DOUBLE) / (7.0 * cnt), 4) AS resid
       |FROM tf JOIN seas USING (event_type, dow)
       |ORDER BY tf.event_type, tf.day""".stripMargin
+
+  /** Shared STL frame with UNROUNDED components (each value a fixed-
+    * sequence expression of exact integers — §2.222); stlDecompose
+    * rounds for display, anomalyStl thresholds on the residual. */
+  private def stlFrame(spark: SparkSession, dir: String): DataFrame = {
+    val spine = daySpine(spark, dir)
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val t = spine
+      .withColumn("s7", sum("n").over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .filter(col("c7") === 7)
+      .withColumn("det7", lit(7L) * col("n") - col("s7"))
+      .withColumn("dow", dayofweek(col("day")))
+    val seas = t.groupBy("event_type", "dow")
+      .agg(sum("det7").as("ssum"), count(lit(1)).as("cnt"))
+    t.join(broadcast(seas), Seq("event_type", "dow"))
+      .withColumn("trend", col("s7").cast("double") / 7.0)
+      .withColumn("seasonal",
+        col("ssum").cast("double") / (lit(7.0) * col("cnt")))
+      .withColumn("resid", col("n") - col("trend") - col("seasonal"))
+  }
+
+  /** §2.238 `anomaly_stl`: STL-residual anomaly days — the alarm
+    * §2.222's scaladoc promises: flag days where the DESEASONALIZED,
+    * DETRENDED volume deviates, |resid − med| > 2·1.4826·MAD(resid)
+    * per event type (the §2.126 robust rule moved onto the residual —
+    * threshold z>2 (~p<.05 two-sided) rather than 3 so the alarm has
+    * non-trivial output at the sf0.01 gate; nearest non-flagged value
+    * sits at z≈1.87, a safe cross-engine margin —
+    * raw-volume alarms fire every weekend; residual alarms fire on
+    * real breaks). Residuals are fixed-sequence floats of exact
+    * integers (§2.222), so both engines threshold identical doubles;
+    * median/MAD interpolate over the calendar-bounded residual frame
+    * (the §2.141 percentile convention). Output = the flagged days
+    * only (anomaly-sized, not calendar-sized). */
+  def anomalyStl(spark: SparkSession, dir: String): DataFrame = {
+    val f = stlFrame(spark, dir)
+    val med = f.groupBy("event_type")
+      .agg(expr("percentile(resid, 0.5)").as("med"))
+    val dev = f.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("resid") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("adev") > lit(2.0) * 1.4826 * col("mad"))
+      .select(col("event_type"),
+        col("day").cast("timestamp").as("day"), col("n"),
+        round(col("resid"), 4).as("resid"),
+        round(col("adev") / (lit(1.4826) * col("mad")), 4)
+          .as("robust_z"))
+      .orderBy("event_type", "day")
+  }
+
+  val anomalyStlSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+      |  FROM (SELECT event_type,
+      |      unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      |    FROM (SELECT event_type, CAST(min(day) AS TIMESTAMP) AS d0,
+      |        CAST(max(day) AS TIMESTAMP) AS d1 FROM daily GROUP BY 1) t) s
+      |  LEFT JOIN daily d
+      |    ON s.event_type = d.event_type AND CAST(s.day AS DATE) = d.day),
+      |t AS (SELECT event_type, day, n,
+      |    CAST(sum(n) OVER w AS BIGINT) AS s7,
+      |    count(*) OVER w AS c7,
+      |    7 * n - CAST(sum(n) OVER w AS BIGINT) AS det7,
+      |    dayofweek(CAST(day AS DATE)) + 1 AS dow
+      |  FROM spine
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |tf AS (SELECT * FROM t WHERE c7 = 7),
+      |seas AS (SELECT event_type, dow,
+      |    CAST(sum(det7) AS BIGINT) AS ssum, count(*) AS cnt
+      |  FROM tf GROUP BY 1, 2),
+      |r AS (SELECT tf.event_type, tf.day, tf.n,
+      |    tf.n - CAST(s7 AS DOUBLE) / 7.0
+      |      - CAST(ssum AS DOUBLE) / (7.0 * cnt) AS resid
+      |  FROM tf JOIN seas USING (event_type, dow)),
+      |med AS (SELECT event_type, quantile_cont(resid, 0.5) AS med
+      |  FROM r GROUP BY 1),
+      |dev AS (SELECT r.event_type, r.day, r.n, r.resid,
+      |    abs(r.resid - med.med) AS adev
+      |  FROM r JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT dev.event_type, dev.day, dev.n,
+      |  round(dev.resid, 4) AS resid,
+      |  round(dev.adev / (1.4826 * mad.mad), 4) AS robust_z
+      |FROM dev JOIN mad USING (event_type)
+      |WHERE dev.adev > 2.0 * 1.4826 * mad.mad
+      |ORDER BY dev.event_type, dev.day""".stripMargin
 
   /** §2.236 `dispersion_report`: burstiness diagnostics per event type
     * — Fano factor (variance/mean of daily volume; 1 = Poisson, ≫1 =

@@ -169,6 +169,47 @@ class SeriesGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly_stl = robust-z > 2 days of the brute STL residual") {
+    import graft.analytics.Series
+    val daily = dailyCounts
+    val got = Series.anomalyStl(spark, sf).collect()
+    // brute replay: residual per scored day, then median/MAD flagging
+    val expected = daily.keys.map(_._1).toSeq.distinct.sorted.flatMap { et =>
+      val days = daily.keys.collect { case (e, d) if e == et => d }
+      val (d0, d1) = (days.min, days.max)
+      val series = Iterator.iterate(d0)(_.plusDays(1))
+        .takeWhile(!_.isAfter(d1))
+        .map(d => d -> daily.getOrElse((et, d), 0L)).toIndexedSeq
+      val trend = (3 until series.length - 3).map { i =>
+        series(i)._1 -> series.slice(i - 3, i + 4).map(_._2).sum / 7.0
+      }
+      val det = trend.map { case (d, tr) =>
+        d -> (daily.getOrElse((et, d), 0L) - tr) }
+      val seas = det.groupBy(_._1.getDayOfWeek).view
+        .mapValues(v => v.map(_._2).sum / v.size).toMap
+      val resid = trend.map { case (d, tr) =>
+        d -> (daily.getOrElse((et, d), 0L) - tr - seas(d.getDayOfWeek)) }
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted; val n = s.length
+        if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      }
+      val med = median(resid.map(_._2))
+      val mad = median(resid.map(r => math.abs(r._2 - med)))
+      resid.collect {
+        case (d, r) if math.abs(r - med) > 2.0 * 1.4826 * mad =>
+          (et, d, math.abs(r - med) / (1.4826 * mad))
+      }
+    }
+    assert(got.length == expected.length, "flagged-day count")
+    got.sortBy(r => (r.getString(0), r.getTimestamp(1).getTime))
+      .zip(expected.sortBy(e => (e._1, e._2.toEpochDay))).foreach {
+        case (r, (et, d, z)) =>
+          assert(r.getString(0) == et)
+          assert(r.getTimestamp(1).toLocalDateTime.toLocalDate == d)
+          assert(math.abs(r.getDouble(4) - z) < 1e-3, s"robust_z $et $d")
+      }
+  }
+
   test("dispersion_report = brute Fano/peak/hour-entropy per type") {
     import graft.analytics.Series
     val daily = dailyCounts
