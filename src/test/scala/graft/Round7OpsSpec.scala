@@ -191,4 +191,57 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(degrees(surv).count(_._2 >= Graph.KcoreK) === surv.size ||
       expected.isEmpty)
   }
+
+  test("benford_check = brute first-digit histogram; z from binomial moments") {
+    val li = Tables.lineitem(spark, sf).select("l_extendedprice").collect()
+      .map(r => "lineitem.l_extendedprice" -> r.getDouble(0))
+    val od = Tables.orders(spark, sf).select("o_totalprice").collect()
+      .map(r => "orders.o_totalprice" -> r.getDouble(0))
+    val counts = (li ++ od)
+      .map { case (src, x) => (src, math.round(x * 100).toString.head - '0') }
+      .filter(_._2 > 0)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totals = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val got = dq.Benford.benfordCheck(spark, sf).collect()
+    assert(got.length == counts.size)
+    def r(x: Double, dp: Int) = BigDecimal(x)
+      .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { row =>
+      val (src, digit) = (row.getString(0), row.getInt(1))
+      val n = counts((src, digit)); val nt = totals(src)
+      val p = dq.Benford.P6(digit - 1)
+      assert(row.getLong(2) == n && row.getLong(3) == nt)
+      assert(row.getDouble(4) == r(n.toDouble / nt, 6), s"share $src $digit")
+      assert(row.getDouble(5) == p)
+      assert(row.getDouble(6) == r(n.toDouble / nt - p, 6))
+      assert(math.abs(row.getDouble(7) -
+        (n - nt * p) / math.sqrt(nt * p * (1 - p))) < 1e-3)
+    }
+    // the synthetic TPC-H-ish prices are near-uniform, NOT Benford —
+    // the audit must say so loudly: digit-1 share below Benford's 30%
+    got.filter(_.getInt(1) == 1).foreach(r0 =>
+      assert(r0.getDouble(6) < 0, "digit-1 dev should be negative here"))
+  }
+
+  test("text_readability = brute pooled Flesch per language") {
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).view.mapValues { rs =>
+      val w = rs.map(d => "[a-z0-9]+".r.findAllIn(d._2.toLowerCase).size.toLong).sum
+      val s = rs.map(d => math.max("[.!?]+".r.findAllIn(d._2).size, 1).toLong).sum
+      val v = rs.map(d => "[aeiouy]+".r.findAllIn(d._2.toLowerCase).size.toLong).sum
+      (rs.size.toLong, w, s, v)
+    }.toMap
+    val got = text.Readability.textReadability(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { row =>
+      val (nd, w, s, v) = expected(row.getString(0))
+      assert(row.getLong(1) == nd && row.getLong(2) == w &&
+        row.getLong(3) == s && row.getLong(4) == v, row.getString(0))
+      assert(math.abs(row.getDouble(5) - w.toDouble / s) < 1e-3)
+      assert(math.abs(row.getDouble(6) - v.toDouble / w) < 1e-3)
+      assert(math.abs(row.getDouble(7) - (206.835 - 1.015 * w.toDouble / s
+        - 84.6 * v.toDouble / w)) < 1e-3)
+    }
+  }
 }
