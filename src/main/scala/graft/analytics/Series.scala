@@ -47,7 +47,10 @@ object Series {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
-  def acfLags(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared per-(type, lag) frame with the UNROUNDED autocorrelation
+    * `r` — acfLags rounds it for display, ljungBox squares it into
+    * the portmanteau statistic. */
+  private def acfFrame(spark: SparkSession, dir: String): DataFrame = {
     val spine = daySpine(spark, dir)
     val w = Window.partitionBy("event_type").orderBy("day")
     val lagged = spine.select(
@@ -67,15 +70,18 @@ object Series {
         sum(col("n") * col("n")).as("s2"))
     val mu = col("s1").cast("double") / col("n_days")
     perLag.join(broadcast(perType), Seq("event_type"))
-      .withColumn("acf", round(
+      .withColumn("r",
         (col("sab").cast("double") - mu * (col("sa") + col("sb")).cast("double")
           + col("n_pairs").cast("double") * mu * mu) /
         (col("s2").cast("double") -
-          col("n_days").cast("double") * mu * mu), 6))
-      .select(col("event_type"), col("lag"), col("n_pairs"),
-        col("n_days"), col("acf"))
-      .orderBy("event_type", "lag")
+          col("n_days").cast("double") * mu * mu))
   }
+
+  def acfLags(spark: SparkSession, dir: String): DataFrame =
+    acfFrame(spark, dir)
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        col("n_days"), round(col("r"), 6).as("acf"))
+      .orderBy("event_type", "lag")
 
   val acfLagsSql: String = {
     val lagCols = (1 to AcfMaxLag)
@@ -116,6 +122,97 @@ object Series {
        |      * (CAST(s1 AS DOUBLE) / t.n_days)), 6) AS acf
        |FROM perlag p JOIN pertype t USING (event_type)
        |ORDER BY event_type, lag""".stripMargin
+  }
+
+  /** χ²(7) upper-5% critical value for the Ljung–Box test — a shared
+    * literal on both engines (no live chi-square inverse). */
+  val LjungBoxCrit = 14.0671
+
+  /** §2.241 `ljung_box`: the Ljung–Box portmanteau whiteness test on
+    * each event type's daily-volume series —
+    * Q = n(n+2)·Σ_{l=1..7} r_l²/(n−l), rejecting "white noise" when
+    * Q > χ²₀.₉₅(7) = [[LjungBoxCrit]]. The formal companion to
+    * [[acfLags]]: the ACF says WHICH lags correlate, Q says whether
+    * the series is autocorrelated AT ALL (the gate a forecasting
+    * pipeline checks before fitting anything — §2.212's backtest is
+    * pointless on white noise).
+    *
+    * Determinism: r_l is the shared [[acfFrame]] estimator — a
+    * fixed-sequence float of exact integer moments — and the 7 lag
+    * terms are PIVOTED to columns and added in fixed l=1..7
+    * expression order on both engines (a groupBy float SUM over the
+    * lag rows would be partition-order-dependent; 7 named addends
+    * are not). Scale shape: everything after the one corpus groupBy
+    * lives on the types×7 frame. */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+    val piv = acfFrame(spark, dir).groupBy("event_type")
+      .agg(max(col("n_days")).as("n_days"),
+        (1 to AcfMaxLag).map(l =>
+          max(when(col("lag") === l, col("r"))).as(s"r$l")): _*)
+    val n = col("n_days").cast("double")
+    val q = (1 to AcfMaxLag)
+      .map(l => col(s"r$l") * col(s"r$l") / (n - l))
+      .reduce(_ + _) * n * (n + lit(2.0))
+    piv.select(col("event_type"), col("n_days"),
+      lit(AcfMaxLag.toLong).as("df"),
+      round(q, 4).as("q_stat"),
+      (q > LjungBoxCrit).as("reject_white_noise"))
+      .orderBy("event_type")
+  }
+
+  val ljungBoxSql: String = {
+    val lagCols = (1 to AcfMaxLag)
+      .map(l => s"lag(n, $l) OVER (PARTITION BY event_type ORDER BY day) AS x$l")
+      .mkString(", ")
+    val caseY = (1 to AcfMaxLag)
+      .map(l => s"WHEN $l THEN x$l").mkString("CASE l.lag ", " ", " END")
+    val lagVals = (1 to AcfMaxLag).map(l => s"($l)").mkString(", ")
+    val rPiv = (1 to AcfMaxLag)
+      .map(l => s"max(CASE WHEN lag = $l THEN r END) AS r$l")
+      .mkString(",\n       |    ")
+    val qTerms = (1 to AcfMaxLag)
+      .map(l => s"r$l * r$l / (nd - $l)").mkString(" + ")
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |spine AS (SELECT s.event_type, s.day,
+       |    COALESCE(d.n, 0) AS n
+       |  FROM (SELECT event_type,
+       |      unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+       |    FROM (SELECT event_type, CAST(min(day) AS TIMESTAMP) AS d0,
+       |        CAST(max(day) AS TIMESTAMP) AS d1 FROM daily GROUP BY 1) t) s
+       |  LEFT JOIN daily d
+       |    ON s.event_type = d.event_type AND CAST(s.day AS DATE) = d.day),
+       |lagged AS (SELECT event_type, n, $lagCols FROM spine),
+       |pairs AS (SELECT event_type, n, l.lag, $caseY AS y
+       |  FROM lagged CROSS JOIN (VALUES $lagVals) l(lag)),
+       |perlag AS (SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       |    count(*) AS n_pairs,
+       |    CAST(sum(y) AS BIGINT) AS sa, CAST(sum(n) AS BIGINT) AS sb,
+       |    CAST(sum(n * y) AS BIGINT) AS sab
+       |  FROM pairs WHERE y IS NOT NULL GROUP BY 1, 2),
+       |pertype AS (SELECT event_type, count(*) AS n_days,
+       |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+       |  FROM spine GROUP BY 1),
+       |rlag AS (SELECT p.event_type, p.lag, t.n_days,
+       |    (CAST(sab AS DOUBLE)
+       |      - (CAST(s1 AS DOUBLE) / t.n_days) * CAST(sa + sb AS DOUBLE)
+       |      + CAST(n_pairs AS DOUBLE) * (CAST(s1 AS DOUBLE) / t.n_days)
+       |        * (CAST(s1 AS DOUBLE) / t.n_days))
+       |    / (CAST(s2 AS DOUBLE) - CAST(t.n_days AS DOUBLE)
+       |      * (CAST(s1 AS DOUBLE) / t.n_days)
+       |      * (CAST(s1 AS DOUBLE) / t.n_days)) AS r
+       |  FROM perlag p JOIN pertype t USING (event_type)),
+       |piv AS (SELECT event_type, max(n_days) AS n_days,
+       |    $rPiv
+       |  FROM rlag GROUP BY 1),
+       |qq AS (SELECT event_type, n_days,
+       |    ($qTerms) * nd * (nd + 2.0) AS q
+       |  FROM (SELECT *, CAST(n_days AS DOUBLE) AS nd FROM piv) x)
+       |SELECT event_type, n_days, CAST($AcfMaxLag AS BIGINT) AS df,
+       |  round(q, 4) AS q_stat,
+       |  q > $LjungBoxCrit AS reject_white_noise
+       |FROM qq ORDER BY event_type""".stripMargin
   }
 
   /** §2.222 `stl_decompose`: the classical additive decomposition x_t = trend + seasonal + resid

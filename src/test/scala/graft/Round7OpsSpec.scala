@@ -223,6 +223,34 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(r0.getDouble(6) < 0, "digit-1 dev should be negative here"))
   }
 
+  test("demand_curve = brute per-brand OLS of units on price cents") {
+    val units = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getDouble(1).toLong).sum).toMap
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_retailprice").collect()
+      .map(r => (r.getString(1), math.round(r.getDouble(2) * 100),
+        units.getOrElse(r.getLong(0), 0L)))
+    val got = graft.analytics.Pricing.demandCurve(spark, sf).collect()
+    assert(got.length == parts.map(_._1).distinct.length)
+    got.foreach { row =>
+      val b = row.getString(0)
+      val pts = parts.filter(_._1 == b).map(p => (p._2.toDouble, p._3.toDouble))
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      assert(row.getLong(1) == pts.length.toLong)
+      assert(row.getLong(2) == pts.map(_._2.toLong).sum)
+      assert(math.abs(row.getDouble(3) -
+        (n * sxy - sx * sy) / (n * sxx - sx * sx) * 100.0) < 1e-3, s"$b slope")
+      assert(math.abs(row.getDouble(4) - (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) < 1e-4, s"$b r")
+    }
+  }
+
   test("text_readability = brute pooled Flesch per language") {
     val docs = Tables.documents(spark, sf).select("lang", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))

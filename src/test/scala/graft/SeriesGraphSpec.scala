@@ -210,6 +210,32 @@ class SeriesGraphSpec extends AnyFunSuite {
       }
   }
 
+  test("ljung_box = brute portmanteau Q over lags 1..7") {
+    import graft.analytics.Series
+    val daily = dailyCounts
+    val got = Series.ljungBox(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val et = r.getString(0)
+      val days = daily.keys.collect { case (e, d) if e == et => d }
+      val (d0, d1) = (days.min, days.max)
+      val xs = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(d => daily.getOrElse((et, d), 0L).toDouble).toIndexedSeq
+      val n = xs.length
+      val mu = xs.sum / n
+      val denom = xs.map(x => (x - mu) * (x - mu)).sum
+      val rl = (1 to Series.AcfMaxLag).map { l =>
+        (0 until n - l).map(i => (xs(i) - mu) * (xs(i + l) - mu)).sum / denom
+      }
+      val q = n * (n + 2.0) *
+        rl.zipWithIndex.map { case (r2, i) => r2 * r2 / (n - i - 1) }.sum
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getLong(2) == Series.AcfMaxLag.toLong)
+      assert(math.abs(r.getDouble(3) - q) < 1e-2, s"$et Q")
+      assert(r.getBoolean(4) == (r.getDouble(3) > Series.LjungBoxCrit))
+    }
+  }
+
   test("dispersion_report = brute Fano/peak/hour-entropy per type") {
     import graft.analytics.Series
     val daily = dailyCounts
