@@ -251,6 +251,40 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("slice_metrics = brute per-slice error rates; z from pooled rate") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "ts", "get_json_object(props, '$.k')")
+      .collect()
+      .filter(!_.isNullAt(2))
+      .map { r =>
+        val ldt = r.getTimestamp(1).toLocalDateTime
+        val dowSpark = ldt.getDayOfWeek.getValue % 7 + 1 // Sun=1..Sat=7
+        (r.getString(0) == "error",
+          Seq("dow" -> dowSpark.toString,
+            "hour_band" -> s"h${ldt.getHour / 6 * 6}",
+            "item_decile" -> (r.getString(2).toInt / 10).toString))
+      }
+    val counts = rows.flatMap { case (e, dims) => dims.map((_, e)) }
+      .groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.count(_._2).toLong)).toMap
+    val nTot = rows.size.toLong
+    val errTot = rows.count(_._1).toLong
+    val p0 = errTot.toDouble / nTot
+    val got = dq.Slices.sliceMetrics(spark, sf).collect()
+    assert(got.length == counts.size)
+    got.foreach { r =>
+      val (n, ne) = counts((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == n && r.getLong(3) == ne,
+        s"${r.getString(0)}/${r.getString(1)}")
+      val p = ne.toDouble / n
+      assert(math.abs(r.getDouble(4) - p) < 1e-5)
+      assert(math.abs(r.getDouble(5) - p0) < 1e-5)
+      assert(math.abs(r.getDouble(6) - p / p0) < 1e-3)
+      assert(math.abs(r.getDouble(7) -
+        (p - p0) / math.sqrt(p0 * (1 - p0) / n)) < 1e-3)
+    }
+  }
+
   test("text_readability = brute pooled Flesch per language") {
     val docs = Tables.documents(spark, sf).select("lang", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))
