@@ -443,4 +443,247 @@ object Series {
       |    / ln(24.0), 6) AS hour_evenness
       |FROM dstats d JOIN hstats h USING (event_type)
       |ORDER BY d.event_type""".stripMargin
+
+  /** EWMA smoothing factor: s_t = α·x_t + (1−α)·s_{t−1}. */
+  val EwmaAlpha = 0.3
+
+  /** §2.244 `ewma_smooth`: exponentially-weighted moving average of
+    * each event type's zero-filled daily volume — the one-number
+    * "where is the series now" state a monitoring dashboard tracks
+    * (and the flat h-step forecast of simple exponential smoothing,
+    * Hyndman & Athanasopoulos ch. 8). Reports the final EWMA state,
+    * the last observation, and their gap (today vs trend).
+    *
+    * Determinism: the recursion has no closed form that avoids
+    * either pow() (libm-dependent) or a cross-row float sum
+    * (order-dependent) — so BOTH engines evaluate the SAME
+    * left-to-right fold over the day-ordered series (Spark
+    * `aggregate` on the sorted collect_list, DuckDB `list_reduce`
+    * on `list(... ORDER BY day)`), initialized at the first day's
+    * count: identical operation sequence, identical doubles.
+    *
+    * Scale shape: the corpus collapses to the (type, day) grain
+    * first; each per-type series is calendar-bounded (years, not
+    * corpus-sized), so the collect_list is safe by construction —
+    * the same argument as [[stlDecompose]]'s seasonal table. */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val a = EwmaAlpha
+    daySpine(spark, dir)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+        .as("series"))
+      .select(col("event_type"),
+        size(col("series")).as("n_days"),
+        expr("element_at(series, -1).day").cast("timestamp")
+          .as("last_day"),
+        expr("element_at(series, -1).n").as("last_n"),
+        expr(s"""aggregate(
+          slice(series, 2, size(series) - 1),
+          CAST(element_at(series, 1).n AS DOUBLE),
+          (acc, e) -> acc * ${1 - a} + e.n * $a)""").as("ewma_raw"))
+      // gap subtracts the UNROUNDED state on both engines — deriving
+      // it from the rounded column would shift the 4 dp grid
+      .select(col("event_type"), col("n_days"), col("last_day"),
+        col("last_n"), round(col("ewma_raw"), 4).as("ewma"),
+        round(col("last_n") - col("ewma_raw"), 4).as("gap"))
+      .orderBy("event_type")
+  }
+
+  val ewmaSmoothSql: String = {
+    val a = EwmaAlpha
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |spine AS (SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+       |  FROM (SELECT event_type,
+       |      unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+       |    FROM (SELECT event_type, CAST(min(day) AS TIMESTAMP) AS d0,
+       |        CAST(max(day) AS TIMESTAMP) AS d1 FROM daily GROUP BY 1) t) s
+       |  LEFT JOIN daily d
+       |    ON s.event_type = d.event_type AND CAST(s.day AS DATE) = d.day),
+       |ser AS (SELECT event_type,
+       |    list(CAST(n AS DOUBLE) ORDER BY day) AS xs,
+       |    count(*) AS n_days, max(day) AS last_day,
+       |    CAST(arg_max(n, day) AS BIGINT) AS last_n
+       |  FROM spine GROUP BY 1)
+       |SELECT event_type, n_days, last_day, last_n,
+       |  round(list_reduce(xs,
+       |    (acc, x) -> acc * ${1 - a} + x * $a), 4) AS ewma,
+       |  round(last_n - list_reduce(xs,
+       |    (acc, x) -> acc * ${1 - a} + x * $a), 4) AS gap
+       |FROM ser ORDER BY event_type""".stripMargin
+  }
+
+  /** Max |lag| for the cross-correlation sweep. */
+  val XcorrMaxLag = 7
+
+  /** Shared two-series frame: zero-filled daily click volume `x` and
+    * purchase volume `y` on the global event calendar. */
+  private def xyFrame(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .join(ev, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+  }
+
+  /** §2.246 `xcorr_lags`: lead/lag cross-correlation between the
+    * daily click and purchase volume series — Pearson r of
+    * (x_t, y_{t+l}) for l ∈ [−7, 7]. Positive-l peaks mean clicks
+    * LEAD purchases by l days (the marketing-mix / conversion-delay
+    * diagnostic; §2.220's ACF is this at x = y).
+    *
+    * Scale shape: corpus → day grain once; the 15 shifted copies are
+    * window leads over the calendar-bounded frame sharing ONE sort.
+    *
+    * Determinism: per-lag Σx, Σy, Σxy, Σx², Σy² are exact BIGINTs
+    * (integer daily counts), r is one fixed-sequence float per lag
+    * row, rounded once at 6 dp. */
+  def xcorrLags(spark: SparkSession, dir: String): DataFrame = {
+    val L = XcorrMaxLag
+    val w = Window.orderBy("day")
+    val shifted = xyFrame(spark, dir).select(
+      Seq(col("x")) ++
+        (-L to L).map(l =>
+          (if (l >= 0) lead("y", l) else lag("y", -l)).over(w)
+            .as(s"y_${if (l < 0) "m" + (-l) else l.toString}")): _*)
+    val stackExpr = (-L to L)
+      .map(l => s"$l, y_${if (l < 0) "m" + (-l) else l.toString}")
+      .mkString(s"stack(${2 * L + 1}, ", ", ", ") AS (lag, y)")
+    val perLag = shifted.select(col("x"), expr(stackExpr))
+      .filter(col("y").isNotNull)
+      .groupBy(col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    // numerator and both variance terms are exact BIGINTs; the only
+    // float ops are one sqrt and one division per lag row, and
+    // zero-variance degenerates are decided on INTEGER comparisons
+    val num = col("n_pairs") * col("sxy") - col("sx") * col("sy")
+    val dxx = col("n_pairs") * col("sxx") - col("sx") * col("sx")
+    val dyy = col("n_pairs") * col("syy") - col("sy") * col("sy")
+    perLag.select(col("lag"), col("n_pairs"),
+      round(when(dxx > 0 && dyy > 0,
+        num.cast("double") / sqrt(dxx.cast("double") * dyy.cast("double"))),
+        6).as("xcorr"))
+      .orderBy("lag")
+  }
+
+  val xcorrLagsSql: String = {
+    val L = XcorrMaxLag
+    val shiftCols = (-L to L).map { l =>
+      val nm = s"y_${if (l < 0) "m" + (-l) else l.toString}"
+      if (l >= 0) s"lead(y, $l) OVER (ORDER BY day) AS $nm"
+      else s"lag(y, ${-l}) OVER (ORDER BY day) AS $nm"
+    }.mkString(",\n       |    ")
+    val caseY = (-L to L)
+      .map(l => s"WHEN $l THEN y_${if (l < 0) "m" + (-l) else l.toString}")
+      .mkString("CASE l.lag ", " ", " END")
+    val lagVals = (-L to L).map(l => s"($l)").mkString(", ")
+    s"""WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS y
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |  GROUP BY 1),
+       |spine AS (SELECT s.day, COALESCE(d.x, 0) AS x, COALESCE(d.y, 0) AS y
+       |  FROM (SELECT unnest(generate_series(
+       |      CAST(min(day) AS TIMESTAMP), CAST(max(day) AS TIMESTAMP),
+       |      INTERVAL 1 DAY)) AS day FROM daily) s
+       |  LEFT JOIN daily d ON CAST(s.day AS DATE) = d.day),
+       |shifted AS (SELECT x,
+       |    $shiftCols
+       |  FROM spine),
+       |pairs AS (SELECT x, l.lag, $caseY AS y
+       |  FROM shifted CROSS JOIN (VALUES $lagVals) l(lag)),
+       |perlag AS (SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n_pairs,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM pairs WHERE y IS NOT NULL GROUP BY 1)
+       |SELECT lag, n_pairs,
+       |  round(CASE WHEN n_pairs * sxx - sx * sx > 0
+       |      AND n_pairs * syy - sy * sy > 0
+       |    THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+       |      / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+       |        * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+       |    END, 6) AS xcorr
+       |FROM perlag ORDER BY lag""".stripMargin
+  }
+
+  /** Trailing window width for [[rollingCorr]] (two full weeks). */
+  val RollCorrDays = 14
+
+  /** §2.247 `rolling_corr`: trailing 14-day Pearson correlation
+    * between daily click and purchase volume, per day — the
+    * relationship-drift monitor ([[xcorrLags]] gives the global
+    * number; this shows it decaying after e.g. a tracking break).
+    * Only full windows score.
+    *
+    * Determinism: the five windowed moments are BIGINT sums of
+    * integers over ROWS frames (exact, order-free); each day's r is
+    * one fixed-sequence float. Scale: one sort over the
+    * calendar-bounded frame shared by all five window sums. */
+  def rollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day").rowsBetween(-(RollCorrDays - 1), 0)
+    val m = xyFrame(spark, dir).select(col("day"),
+      count(lit(1)).over(w).as("n_w"),
+      sum("x").over(w).as("sx"), sum("y").over(w).as("sy"),
+      sum(col("x") * col("y")).over(w).as("sxy"),
+      sum(col("x") * col("x")).over(w).as("sxx"),
+      sum(col("y") * col("y")).over(w).as("syy"))
+      .filter(col("n_w") === RollCorrDays)
+    // exact-integer numerator/variances; zero-variance windows gate
+    // on INTEGER comparisons and report NULL (the §2.246 discipline)
+    val k = lit(RollCorrDays.toLong)
+    val num = k * col("sxy") - col("sx") * col("sy")
+    val dxx = k * col("sxx") - col("sx") * col("sx")
+    val dyy = k * col("syy") - col("sy") * col("sy")
+    m.select(col("day").cast("timestamp").as("day"),
+      round(when(dxx > 0 && dyy > 0,
+        num.cast("double") / sqrt(dxx.cast("double") * dyy.cast("double"))),
+        6).as("corr14"))
+      .orderBy("day")
+  }
+
+  val rollingCorrSql: String =
+    s"""WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS y
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |  GROUP BY 1),
+       |spine AS (SELECT s.day, COALESCE(d.x, 0) AS x, COALESCE(d.y, 0) AS y
+       |  FROM (SELECT unnest(generate_series(
+       |      CAST(min(day) AS TIMESTAMP), CAST(max(day) AS TIMESTAMP),
+       |      INTERVAL 1 DAY)) AS day FROM daily) s
+       |  LEFT JOIN daily d ON CAST(s.day AS DATE) = d.day),
+       |m AS (SELECT day, count(*) OVER w AS n_w,
+       |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+       |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+       |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) OVER w AS BIGINT) AS syy
+       |  FROM spine
+       |  WINDOW w AS (ORDER BY day
+       |    ROWS BETWEEN ${RollCorrDays - 1} PRECEDING AND CURRENT ROW))
+       |SELECT day,
+       |  round(CASE WHEN $RollCorrDays * sxx - sx * sx > 0
+       |      AND $RollCorrDays * syy - sy * sy > 0
+       |    THEN CAST($RollCorrDays * sxy - sx * sy AS DOUBLE)
+       |      / sqrt(CAST($RollCorrDays * sxx - sx * sx AS DOUBLE)
+       |        * CAST($RollCorrDays * syy - sy * sy AS DOUBLE))
+       |    END, 6) AS corr14
+       |FROM m WHERE n_w = $RollCorrDays
+       |ORDER BY day""".stripMargin
 }

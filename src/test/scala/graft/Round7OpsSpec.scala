@@ -285,6 +285,39 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sq8_error_report = brute reconstruction error; errors within mx/254") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq))
+    def roundAway(x: Double) =
+      if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+    val per = vecs.map { case (lbl, ed) =>
+      val mx = ed.map(math.abs).max
+      val sc = if (mx == 0) 0.0 else 127.0 / mx
+      val q = ed.map(x => roundAway(x * sc))
+      val errs = ed.zip(q).map { case (x, qi) => math.abs(x - qi * (mx / 127.0)) }
+      // per-vector invariant: every component error within the
+      // half-step bound mx/254 (+ tiny float slack)
+      assert(errs.max <= mx / 254.0 + 1e-12)
+      (lbl, ed.size.toLong, errs.max, mx / 254.0,
+        q.count(v => math.abs(v) == 127.0).toLong)
+    }
+    val expected = per.groupBy(_._1).view.mapValues { rs =>
+      (rs.size.toLong, rs.map(_._2).sum, rs.map(_._3).max, rs.map(_._4).max,
+        rs.map(_._5).sum)
+    }.toMap
+    val got = ann.Sq8Report.sq8ErrorReport(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nv, nc, me, mb, sat) = expected(r.getInt(0))
+      assert(r.getLong(1) == nv && r.getLong(2) == nc)
+      assert(math.abs(r.getDouble(3) - me) < 1e-6, s"label ${r.getInt(0)} err")
+      assert(math.abs(r.getDouble(4) - mb) < 1e-6)
+      assert(r.getLong(5) == sat)
+      assert(math.abs(r.getDouble(6) - sat.toDouble / nc) < 1e-5)
+    }
+  }
+
   test("text_readability = brute pooled Flesch per language") {
     val docs = Tables.documents(spark, sf).select("lang", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))

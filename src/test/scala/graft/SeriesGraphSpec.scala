@@ -236,6 +236,82 @@ class SeriesGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("ewma_smooth = brute day-ordered fold at alpha 0.3") {
+    import graft.analytics.Series
+    val daily = dailyCounts
+    val got = Series.ewmaSmooth(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val et = r.getString(0)
+      val days = daily.keys.collect { case (e, d) if e == et => d }
+      val (d0, d1) = (days.min, days.max)
+      val xs = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(d => daily.getOrElse((et, d), 0L).toDouble).toIndexedSeq
+      val a = Series.EwmaAlpha
+      val ewma = xs.tail.foldLeft(xs.head)((acc, x) => acc * (1 - a) + x * a)
+      assert(r.getInt(1) == xs.length)
+      assert(r.getTimestamp(2).toLocalDateTime.toLocalDate == d1)
+      assert(r.getLong(3) == xs.last.toLong)
+      assert(math.abs(r.getDouble(4) - ewma) < 1e-3, s"$et ewma")
+      assert(math.abs(r.getDouble(5) - (xs.last - ewma)) < 1e-3, s"$et gap")
+    }
+  }
+
+  private def xySeries: IndexedSeq[(Long, Long)] = {
+    val daily = dailyCounts
+    val days = daily.keys.collect {
+      case (e, d) if e == "click" || e == "purchase" => d }
+    val (d0, d1) = (days.min, days.max)
+    Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      .map(d => (daily.getOrElse(("click", d), 0L),
+        daily.getOrElse(("purchase", d), 0L))).toIndexedSeq
+  }
+
+  test("xcorr_lags = brute shifted-pair Pearson for lags -7..7") {
+    import graft.analytics.Series
+    val xy = xySeries
+    val got = Series.xcorrLags(spark, sf).collect()
+    assert(got.length == 2 * Series.XcorrMaxLag + 1)
+    got.foreach { r =>
+      val l = r.getLong(0).toInt
+      val pairs = xy.indices.flatMap { i =>
+        val j = i + l
+        if (j >= 0 && j < xy.length) Some((xy(i)._1, xy(j)._2)) else None
+      }
+      assert(r.getLong(1) == pairs.length.toLong, s"lag $l n")
+      val n = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+      val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+      val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+      val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+      val expect = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(r.getDouble(2) - expect) < 1e-4, s"lag $l r")
+    }
+  }
+
+  test("rolling_corr = brute trailing-14d Pearson; |corr| <= 1") {
+    import graft.analytics.Series
+    val xy = xySeries
+    val k = Series.RollCorrDays
+    val got = Series.rollingCorr(spark, sf).collect()
+    assert(got.length == math.max(0, xy.length - k + 1))
+    got.zipWithIndex.foreach { case (r, idx) =>
+      val w = xy.slice(idx, idx + k)
+      val n = k.toDouble
+      val (sx, sy) = (w.map(_._1).sum.toDouble, w.map(_._2).sum.toDouble)
+      val sxy = w.map(p => p._1 * p._2).sum.toDouble
+      val sxx = w.map(p => p._1 * p._1).sum.toDouble
+      val syy = w.map(p => p._2 * p._2).sum.toDouble
+      val dxx = n * sxx - sx * sx; val dyy = n * syy - sy * sy
+      if (dxx > 0 && dyy > 0) {
+        val expect = (n * sxy - sx * sy) / math.sqrt(dxx * dyy)
+        assert(math.abs(r.getDouble(1) - expect) < 1e-4, s"win $idx")
+        assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
+      } else assert(r.isNullAt(1))
+    }
+  }
+
   test("dispersion_report = brute Fano/peak/hour-entropy per type") {
     import graft.analytics.Series
     val daily = dailyCounts
