@@ -686,4 +686,76 @@ object Series {
        |    END, 6) AS corr14
        |FROM m WHERE n_w = $RollCorrDays
        |ORDER BY day""".stripMargin
+
+  /** Holt linear-trend smoothing parameters. */
+  val HoltAlpha = 0.3
+  val HoltBeta = 0.1
+
+  /** Forecast horizon reported by [[holtLinear]]. */
+  val HoltHorizon = 7
+
+  /** §2.248 `holt_linear`: Holt's linear-trend (double exponential)
+    * smoothing of each event type's daily volume — level and trend
+    * state plus the h=7-day-ahead forecast l + 7b. Where [[ewmaSmooth]]
+    * forecasts flat, this extrapolates the local slope (Hyndman &
+    * Athanasopoulos ch. 8.2) — the pair is the classic
+    * monitoring-dashboard ladder.
+    *
+    * Determinism: same ordered-fold contract as §2.244, with a PAIR
+    * accumulator — Spark folds a named_struct(l, b), DuckDB a 2-list
+    * (elements pre-lifted to [x, 0] so the init IS the first
+    * element's state, matching Spark's init exactly); l′ is inlined
+    * twice in the b′ expression IDENTICALLY on both engines (lambdas
+    * can't bind locals — duplication is the price of the identical
+    * op sequence). Scale: calendar-bounded fold after the one corpus
+    * groupBy. */
+  def holtLinear(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b, h) = (HoltAlpha, HoltBeta, HoltHorizon)
+    val lNew = s"($a * e.n + ${1 - a} * (acc.l + acc.b))"
+    daySpine(spark, dir)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+        .as("series"))
+      .select(col("event_type"),
+        size(col("series")).cast("long").as("n_days"),
+        expr(s"""aggregate(
+          slice(series, 2, size(series) - 1),
+          named_struct('l', CAST(element_at(series, 1).n AS DOUBLE),
+                       'b', CAST(0.0 AS DOUBLE)),
+          (acc, e) -> named_struct(
+            'l', $lNew,
+            'b', $b * ($lNew - acc.l) + ${1 - b} * acc.b))""").as("st"))
+      .select(col("event_type"), col("n_days"),
+        round(col("st.l"), 4).as("level"),
+        round(col("st.b"), 4).as("trend"),
+        round(col("st.l") + lit(h.toDouble) * col("st.b"), 4)
+          .as(s"forecast_$h"))
+      .orderBy("event_type")
+  }
+
+  val holtLinearSql: String = {
+    val (a, b, h) = (HoltAlpha, HoltBeta, HoltHorizon)
+    val lNew = s"($a * x[1] + ${1 - a} * (acc[1] + acc[2]))"
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |spine AS (SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+       |  FROM (SELECT event_type,
+       |      unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+       |    FROM (SELECT event_type, CAST(min(day) AS TIMESTAMP) AS d0,
+       |        CAST(max(day) AS TIMESTAMP) AS d1 FROM daily GROUP BY 1) t) s
+       |  LEFT JOIN daily d
+       |    ON s.event_type = d.event_type AND CAST(s.day AS DATE) = d.day),
+       |ser AS (SELECT event_type, count(*) AS n_days,
+       |    list_reduce(
+       |      list_transform(list(CAST(n AS DOUBLE) ORDER BY day),
+       |        v -> [v, 0.0]),
+       |      (acc, x) -> [$lNew,
+       |        $b * ($lNew - acc[1]) + ${1 - b} * acc[2]]) AS st
+       |  FROM spine GROUP BY 1)
+       |SELECT event_type, n_days,
+       |  round(st[1], 4) AS level, round(st[2], 4) AS trend,
+       |  round(st[1] + $h.0 * st[2], 4) AS forecast_$h
+       |FROM ser ORDER BY event_type""".stripMargin
+  }
 }

@@ -312,6 +312,30 @@ class SeriesGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("holt_linear = brute paired fold; forecast = level + 7*trend") {
+    import graft.analytics.Series
+    val daily = dailyCounts
+    val got = Series.holtLinear(spark, sf).collect()
+    assert(got.nonEmpty)
+    val (a, b) = (Series.HoltAlpha, Series.HoltBeta)
+    got.foreach { r =>
+      val et = r.getString(0)
+      val days = daily.keys.collect { case (e, d) if e == et => d }
+      val (d0, d1) = (days.min, days.max)
+      val xs = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(d => daily.getOrElse((et, d), 0L).toDouble).toIndexedSeq
+      val (l, t) = xs.tail.foldLeft((xs.head, 0.0)) { case ((l0, b0), x) =>
+        val l1 = a * x + (1 - a) * (l0 + b0)
+        (l1, b * (l1 - l0) + (1 - b) * b0)
+      }
+      assert(r.getLong(1) == xs.length.toLong)
+      assert(math.abs(r.getDouble(2) - l) < 1e-3, s"$et level")
+      assert(math.abs(r.getDouble(3) - t) < 1e-3, s"$et trend")
+      assert(math.abs(r.getDouble(4) -
+        (l + Series.HoltHorizon * t)) < 1e-3, s"$et forecast")
+    }
+  }
+
   test("dispersion_report = brute Fano/peak/hour-entropy per type") {
     import graft.analytics.Series
     val daily = dailyCounts
