@@ -399,4 +399,69 @@ object Stats {
        |  COALESCE(z_rank <= i_star, FALSE) AS sig_bh
        |FROM flagged ORDER BY z_rank""".stripMargin
   }
+
+  /** §2.253 `theil_sen`: robust Theil–Sen trend of each event type's
+    * daily volume — slope = median over all C(n,2) pairwise slopes
+    * (y_j−y_i)/(j−i), intercept = median of y_i − slope·t_i. Immune
+    * to the outlier days that drag §2.65's OLS around (breakdown
+    * point 29%); the robust companion the anomaly family (§2.126/238)
+    * wants under its thresholds.
+    *
+    * Scale shape: the pair join is CALENDAR² per type (≤ 10⁵ rows a
+    * year — bounded by time, not data; the §2.73 argument), built
+    * AFTER the one corpus groupBy to day grain.
+    *
+    * Determinism: each pairwise slope is ONE division of exact
+    * integers — identical doubles on both engines — and the medians
+    * interpolate over those identical values (§2.141 convention). */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val t0 = daily.groupBy("event_type").agg(min("day").as("d0"))
+    val pts = daily.join(broadcast(t0), Seq("event_type"))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("t"), col("n"))
+    val slopes = pts.as("a")
+      .join(pts.as("b"), Seq("event_type"))
+      .filter(col("a.t") < col("b.t"))
+      .select(col("event_type"),
+        ((col("b.n") - col("a.n")).cast("double") /
+          (col("b.t") - col("a.t")).cast("double")).as("s"))
+    val m = slopes.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(s, 0.5)").as("slope"))
+    pts.join(broadcast(m), Seq("event_type"))
+      .select(col("event_type"), col("n_pairs"), col("slope"),
+        (col("n").cast("double") - col("slope") * col("t").cast("double"))
+          .as("r"))
+      .groupBy("event_type")
+      .agg(max("n_pairs").as("n_pairs"),
+        round(max("slope"), 6).as("slope"),
+        round(expr("percentile(r, 0.5)"), 4).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  val theilSenSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |pts AS (SELECT d.event_type,
+      |    CAST(d.day - t0.d0 AS BIGINT) AS t, d.n
+      |  FROM daily d JOIN (SELECT event_type, min(day) AS d0
+      |    FROM daily GROUP BY 1) t0 USING (event_type)),
+      |slopes AS (SELECT a.event_type,
+      |    CAST(b.n - a.n AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s
+      |  FROM pts a JOIN pts b
+      |    ON a.event_type = b.event_type AND a.t < b.t),
+      |m AS (SELECT event_type, count(*) AS n_pairs,
+      |    quantile_cont(s, 0.5) AS slope
+      |  FROM slopes GROUP BY 1)
+      |SELECT p.event_type, max(m.n_pairs) AS n_pairs,
+      |  round(max(m.slope), 6) AS slope,
+      |  round(quantile_cont(CAST(p.n AS DOUBLE)
+      |    - m.slope * CAST(p.t AS DOUBLE), 0.5), 4) AS intercept
+      |FROM pts p JOIN m USING (event_type)
+      |GROUP BY p.event_type
+      |ORDER BY p.event_type""".stripMargin
 }

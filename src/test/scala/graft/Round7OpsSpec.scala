@@ -318,6 +318,38 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("source_overlap = brute pairwise shingle-set overlap; bounds hold") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val bySource = dedup.Dedup
+      .shingleHashes(docs.select(col("doc_id"), col("text")))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "sh").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.flatMap(_.getSeq[Long](1)).toSet).toMap
+    val got = graft.pipeline.Overlap.sourceOverlap(spark, sf).collect()
+    val srcs = bySource.keys.toSeq.sorted
+    val withShared = for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      inter = (bySource(srcs(i)) & bySource(srcs(j))).size
+      if inter > 0
+    } yield ((srcs(i), srcs(j)), inter)
+    assert(got.length == withShared.length)
+    val gotMap = got.map(r => ((r.getString(1), r.getString(0)), r)).toMap ++
+      got.map(r => ((r.getString(0), r.getString(1)), r)).toMap
+    withShared.foreach { case ((a, b), inter) =>
+      val r = gotMap((a, b))
+      val (na, nb) = (bySource(a).size.toLong, bySource(b).size.toLong)
+      assert(r.getLong(2) == inter.toLong, s"$a-$b inter")
+      assert(math.abs(r.getDouble(5) -
+        inter.toDouble / (na + nb - inter)) < 1e-5)
+      assert(math.abs(r.getDouble(6) -
+        inter.toDouble / math.min(na, nb)) < 1e-5)
+      // containment >= jaccard always
+      assert(r.getDouble(6) >= r.getDouble(5) - 1e-9)
+    }
+  }
+
   test("text_readability = brute pooled Flesch per language") {
     val docs = Tables.documents(spark, sf).select("lang", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))

@@ -336,6 +336,33 @@ class SeriesGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("theil_sen = brute pairwise-slope median on observed days") {
+    import graft.analytics.Stats
+    val daily = dailyCounts
+    val got = Stats.theilSen(spark, sf).collect()
+    assert(got.nonEmpty)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    got.foreach { r =>
+      val et = r.getString(0)
+      val pts = daily.collect { case ((e, d), n) if e == et => (d, n) }.toSeq
+      val d0 = pts.map(_._1).min
+      val tp = pts.map { case (d, n) =>
+        (java.time.temporal.ChronoUnit.DAYS.between(d0, d).toDouble, n.toDouble)
+      }.sortBy(_._1)
+      val slopes = for {
+        i <- tp.indices; j <- (i + 1) until tp.length
+      } yield (tp(j)._2 - tp(i)._2) / (tp(j)._1 - tp(i)._1)
+      assert(r.getLong(1) == slopes.length.toLong, s"$et pairs")
+      val m = median(slopes)
+      assert(math.abs(r.getDouble(2) - m) < 1e-4, s"$et slope")
+      val b = median(tp.map { case (t, y) => y - m * t })
+      assert(math.abs(r.getDouble(3) - b) < 1e-3, s"$et intercept")
+    }
+  }
+
   test("dispersion_report = brute Fano/peak/hour-entropy per type") {
     import graft.analytics.Series
     val daily = dailyCounts
