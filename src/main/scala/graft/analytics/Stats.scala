@@ -464,4 +464,165 @@ object Stats {
       |FROM pts p JOIN m USING (event_type)
       |GROUP BY p.event_type
       |ORDER BY p.event_type""".stripMargin
+
+  /** §2.254 `did_estimate`: difference-in-differences on the
+    * purchase SHARE of funnel events (purchases/(clicks+purchases) —
+    * a true proportion; raw purchases-per-click can exceed 1 since
+    * the streams are independent) — arms split by the §2.170 hash
+    * rule (user_id parity), periods split at the calendar midpoint;
+    * DiD = (r_A,post − r_A,pre) − (r_B,post − r_B,pre) with the
+    * four-cell binomial SE √Σ rᵢ(1−rᵢ)/nᵢ and its z. The
+    * two-period×two-group causal frame the plain A/B ops (§2.170/228)
+    * can't express — parallel-trends bias shows up HERE.
+    *
+    * Scale shape: ONE conditional aggregate collapses the corpus to
+    * the 4 (arm, period) cells (the midpoint is a 1-row broadcast);
+    * everything after is a fixed expression on one row.
+    *
+    * Determinism: all cell counts exact integers; rates, DiD, SE and
+    * z are fixed-sequence floats of identical integers. */
+  def didEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+    val mid = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("d0"),
+        (datediff(col("d1"), col("d0")) / 2).cast("int").as("half"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .select(
+        when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+        when(datediff(col("day"), col("d0")) < col("half"), "pre")
+          .otherwise("post").as("period"),
+        col("event_type"))
+      .groupBy("arm", "period")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"))
+    def cell(a: String, p: String, c: String) =
+      max(when(col("arm") === a && col("period") === p, col(c)))
+    val withN = cells.withColumn("n_cell", col("clicks") + col("purchases"))
+    val one = withN.agg(
+      cell("A", "pre", "n_cell").as("ca0"), cell("A", "pre", "purchases").as("pa0"),
+      cell("A", "post", "n_cell").as("ca1"), cell("A", "post", "purchases").as("pa1"),
+      cell("B", "pre", "n_cell").as("cb0"), cell("B", "pre", "purchases").as("pb0"),
+      cell("B", "post", "n_cell").as("cb1"), cell("B", "post", "purchases").as("pb1"))
+    def r(p: String, c: String) = col(p).cast("double") / col(c)
+    val did = (r("pa1", "ca1") - r("pa0", "ca0")) -
+      (r("pb1", "cb1") - r("pb0", "cb0"))
+    def v(p: String, c: String) =
+      r(p, c) * (lit(1.0) - r(p, c)) / col(c).cast("double")
+    val se = sqrt(v("pa0", "ca0") + v("pa1", "ca1") +
+      v("pb0", "cb0") + v("pb1", "cb1"))
+    one.select(
+      round(r("pa0", "ca0"), 6).as("rate_a_pre"),
+      round(r("pa1", "ca1"), 6).as("rate_a_post"),
+      round(r("pb0", "cb0"), 6).as("rate_b_pre"),
+      round(r("pb1", "cb1"), 6).as("rate_b_post"),
+      round(did, 6).as("did"),
+      round(se, 6).as("se"),
+      round(did / se, 4).as("z"),
+      (abs(did / se) > 1.96).as("significant"))
+  }
+
+  val didEstimateSql: String = {
+    def r(p: String, c: String) = s"(CAST($p AS DOUBLE) / $c)"
+    val did = s"(${r("pa1", "ca1")} - ${r("pa0", "ca0")})" +
+      s" - (${r("pb1", "cb1")} - ${r("pb0", "cb0")})"
+    def v(p: String, c: String) =
+      s"${r(p, c)} * (1.0 - ${r(p, c)}) / CAST($c AS DOUBLE)"
+    val se = s"sqrt(${v("pa0", "ca0")} + ${v("pa1", "ca1")}" +
+      s" + ${v("pb0", "cb0")} + ${v("pb1", "cb1")})"
+    s"""WITH ev AS (SELECT user_id, event_type,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+       |  FROM events WHERE event_type IN ('click', 'purchase')),
+       |mid AS (SELECT min(day) AS d0,
+       |    CAST((max(day) - min(day)) / 2 AS INTEGER) AS half FROM ev),
+       |cells AS (SELECT
+       |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    CASE WHEN (day - d0) < half THEN 'pre' ELSE 'post' END AS period,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS clicks,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS purchases
+       |  FROM ev CROSS JOIN mid GROUP BY 1, 2),
+       |one AS (SELECT
+       |    max(CASE WHEN arm = 'A' AND period = 'pre' THEN clicks + purchases END) AS ca0,
+       |    max(CASE WHEN arm = 'A' AND period = 'pre' THEN purchases END) AS pa0,
+       |    max(CASE WHEN arm = 'A' AND period = 'post' THEN clicks + purchases END) AS ca1,
+       |    max(CASE WHEN arm = 'A' AND period = 'post' THEN purchases END) AS pa1,
+       |    max(CASE WHEN arm = 'B' AND period = 'pre' THEN clicks + purchases END) AS cb0,
+       |    max(CASE WHEN arm = 'B' AND period = 'pre' THEN purchases END) AS pb0,
+       |    max(CASE WHEN arm = 'B' AND period = 'post' THEN clicks + purchases END) AS cb1,
+       |    max(CASE WHEN arm = 'B' AND period = 'post' THEN purchases END) AS pb1
+       |  FROM cells)
+       |SELECT
+       |  round(${r("pa0", "ca0")}, 6) AS rate_a_pre,
+       |  round(${r("pa1", "ca1")}, 6) AS rate_a_post,
+       |  round(${r("pb0", "cb0")}, 6) AS rate_b_pre,
+       |  round(${r("pb1", "cb1")}, 6) AS rate_b_post,
+       |  round($did, 6) AS did,
+       |  round($se, 6) AS se,
+       |  round(($did) / ($se), 4) AS z,
+       |  abs(($did) / ($se)) > 1.96 AS significant
+       |FROM one""".stripMargin
+  }
+
+  /** §2.255 `revenue_deciles`: the Lorenz table — customers ranked by
+    * lifetime order revenue, split into deciles (ties broken by
+    * custkey so NTILE is deterministic), each decile reporting its
+    * exact integer-cents revenue, share, and cumulative share. The
+    * concentration curve behind "top 10% of customers = X% of
+    * revenue" (§2.206's Pareto summary, here as the full curve).
+    *
+    * Scale shape: orders fold to the customer grain once
+    * (map-side-combined, integer cents — §2.203); the NTILE and the
+    * running sum are one customer-sized sort; output is 10 rows.
+    *
+    * Determinism: cents are exact BIGINTs end-to-end; shares are
+    * single divisions of identical integers. */
+  def revenueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("cents"))
+    val w = Window.orderBy(col("cents"), col("o_custkey"))
+    val dec = perCust
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("rev_cents"))
+    val wc = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("cum_cents", sum("rev_cents").over(wc))
+      .crossJoin(broadcast(dec.agg(sum("rev_cents").as("total_cents"))))
+      .select(col("decile").cast("long").as("decile"), col("n_customers"),
+        col("rev_cents"),
+        round(col("rev_cents").cast("double") / col("total_cents"), 6)
+          .as("share"),
+        round(col("cum_cents").cast("double") / col("total_cents"), 6)
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
+  val revenueDecilesSql: String =
+    """WITH pc AS (SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |d AS (SELECT cents,
+      |    ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+      |  FROM pc),
+      |dec AS (SELECT decile, count(*) AS n_customers,
+      |    CAST(sum(cents) AS BIGINT) AS rev_cents
+      |  FROM d GROUP BY 1),
+      |cum AS (SELECT *, CAST(sum(rev_cents) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_cents,
+      |    CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents
+      |  FROM dec)
+      |SELECT CAST(decile AS BIGINT) AS decile, n_customers, rev_cents,
+      |  round(CAST(rev_cents AS DOUBLE) / total_cents, 6) AS share,
+      |  round(CAST(cum_cents AS DOUBLE) / total_cents, 6) AS cum_share
+      |FROM cum ORDER BY decile""".stripMargin
 }

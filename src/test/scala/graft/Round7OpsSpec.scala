@@ -350,6 +350,75 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("did_estimate = brute 2x2 cell replay; DiD identity") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toLocalDate))
+    val d0 = rows.map(_._3).min
+    val half = (java.time.temporal.ChronoUnit.DAYS
+      .between(d0, rows.map(_._3).max) / 2).toInt
+    def cell(arm: String, period: String) = {
+      val rs = rows.filter { case (u, _, d) =>
+        (if (u % 2 == 0) "A" else "B") == arm &&
+          (if (java.time.temporal.ChronoUnit.DAYS.between(d0, d) < half)
+            "pre" else "post") == period
+      }
+      (rs.length.toLong, rs.count(_._2 == "purchase").toLong)
+    }
+    val r = graft.analytics.Stats.didEstimate(spark, sf).collect().head
+    val cells = Seq(("A", "pre", 0), ("A", "post", 1),
+      ("B", "pre", 2), ("B", "post", 3))
+    val rates = cells.map { case (a, p, i) =>
+      val (n, pu) = cell(a, p)
+      val rate = pu.toDouble / n
+      assert(math.abs(r.getDouble(i) - rate) < 1e-5, s"$a $p")
+      (rate, n)
+    }
+    val did = (rates(1)._1 - rates(0)._1) - (rates(3)._1 - rates(2)._1)
+    assert(math.abs(r.getDouble(4) - did) < 1e-5)
+    val se = math.sqrt(rates.map { case (p, n) => p * (1 - p) / n }.sum)
+    assert(math.abs(r.getDouble(5) - se) < 1e-5)
+    assert(math.abs(r.getDouble(6) - did / se) < 1e-3)
+    assert(r.getBoolean(7) == (math.abs(did / se) > 1.96))
+  }
+
+  test("revenue_deciles = brute Lorenz table; cum_share ends at 1") {
+    import org.apache.spark.sql.functions.col
+    val perCust = Tables.orders(spark, sf)
+      .select("o_custkey", "o_totalprice").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => math.round(r.getDouble(1) * 100)).sum)
+      .toSeq.sortBy { case (k, c) => (c, k) }
+    val n = perCust.size
+    // ntile semantics: first (n mod 10) tiles get ceil(n/10)
+    val base = n / 10; val extra = n % 10
+    val sizes = (1 to 10).map(i => if (i <= extra) base + 1 else base)
+    val bounds = sizes.scanLeft(0)(_ + _)
+    val expected = (1 to 10).map { i =>
+      val slice = perCust.slice(bounds(i - 1), bounds(i))
+      (i.toLong, slice.size.toLong, slice.map(_._2).sum)
+    }
+    val total = expected.map(_._3).sum.toDouble
+    val got = graft.analytics.Stats.revenueDeciles(spark, sf).collect()
+    assert(got.length == 10)
+    var cum = 0L
+    got.zip(expected).foreach { case (r, (d, nc, cents)) =>
+      assert(r.getLong(0) == d && r.getLong(1) == nc && r.getLong(2) == cents,
+        s"decile $d")
+      cum += cents
+      assert(math.abs(r.getDouble(3) - cents / total) < 1e-5)
+      assert(math.abs(r.getDouble(4) - cum / total) < 1e-5)
+    }
+    assert(math.abs(got.last.getDouble(4) - 1.0) < 1e-9)
+    // Lorenz convexity: shares non-decreasing across deciles
+    got.map(_.getDouble(3)).sliding(2).foreach {
+      case Array(a, b) => assert(b >= a - 1e-9); case _ => ()
+    }
+  }
+
   test("text_readability = brute pooled Flesch per language") {
     val docs = Tables.documents(spark, sf).select("lang", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))
