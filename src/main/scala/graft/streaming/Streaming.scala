@@ -449,6 +449,40 @@ object Streaming {
         graft.text.TextFunctions.hash64(col("user_id").cast("string")))
         .as("regs"))
 
+  final case class EwmaOut(event_type: String, n_days: Long, ewma: Double)
+
+  /** §2.256 streaming EWMA monitor: the §2.244 smoothing state kept
+    * live per event type via mapGroupsWithState. The EWMA fold is
+    * ORDER-SENSITIVE, so streaming it naively (fold as events arrive)
+    * would make the answer depend on micro-batch boundaries; instead
+    * the state is the DAY-GRAIN count map (calendar-bounded — the
+    * §2.214 bounded-state argument) and each trigger re-folds the
+    * zero-filled day series from that state. Result: the emitted EWMA
+    * after any batching is BIT-IDENTICAL to the batch twin — the spec
+    * asserts exact equality against [[graft.analytics.Series]]'
+    * fold, split across micro-batches. Re-fold cost is days-sized,
+    * not events-sized. */
+  def ewmaStateStream(events: Dataset[Event]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val a = graft.analytics.Series.EwmaAlpha
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[Map[Long, Long], EwmaOut](
+        GroupStateTimeout.NoTimeout) {
+        (et: String, evs: Iterator[Event], state: GroupState[Map[Long, Long]]) =>
+          val cur = state.getOption.getOrElse(Map.empty[Long, Long])
+          val upd = evs.foldLeft(cur) { (m, e) =>
+            val d = e.ts.toLocalDateTime.toLocalDate.toEpochDay
+            m + (d -> (m.getOrElse(d, 0L) + 1L))
+          }
+          state.update(upd)
+          val (d0, d1) = (upd.keys.min, upd.keys.max)
+          val xs = (d0 to d1).map(d => upd.getOrElse(d, 0L).toDouble)
+          val ewma = xs.tail.foldLeft(xs.head)((acc, x) =>
+            acc * (1 - a) + x * a)
+          EwmaOut(et, xs.length.toLong, ewma)
+      }
+  }
+
   // ---- sessionization ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,

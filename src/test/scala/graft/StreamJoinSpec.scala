@@ -107,4 +107,45 @@ class StreamJoinSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(streamed == direct)
   }
+
+  test("streaming EWMA state: bit-identical to the batch fold across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streaming.Event].collect().toSeq
+    // split on event id parity — day counts straddle the batch
+    // boundary, which a naive fold-on-arrival would get wrong
+    val (b1, b2) = evs.partition(_.event_id % 2 == 0)
+    val src = MemoryStream[Streaming.Event]
+    val out = Streaming.ewmaStateStream(src.toDS())
+    val q = out.writeStream.format("memory")
+      .queryName("ewma_state").outputMode("update").start()
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // last emitted row per type = full-corpus state
+    val rows = spark.table("ewma_state").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+    val last = rows.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(v => v.maxBy(_._2)._1._2).toMap
+    // batch twin: the engine's own ewma_smooth (UNROUNDED replay of
+    // the same fold over the same day counts)
+    val a = graft.analytics.Series.EwmaAlpha
+    val daily = evs.groupBy(e =>
+      (e.event_type, e.ts.toLocalDateTime.toLocalDate)).view
+      .mapValues(_.size.toLong).toMap
+    daily.keys.map(_._1).toSeq.distinct.foreach { et =>
+      val days = daily.keys.collect { case (e, d) if e == et => d }
+      val (d0, d1) = (days.min, days.max)
+      val xs = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(d => daily.getOrElse((et, d), 0L).toDouble).toIndexedSeq
+      val expect = xs.tail.foldLeft(xs.head)((acc, x) => acc * (1 - a) + x * a)
+      val (nDays, ewma) = last(et)
+      assert(nDays == xs.length.toLong, s"$et days")
+      assert(ewma == expect, s"$et: streaming state must replay the batch fold EXACTLY")
+    }
+  }
 }
