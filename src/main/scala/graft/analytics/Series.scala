@@ -687,6 +687,87 @@ object Series {
        |FROM m WHERE n_w = $RollCorrDays
        |ORDER BY day""".stripMargin
 
+  /** §2.258 `page_hinkley`: the Page–Hinkley mean-shift detector on
+    * each event type's zero-filled daily volume — the classic
+    * sequential change-detection statistic (Page 1954; the streaming
+    * sibling of §2.213's retrospective CUSUM):
+    * m_t = Σ(x_i − x̄), PH = max_t (m_t − min_{i≤t} m_i), alarming
+    * when PH exceeds 3·s·√n (random-walk scaling of the daily
+    * stddev). PH localizes a sustained upward shift that §2.238's
+    * per-day alarms and §2.213's single argmax can miss.
+    *
+    * Determinism: x̄ and s come from exact integer moments; the PH
+    * fold is the §2.244 ordered-fold contract with a TRIPLE
+    * accumulator [cum, mincum, ph], elements lifted so a zero state
+    * precedes the series on both engines, and the updated cum
+    * inlined IDENTICALLY in min and ph. */
+  def pageHinkley(spark: SparkSession, dir: String): DataFrame = {
+    val upd = "(acc.c + e.x - mu)"
+    val stats = daySpine(spark, dir)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+        .as("series"),
+        count(lit(1)).as("n_days"), sum("n").as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .withColumn("mu", col("s1").cast("double") / col("n_days"))
+      .withColumn("sd", sqrt(
+        (col("s2").cast("double") - col("n_days").cast("double") *
+          col("mu") * col("mu")) / (col("n_days").cast("double") - 1.0)))
+    stats
+      .withColumn("st", expr(s"""aggregate(
+        transform(series, p -> named_struct('x', CAST(p.n AS DOUBLE))),
+        named_struct('c', CAST(0.0 AS DOUBLE), 'mn', CAST(0.0 AS DOUBLE),
+                     'ph', CAST(0.0 AS DOUBLE)),
+        (acc, e) -> named_struct(
+          'c', $upd,
+          'mn', least(acc.mn, $upd),
+          'ph', greatest(acc.ph, $upd - least(acc.mn, $upd))))"""))
+      .withColumn("threshold",
+        lit(3.0) * col("sd") * sqrt(col("n_days").cast("double")))
+      .select(col("event_type"), col("n_days"),
+        round(col("mu"), 4).as("mean_daily"),
+        round(col("st.ph"), 4).as("ph_stat"),
+        round(col("threshold"), 4).as("threshold"),
+        (col("st.ph") > col("threshold")).as("drift_flag"))
+      .orderBy("event_type")
+  }
+
+  val pageHinkleySql: String = {
+    val upd = "(acc[1] + x[1] - mu)"
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |spine AS (SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+       |  FROM (SELECT event_type,
+       |      unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+       |    FROM (SELECT event_type, CAST(min(day) AS TIMESTAMP) AS d0,
+       |        CAST(max(day) AS TIMESTAMP) AS d1 FROM daily GROUP BY 1) t) s
+       |  LEFT JOIN daily d
+       |    ON s.event_type = d.event_type AND CAST(s.day AS DATE) = d.day),
+       |ser AS (SELECT event_type,
+       |    list(CAST(n AS DOUBLE) ORDER BY day) AS xs,
+       |    count(*) AS n_days,
+       |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+       |  FROM spine GROUP BY 1),
+       |st AS (SELECT event_type, n_days,
+       |    CAST(s1 AS DOUBLE) / n_days AS mu,
+       |    sqrt((CAST(s2 AS DOUBLE) - CAST(n_days AS DOUBLE)
+       |      * (CAST(s1 AS DOUBLE) / n_days) * (CAST(s1 AS DOUBLE) / n_days))
+       |      / (CAST(n_days AS DOUBLE) - 1.0)) AS sd,
+       |    list_reduce(
+       |      list_concat([[0.0, 0.0, 0.0]],
+       |        list_transform(xs, v -> [v, 0.0, 0.0])),
+       |      (acc, x) -> [$upd,
+       |        least(acc[2], $upd),
+       |        greatest(acc[3], $upd - least(acc[2], $upd))]) AS ph3
+       |  FROM ser)
+       |SELECT event_type, n_days, round(mu, 4) AS mean_daily,
+       |  round(ph3[3], 4) AS ph_stat,
+       |  round(3.0 * sd * sqrt(CAST(n_days AS DOUBLE)), 4) AS threshold,
+       |  ph3[3] > 3.0 * sd * sqrt(CAST(n_days AS DOUBLE)) AS drift_flag
+       |FROM st ORDER BY event_type""".stripMargin
+  }
+
   /** Holt linear-trend smoothing parameters. */
   val HoltAlpha = 0.3
   val HoltBeta = 0.1

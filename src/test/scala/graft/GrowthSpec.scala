@@ -83,6 +83,93 @@ class GrowthSpec extends AnyFunSuite {
     assert(got.map(_.getLong(1)).sum == ud.size.toLong)
   }
 
+  test("hhi_report = brute share-squared sums; bounds 1/n <= HHI <= 1") {
+    import graft.dq.Concentration
+    val got = Concentration.hhiReport(spark, sf).collect()
+    assert(got.length == 3)
+    def hhi(ws: Seq[Long]): Double = {
+      val t = ws.sum.toDouble
+      ws.map(w => (w / t) * (w / t)).sum
+    }
+    val bySrc = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(_.getLong(1)).toSeq
+    val byCust = Tables.orders(spark, sf).groupBy("o_custkey").count()
+      .collect().map(_.getLong(1)).toSeq
+    val byBrand = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("w"))
+      .collect().map(_.getLong(1)).toSeq
+    val expect = Map("documents_by_source" -> bySrc,
+      "orders_by_customer" -> byCust, "revenue_by_brand" -> byBrand)
+    got.foreach { r =>
+      val ws = expect(r.getString(0))
+      assert(r.getLong(1) == ws.length.toLong)
+      assert(r.getLong(2) == ws.sum)
+      val h = hhi(ws)
+      assert(math.abs(r.getDouble(3) - h) < 1e-5, r.getString(0))
+      assert(h >= 1.0 / ws.length - 1e-9 && h <= 1.0 + 1e-9)
+      assert(math.abs(r.getDouble(4) -
+        (h - 1.0 / ws.length) / (1.0 - 1.0 / ws.length)) < 1e-4)
+    }
+  }
+
+  test("srm_check = brute per-day arm counts; z from binomial moments") {
+    import graft.dq.Concentration
+    val ud = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val perDay = ud.groupBy(_._1).view.mapValues { rs =>
+      (rs.count(_._2 % 2 == 0).toLong, rs.count(_._2 % 2 != 0).toLong)
+    }.toMap
+    val got = Concentration.srmCheck(spark, sf).collect()
+    assert(got.length == perDay.size)
+    got.foreach { r =>
+      val d = r.getTimestamp(0).toLocalDateTime.toLocalDate
+      val (na, nb) = perDay(d)
+      assert(r.getLong(1) == na && r.getLong(2) == nb, s"$d")
+      val n = (na + nb).toDouble
+      val z = (na - n * 0.5) / math.sqrt(n * 0.25)
+      assert(math.abs(r.getDouble(3) - z) < 1e-3)
+      assert(r.getBoolean(4) == (math.abs(z) > 3.0))
+    }
+  }
+
+  test("page_hinkley = brute PH fold; PH >= 0 and >= final-cum deviation") {
+    import graft.analytics.Series
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate), r.getLong(2)))
+      .toMap
+    val got = Series.pageHinkley(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val et = r.getString(0)
+      val days = daily.keys.collect { case (e, d) if e == et => d }
+      val (d0, d1) = (days.min, days.max)
+      val xs = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(d => daily.getOrElse((et, d), 0L).toDouble).toIndexedSeq
+      val n = xs.length
+      val mu = xs.sum / n
+      val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+      var cum = 0.0; var mn = 0.0; var ph = 0.0
+      xs.foreach { x =>
+        cum += x - mu
+        mn = math.min(mn, cum)
+        ph = math.max(ph, cum - mn)
+      }
+      assert(r.getLong(1) == n.toLong)
+      assert(math.abs(r.getDouble(2) - mu) < 1e-3)
+      assert(math.abs(r.getDouble(3) - ph) < 1e-2, s"$et PH")
+      assert(r.getDouble(3) >= -1e-9)
+      assert(math.abs(r.getDouble(4) - 3.0 * sd * math.sqrt(n)) < 2e-2)
+      val thr = 3.0 * sd * math.sqrt(n)
+      if (math.abs(ph - thr) > 1e-3) // away from the boundary, flag is exact
+        assert(r.getBoolean(5) == (ph > thr), s"$et flag")
+    }
+  }
+
   test("dq_freshness = brute min/max day; freshest table has zero staleness") {
     val got = Freshness.dqFreshness(spark, sf).collect()
     assert(got.length == 3)
