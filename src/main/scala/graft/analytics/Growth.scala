@@ -123,4 +123,131 @@ object Growth {
       |  FROM runs GROUP BY 1)
       |SELECT max_streak, count(*) AS n_users
       |FROM peruser GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** §2.260 `item_novelty`: weekly content-freshness — per week, the
+    * share of interaction volume going to items FIRST SEEN that week
+    * (catalog novelty) and the new-item count. A recommender/corpus
+    * health metric: a feed whose new-item share decays is ossifying
+    * (the §2.207 coverage report's time axis).
+    *
+    * Scale shape: item first-seen = one map-side min() groupBy at the
+    * catalog grain, broadcast back onto the weekly item volume (also
+    * catalog×weeks-bounded). Integers to the one share division. */
+  def itemNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .withColumn("item", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("item").isNotNull)
+      .select(col("item"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+    val weekly = iv.groupBy("week", "item").agg(count(lit(1)).as("n"))
+    val firstSeen = weekly.groupBy("item").agg(min("week").as("first_week"))
+    weekly.join(broadcast(firstSeen), Seq("item"))
+      .groupBy("week")
+      .agg(sum("n").as("n_events"),
+        count(lit(1)).as("n_items"),
+        sum(when(col("week") === col("first_week"), col("n"))
+          .otherwise(0L)).as("new_item_events"),
+        sum(when(col("week") === col("first_week"), 1L).otherwise(0L))
+          .as("n_new_items"))
+      .select(col("week").cast("timestamp").as("week"),
+        col("n_events"), col("n_items"), col("n_new_items"),
+        round(col("new_item_events").cast("double") / col("n_events"), 6)
+          .as("novelty_share"))
+      .orderBy("week")
+  }
+
+  val itemNoveltySql: String =
+    """WITH iv AS (SELECT
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS item,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |weekly AS (SELECT week, item, count(*) AS n FROM iv GROUP BY 1, 2),
+      |fs AS (SELECT item, min(week) AS first_week FROM weekly GROUP BY 1)
+      |SELECT CAST(week AS TIMESTAMP) AS week,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  count(*) AS n_items,
+      |  CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new_items,
+      |  round(CAST(sum(CASE WHEN week = first_week THEN n ELSE 0 END)
+      |    AS DOUBLE) / sum(n), 6) AS novelty_share
+      |FROM weekly JOIN fs USING (item)
+      |GROUP BY week ORDER BY week""".stripMargin
+
+  /** §2.261 `interevent_stats`: per-user inter-event-time burstiness,
+    * summarized over the population — per user the coefficient of
+    * variation of consecutive-event gaps (CV = 1 Poisson, ≫1 bursty
+    * — Goh & Barabási 2008), then the population's quartiles of CV
+    * and the bursty-user share. §2.236 measures burstiness of the
+    * aggregate stream; this measures it per USER, where bots (CV≈0
+    * cron cadence) and binge sessions separate.
+    *
+    * Scale shape: one user_id exchange for the lag window; per-user
+    * gap moments are exact integer sums (epoch-second gaps); the
+    * population summary interpolates over per-user CVs (identical
+    * doubles both engines — §2.141).
+    *
+    * Users need ≥ 3 events (≥ 2 gaps) to have a defined CV. */
+  def intereventStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("prev"))).as("gap"))
+    // gap is exact integer MICROSECONDS (ts carries sub-second parts;
+    // second-floored gaps would differ between engines); gap^2 at day
+    // scale is ~1e22 -- BIGINT overflows, so s2 sums as DECIMAL(38,0)
+    val dec = "decimal(38,0)"
+    val perUser = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap").as("s1"),
+        sum((col("gap").cast(dec) * col("gap").cast(dec)).cast(dec))
+          .as("s2"))
+      .filter(col("n_gaps") >= 2)
+      .withColumn("mu", col("s1").cast("double") / col("n_gaps"))
+      .withColumn("sd", sqrt(greatest(
+        (col("s2").cast("double") - col("n_gaps").cast("double") *
+          col("mu") * col("mu")) / (col("n_gaps").cast("double") - 1.0),
+        lit(0.0))))
+      .filter(col("mu") > 0)
+      .withColumn("cv", col("sd") / col("mu"))
+    perUser.agg(count(lit(1)).as("n_users"),
+      round(expr("percentile(cv, 0.25)"), 4).as("cv_p25"),
+      round(expr("percentile(cv, 0.5)"), 4).as("cv_median"),
+      round(expr("percentile(cv, 0.75)"), 4).as("cv_p75"),
+      sum(when(col("cv") > 1.5, 1L).otherwise(0L)).as("n_bursty"))
+      .withColumn("bursty_share",
+        round(col("n_bursty").cast("double") / col("n_users"), 6))
+  }
+
+  val intereventStatsSql: String =
+    """WITH gaps AS (SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER
+      |        (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP),
+      |          event_id)) AS gap
+      |  FROM events),
+      |g AS (SELECT user_id, gap FROM gaps WHERE gap IS NOT NULL),
+      |pu AS (SELECT user_id, count(*) AS n_gaps,
+      |    CAST(sum(gap) AS BIGINT) AS s1,
+      |    sum(CAST(gap AS HUGEINT) * gap) AS s2
+      |  FROM g GROUP BY 1),
+      |cvd AS (SELECT user_id, n_gaps,
+      |    CAST(s1 AS DOUBLE) / n_gaps AS mu,
+      |    sqrt(GREATEST((CAST(s2 AS DOUBLE) - CAST(n_gaps AS DOUBLE)
+      |        * (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps))
+      |      / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0)) AS sd
+      |  FROM pu WHERE n_gaps >= 2),
+      |cv AS (SELECT sd / mu AS cv FROM cvd WHERE mu > 0)
+      |SELECT count(*) AS n_users,
+      |  round(quantile_cont(cv, 0.25), 4) AS cv_p25,
+      |  round(quantile_cont(cv, 0.5), 4) AS cv_median,
+      |  round(quantile_cont(cv, 0.75), 4) AS cv_p75,
+      |  CAST(sum(CASE WHEN cv > 1.5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bursty,
+      |  round(CAST(sum(CASE WHEN cv > 1.5 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS bursty_share
+      |FROM cv""".stripMargin
 }

@@ -170,6 +170,72 @@ class GrowthSpec extends AnyFunSuite {
     }
   }
 
+  test("item_novelty = brute first-seen weekly shares; week 1 is 100% new") {
+    val iv = Tables.events(spark, sf)
+      .selectExpr("get_json_object(props, '$.k')", "ts").collect()
+      .filter(!_.isNullAt(0))
+      .map { r =>
+        val d = r.getTimestamp(1).toLocalDateTime.toLocalDate
+        (r.getString(0).toInt,
+          d.minusDays((d.getDayOfWeek.getValue - 1).toLong))
+      }
+    val firstSeen = iv.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val byWeek = iv.groupBy(_._2)
+    val got = graft.analytics.Growth.itemNovelty(spark, sf).collect()
+    assert(got.length == byWeek.size)
+    got.foreach { r =>
+      val w = r.getTimestamp(0).toLocalDateTime.toLocalDate
+      val evs = byWeek(w)
+      val items = evs.map(_._1).distinct
+      val newItems = items.filter(firstSeen(_) == w)
+      val newEvents = evs.count(e => firstSeen(e._1) == w)
+      assert(r.getLong(1) == evs.length.toLong, s"$w events")
+      assert(r.getLong(2) == items.length.toLong)
+      assert(r.getLong(3) == newItems.length.toLong)
+      assert(math.abs(r.getDouble(4) -
+        newEvents.toDouble / evs.length) < 1e-5)
+    }
+    // the corpus's first week is definitionally all-new
+    assert(math.abs(got.head.getDouble(4) - 1.0) < 1e-9)
+  }
+
+  test("interevent_stats = brute per-user gap CVs; quartiles ordered") {
+    val byUser = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      .groupBy(_._1)
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+    val cvs = byUser.values.flatMap { evs =>
+      val sorted = evs.sortBy(e => (micros(e._3), e._2))
+      val gaps = sorted.sliding(2).collect { case Array(a, b) =>
+        micros(b._3) - micros(a._3)
+      }.toSeq
+      if (gaps.length < 2) None
+      else {
+        val n = gaps.length
+        val mu = gaps.sum.toDouble / n
+        val s2 = gaps.map(g => BigInt(g) * BigInt(g)).sum
+        val v = (s2.toDouble - n * mu * mu) / (n - 1)
+        val sd = math.sqrt(math.max(v, 0.0))
+        if (mu > 0) Some(sd / mu) else None
+      }
+    }.toSeq
+    def q(p: Double): Double = {
+      val s = cvs.sorted; val h = (s.length - 1) * p
+      val lo = s(h.toInt)
+      if (h.toInt + 1 < s.length) lo + (h - h.toInt) * (s(h.toInt + 1) - lo)
+      else lo
+    }
+    val r = graft.analytics.Growth.intereventStats(spark, sf).collect().head
+    assert(r.getLong(0) == cvs.size.toLong)
+    assert(math.abs(r.getDouble(1) - q(0.25)) < 1e-3)
+    assert(math.abs(r.getDouble(2) - q(0.5)) < 1e-3)
+    assert(math.abs(r.getDouble(3) - q(0.75)) < 1e-3)
+    assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
+    assert(r.getLong(4) == cvs.count(_ > 1.5).toLong)
+  }
+
   test("dq_freshness = brute min/max day; freshest table has zero staleness") {
     val got = Freshness.dqFreshness(spark, sf).collect()
     assert(got.length == 3)
