@@ -236,6 +236,64 @@ class GrowthSpec extends AnyFunSuite {
     assert(r.getLong(4) == cvs.count(_ > 1.5).toLong)
   }
 
+  test("session_gap_sweep = brute sessionization at 3 gaps; monotone in gap") {
+    import graft.analytics.Sweeps
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+    val byUser = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2))))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._2))).toMap
+    val got = Sweeps.sessionGapSweep(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSeq == Sweeps.SweepGapsMin.map(_.toLong))
+    got.foreach { r =>
+      val gapUs = r.getLong(0) * 60L * 1000000L
+      val sessions = byUser.values.flatMap { evs =>
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (n, dur)
+        var n = 0L; var first = 0L; var last = 0L
+        evs.foreach { case (_, _, us) =>
+          if (n == 0 || us - last > gapUs) {
+            if (n > 0) out += ((n, last - first))
+            n = 1; first = us; last = us
+          } else { n += 1; last = us }
+        }
+        if (n > 0) out += ((n, last - first))
+        out
+      }.toSeq
+      assert(r.getLong(1) == sessions.size.toLong, s"gap ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(2) -
+        sessions.map(_._1).sum.toDouble / sessions.size) < 1e-3)
+      assert(math.abs(r.getDouble(3) -
+        sessions.count(_._1 == 1).toDouble / sessions.size) < 1e-5)
+      assert(math.abs(r.getDouble(4) -
+        sessions.map(_._2).sum.toDouble / sessions.size / 1e6) < 1e-2)
+    }
+    // wider gap => fewer (or equal) sessions, each at least as long
+    got.map(_.getLong(1)).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a); case _ => ()
+    }
+  }
+
+  test("source_lang_mix = brute per-source language entropy; evenness <= 1") {
+    import graft.analytics.Sweeps
+    val cells = Tables.documents(spark, sf)
+      .groupBy("source", "lang").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1._1).view.mapValues(_.map(_._2)).toMap
+    val got = Sweeps.sourceLangMix(spark, sf).collect()
+    assert(got.length == cells.count(_._2.size > 1))
+    got.foreach { r =>
+      val cs = cells(r.getString(0))
+      val n = cs.sum.toDouble
+      val h = math.log(n) - cs.map(c => c * math.log(c.toDouble)).sum / n
+      assert(r.getLong(1) == cs.sum && r.getLong(2) == cs.size.toLong)
+      assert(math.abs(r.getDouble(3) - h) < 1e-3, r.getString(0))
+      assert(math.abs(r.getDouble(4) - h / math.log(cs.size.toDouble)) < 1e-3)
+      assert(r.getDouble(4) <= 1.0 + 1e-9 && r.getDouble(4) >= -1e-9)
+      assert(math.abs(r.getDouble(5) - cs.max / n) < 1e-5)
+    }
+  }
+
   test("dq_freshness = brute min/max day; freshest table has zero staleness") {
     val got = Freshness.dqFreshness(spark, sf).collect()
     assert(got.length == 3)
