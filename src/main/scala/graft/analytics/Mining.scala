@@ -447,6 +447,77 @@ object Mining {
        |  round(sum(round(p_value / n_touch, 4)), 4) AS value_linear
        |FROM x GROUP BY item ORDER BY item""".stripMargin
 
+  /** §2.264 `attribution_decay`: time-decay multi-touch attribution
+    * with a ONE-DAY HALF-LIFE — each click's weight halves per day of
+    * age at purchase time, the standard recency-weighted model
+    * between §2.149's positional rules and §2.234's Markov solve.
+    *
+    * Determinism trick: the obvious weight e^(−λΔt) drags libm exp
+    * across engines; instead the weight is the EXACT INTEGER
+    * 2^(lookback − age_days) (a bit shift — halving per day IS the
+    * half-life), so per-purchase weight totals are integer sums and
+    * each touch's share is one division of exact integers. Shares
+    * then follow §2.149's per-addend rounding law (each addend an
+    * exact multiple of 1e-6 before the cross-touch sum, so addition
+    * order cannot flip the final rounding).
+    *
+    * Scale shape: identical to §2.149 — one user_id join, one
+    * purchase-partitioned window (weight totals, order-free integer
+    * sums), one item groupBy. */
+  def attributionDecay(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"),
+        get_json_object(col("props"), "$.k").as("item"))
+      .filter(col("item").isNotNull)
+    val L = AttributionLookbackDays
+    val touches = purchases.join(clicks, "user_id")
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $L DAYS"))
+      .withColumn("age_days",
+        ((unix_micros(col("p_ts")) - unix_micros(col("c_ts"))) /
+          86400000000L).cast("int"))
+      .withColumn("w", expr(s"shiftleft(CAST(1 AS BIGINT), $L - age_days)"))
+    val byP = Window.partitionBy("p_id")
+    touches
+      .withColumn("w_total", sum("w").over(byP))
+      .groupBy("item")
+      .agg(count(lit(1)).as("touches"),
+        round(sum(round(col("w").cast("double") / col("w_total"), 6)), 6)
+          .as("decay_credit"))
+      .orderBy("item")
+  }
+
+  val attributionDecaySql: String = {
+    val L = AttributionLookbackDays
+    s"""WITH p AS (SELECT user_id, event_id AS p_id,
+       |    CAST(ts AS TIMESTAMP) AS p_ts
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, event_id AS c_id, CAST(ts AS TIMESTAMP) AS c_ts,
+       |    json_extract_string(props, '$$.k') AS item
+       |  FROM events WHERE event_type = 'click'
+       |    AND json_extract_string(props, '$$.k') IS NOT NULL),
+       |t AS (SELECT p.p_id, c.item,
+       |    CAST((epoch_us(p.p_ts) - epoch_us(c.c_ts)) // 86400000000
+       |      AS INTEGER) AS age_days
+       |  FROM p JOIN c ON p.user_id = c.user_id
+       |    AND c.c_ts <= p.p_ts
+       |    AND c.c_ts >= p.p_ts - INTERVAL $L DAY),
+       |x AS (SELECT item,
+       |    CAST(1 AS BIGINT) << ($L - age_days) AS w,
+       |    CAST(sum(CAST(1 AS BIGINT) << ($L - age_days))
+       |      OVER (PARTITION BY p_id) AS BIGINT) AS w_total
+       |  FROM t)
+       |SELECT item, count(*) AS touches,
+       |  round(sum(round(CAST(w AS DOUBLE) / w_total, 6)), 6)
+       |    AS decay_credit
+       |FROM x GROUP BY item ORDER BY item""".stripMargin
+  }
+
   /** §2.150 rolling active users: per active day, the distinct-user
     * count over the trailing 1 / 7 / 28 days (DAU / WAU / MAU) — the
     * engagement series every health dashboard leads with, and a

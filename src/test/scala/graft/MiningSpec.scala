@@ -418,6 +418,47 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution_decay = brute 2^-age credit; credits partition each purchase") {
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").as("item"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4)))
+    val purchases = evs.filter(_._4 == "purchase")
+    val clicks = evs.filter(_._4 == "click").filter(_._5 != null).groupBy(_._3)
+    val L = Mining.AttributionLookbackDays
+    val lookbackUs = L * 86400L * 1000000L
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Double)]
+    purchases.foreach { case (_, pts, user, _, _) =>
+      val touches = clicks.getOrElse(user, Array.empty)
+        .filter(c => c._2 <= pts && c._2 >= pts - lookbackUs)
+      if (touches.nonEmpty) {
+        val ws = touches.map(c => 1L << (L - ((pts - c._2) / 86400000000L).toInt))
+        val wTot = ws.sum
+        touches.zip(ws).foreach { case (c, w) =>
+          val (t, cr) = acc.getOrElse(c._5, (0L, 0.0))
+          acc(c._5) = (t + 1, cr + r6(w.toDouble / wTot))
+        }
+      }
+    }
+    val got = Mining.attributionDecay(spark, sf).collect()
+    assert(got.length == acc.size)
+    got.foreach { r =>
+      val (t, cr) = acc(r.getString(0))
+      assert(r.getLong(1) == t, s"touches ${r.getString(0)}")
+      assert(math.abs(r.getDouble(2) - cr) < 1e-5, s"credit ${r.getString(0)}")
+    }
+    // per-addend-rounded credits sum to ~(number of attributed purchases)
+    val nAttr = purchases.count { case (_, pts, user, _, _) =>
+      clicks.getOrElse(user, Array.empty)
+        .exists(c => c._2 <= pts && c._2 >= pts - lookbackUs)
+    }
+    assert(math.abs(got.map(_.getDouble(2)).sum - nAttr) < 1e-2)
+  }
+
   test("rolling_active_users = brute-force trailing distinct windows") {
     val ud = Tables.events(spark, sf)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
