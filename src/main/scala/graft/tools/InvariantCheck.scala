@@ -596,11 +596,92 @@ object InvariantCheck {
         s"core has $nCore nodes at this SF"))
   }
 
+  // ---- growth / sweep / concentration family (round-7 additions) ----
+
+  /** Cross-operator conservation laws for the growth/novelty/sweep
+    * family — each pins an output of one query against an
+    * INDEPENDENTLY-computed total (distinct users, user-days,
+    * attributed purchases), so a partition-dependent undercount at
+    * scale cannot pass. All frames involved are report-sized. */
+  def checkGrowth(spark: SparkSession, dir: String): Seq[Res] = {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, dir)
+    val nUsers = ev.select("user_id").distinct().count()
+
+    val ga = graft.analytics.Growth.growthAccounting(spark, dir).collect()
+    val newSum = ga.map(_.getLong(1)).sum
+    val r1 = res("growth_new_conserved",
+      math.abs(newSum - nUsers), s"sum(n_new)=$newSum users=$nUsers")
+    val act = ga.map(r => (r.getTimestamp(0).getTime, r.getLong(5))).toMap
+    val weekMs = 7L * 86400 * 1000
+    val churnBad = ga.count { r =>
+      act.get(r.getTimestamp(0).getTime - weekMs)
+        .exists(prev => r.getLong(4) != prev - r.getLong(2))
+    }
+    val r2 = res("growth_churn_identity", churnBad,
+      "churned(w) = active(w-1) - retained(w) on every interior week")
+
+    val sl = graft.analytics.Growth.streakLengths(spark, dir).collect()
+    val r3 = res("streaks_cover_users",
+      math.abs(sl.map(_.getLong(1)).sum - nUsers),
+      s"histogram covers all $nUsers users")
+
+    val srm = graft.dq.Concentration.srmCheck(spark, dir).collect()
+    val userDays = ev.select(to_date(col("ts")), col("user_id"))
+      .distinct().count()
+    val r4 = res("srm_covers_user_days",
+      math.abs(srm.map(r => r.getLong(1) + r.getLong(2)).sum - userDays),
+      s"sum(n_a+n_b)=$userDays user-days")
+
+    val sweep = graft.analytics.Sweeps.sessionGapSweep(spark, dir).collect()
+    val mono = sweep.map(_.getLong(1)).sliding(2)
+      .count { case Array(a, b) => b > a; case _ => false }
+    val r5 = res("gap_sweep_monotone", mono,
+      "wider gap never creates sessions")
+    val r6 = res("gap_sweep_floor",
+      sweep.count(_.getLong(1) < nUsers).toLong,
+      s"every sweep has >= $nUsers sessions (one per active user)")
+
+    val hhi = graft.dq.Concentration.hhiReport(spark, dir).collect()
+    val r7 = res("hhi_bounds", hhi.count { r =>
+      val h = r.getDouble(3)
+      h < 1.0 / r.getLong(1) - 1e-6 || h > 1.0 + 1e-9
+    }.toLong, "1/n <= HHI <= 1 on every dimension")
+
+    val nov = graft.analytics.Growth.itemNovelty(spark, dir).collect()
+    val nItems = ev
+      .select(get_json_object(col("props"), "$.k").as("i"))
+      .filter(col("i").isNotNull).distinct().count()
+    val r8 = res("novelty_items_conserved",
+      math.abs(nov.map(_.getLong(3)).sum - nItems),
+      s"sum(n_new_items)=$nItems catalog items; first week share=" +
+        f"${nov.head.getDouble(4)}%.3f")
+
+    val ad = graft.analytics.Mining.attributionDecay(spark, dir).collect()
+    val lookUs = graft.analytics.Mining.AttributionLookbackDays *
+      86400L * 1000000L
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("pus"))
+    val c = ev.filter(col("event_type") === "click")
+      .filter(get_json_object(col("props"), "$.k").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("cus"))
+    val nAttr = p.join(c, Seq("user_id"))
+      .filter(col("cus") <= col("pus") && col("cus") >= col("pus") - lookUs)
+      .select("p_id").distinct().count()
+    val credit = ad.map(_.getDouble(2)).sum
+    val r9 = res("decay_credit_partition",
+      if (math.abs(credit - nAttr) < 0.01 * math.max(nAttr, 1L)) 0L else 1L,
+      f"sum(decay_credit)=$credit%.2f attributed purchases=$nAttr")
+
+    Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9)
+  }
+
   def runAll(spark: SparkSession, dir: String): Seq[Res] =
     checkClusters(spark, dir) ++ checkIvf(spark, dir) ++ checkBpe(spark, dir) ++
       checkSemantic(spark, dir) ++ checkGraph(spark, dir) ++
       checkBitext(spark, dir) ++ checkIvfPq(spark, dir) ++ checkBfs(spark, dir) ++
-      checkKcore(spark, dir)
+      checkKcore(spark, dir) ++ checkGrowth(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata/sf1")

@@ -64,4 +64,8 @@ class InvariantSpec extends AnyFunSuite {
       .filter(col("mn") =!= col("cluster_id")).count()
     assert(badMin > 0, "planted corruption must trip the min-member invariant")
   }
+
+  test("growth/sweep/concentration conservation laws hold") {
+    assertAll(InvariantCheck.checkGrowth(spark, sf))
+  }
 }
