@@ -25,7 +25,7 @@ import graft.ann.{Ann, Ivf}
   *   rather than pretending single-probe is high-recall.
   */
 class AnnRecallSpec extends AnyFunSuite {
-  import SparkTestSession.spark
+  import SparkTestSession.{spark, sf}
   import spark.implicits._
 
   private val NQ = 5
@@ -166,5 +166,36 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(common.nonEmpty)
     val maxErr = common.map(k => math.abs(exact(k) - approx(k))).max
     assert(maxErr <= 0.05, s"max |cos - qcos| = $maxErr")
+  }
+
+  test("hard_negatives = brute band-rank; all different-label, below ceiling") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      math.rint(d / math.sqrt(na * nb) * 1e6) / 1e6
+    }
+    val got = graft.ann.Negatives.hardNegatives(spark, sf).collect()
+    val queries = vecs.filter(_._1 < 5)
+    queries.foreach { case (qid, qlbl, qe) =>
+      val expected = vecs
+        .filter(v => v._1 != qid && v._2 != qlbl)
+        .map(v => (v._1, v._2, cos(qe, v._3)))
+        .filter(_._3 < graft.ann.Negatives.DupCeiling)
+        .sortBy(v => (-v._3, v._1)).take(10)
+      val mine = got.filter(_.getLong(0) == qid).sortBy(_.getInt(1))
+      assert(mine.length == expected.length, s"q$qid size")
+      mine.zip(expected).foreach { case (r, (vid, lbl, c)) =>
+        assert(r.getLong(2) == vid && r.getInt(3) == lbl, s"q$qid rk${r.getInt(1)}")
+        assert(math.abs(r.getDouble(4) - c) < 1e-6)
+        assert(r.getInt(3) != qlbl)
+        assert(r.getDouble(4) < graft.ann.Negatives.DupCeiling)
+      }
+    }
   }
 }
