@@ -178,4 +178,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     val pctSum = rows.map(_.getDouble(4)).sum
     assert(math.abs(pctSum - 100.0) < 0.05, s"token_pct sum $pctSum")
   }
+
+  test("pair_negatives: reproducible, never a user's own item, bounded per pair") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    import graft.pipeline.Negatives
+    val pos = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .withColumn("item", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("item").isNotNull)
+      .select("user_id", "item").distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val clicked = pos.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Negatives.pairNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // no negative is an item the user actually clicked
+    got.foreach { case (u, _, _, neg) =>
+      assert(!clicked(u).contains(neg), s"user $u leaked positive $neg")
+    }
+    // at most NegsPerPos per (user, positive); every pair was observed
+    got.groupBy(t => (t._1, t._2)).foreach { case ((u, p), rs) =>
+      assert(rs.length <= Negatives.NegsPerPos)
+      assert(clicked(u).contains(p))
+    }
+    // reproducible: a second run returns byte-identical triples
+    val again = Negatives.pairNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq == again.toSeq)
+    // candidates in catalog range
+    got.foreach { case (_, _, _, neg) =>
+      assert(neg >= 1 && neg <= Negatives.CatalogSize)
+    }
+  }
 }
