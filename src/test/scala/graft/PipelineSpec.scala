@@ -260,4 +260,51 @@ class PipelineSpec extends AnyFunSuite {
       assert(got.map(_._2).sum / got.length >=
         scores.map(_._2).sum / scores.length - 0.05)
   }
+
+  test("cluster_size_dist = brute size histogram; doc shares sum to 1") {
+    import graft.pipeline.ClusterStats
+    val labels = Pipeline.dedupClustersCached(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = labels.groupBy(_._2).view.mapValues(_.size).values.toSeq
+    val expected = sizes.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = ClusterStats.clusterSizeDist(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      assert(r.getLong(1) == expected(r.getLong(0).toInt),
+        s"size ${r.getLong(0)}")
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1))
+    }
+    assert(got.map(_.getLong(2)).sum == labels.length.toLong)
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+  }
+
+  test("quality_dup_bias = brute point-biserial over integer micro-units") {
+    import graft.pipeline.ClusterStats
+    val labels = Pipeline.dedupClustersCached(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val csize = labels.groupBy(_._2).view.mapValues(_.size).toMap
+    val q = graft.text.TextQueries.textQuality(spark, sf)
+      .select("doc_id", "quality_score").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toMap
+    val rows = labels.map { case (d, c) => (csize(c) >= 2, q(d)) }
+    val n = rows.length.toDouble
+    val (dup, uniq) = rows.partition(_._1)
+    val m1 = dup.map(_._2).sum.toDouble / dup.length
+    val m0 = uniq.map(_._2).sum.toDouble / uniq.length
+    val s = rows.map(_._2).sum.toDouble
+    val s2 = rows.map(v => BigInt(v._2) * BigInt(v._2)).sum.toDouble
+    val sd = math.sqrt(s2 / n - (s / n) * (s / n))
+    val r = ClusterStats.qualityDupBias(spark, sf).collect().head
+    assert(r.getLong(0) == rows.length.toLong)
+    assert(r.getLong(1) == dup.length.toLong)
+    assert(math.abs(r.getDouble(2) - m1 / 1e6) < 1e-5)
+    assert(math.abs(r.getDouble(3) - m0 / 1e6) < 1e-5)
+    assert(math.abs(r.getDouble(4) - (m1 - m0) / 1e6) < 1e-5)
+    val rpb = (m1 - m0) / sd * math.sqrt(dup.length.toDouble * uniq.length) / n
+    assert(math.abs(r.getDouble(5) - rpb) < 1e-4)
+    assert(math.abs(r.getDouble(5)) <= 1.0 + 1e-9)
+  }
 }
