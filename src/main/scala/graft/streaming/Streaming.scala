@@ -449,6 +449,32 @@ object Streaming {
         graft.text.TextFunctions.hash64(col("user_id").cast("string")))
         .as("regs"))
 
+  /** §2.269 streaming slice monitor: the §2.243 slice frame as a
+    * streaming aggregate — per (dim, slice), running event and
+    * error-event counts under complete mode. Counts are plain
+    * mergeable sums, so ANY micro-batching yields counts IDENTICAL
+    * to the batch op's slice frame (spec-asserted as exact equality);
+    * the z-scores §2.243 derives are row-local arithmetic a sink
+    * applies downstream. State is slice-cardinality-bounded (≤21
+    * rows) whatever the stream length. */
+  def sliceMonitorStream(events: DataFrame): DataFrame = {
+    val ev = events
+      .withColumn("item",
+        get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("item").isNotNull)
+      .select(
+        (col("event_type") === "error").cast("long").as("is_err"),
+        dayofweek(col("ts")).cast("string").as("dow"),
+        concat(lit("h"), (floor(hour(col("ts")) / 6) * 6).cast("string"))
+          .as("hour_band"),
+        floor(col("item") / 10).cast("string").as("item_decile"))
+    ev.select(col("is_err"), expr(
+      "stack(3, 'dow', dow, 'hour_band', hour_band, " +
+        "'item_decile', item_decile) AS (dim, slice)"))
+      .groupBy("dim", "slice")
+      .agg(count(lit(1)).as("n"), sum("is_err").as("n_err"))
+  }
+
   final case class EwmaOut(event_type: String, n_days: Long, ewma: Double)
 
   /** §2.256 streaming EWMA monitor: the §2.244 smoothing state kept

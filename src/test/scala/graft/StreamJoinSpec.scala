@@ -108,6 +108,39 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(streamed == direct)
   }
 
+  test("streaming slice monitor: counts identical to the batch slice frame") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+      .toSeq
+    val (b1, b2) = evs.partition(_._1 % 2 == 0)
+    val src = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val q = Streaming.sliceMonitorStream(
+        src.toDF().toDF("event_id", "ts", "user_id", "event_type",
+          "value", "props"))
+      .writeStream.format("memory").queryName("slice_mon")
+      .outputMode("complete").start()
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("slice_mon")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // batch twin: the slice frame inside dq.Slices.sliceMetrics
+    val batch = dq.Slices.sliceMetrics(spark, sf)
+      .select("dim", "slice", "n", "n_err").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batch,
+      "mergeable counts must be EXACTLY batch-identical under any batching")
+  }
+
   test("streaming EWMA state: bit-identical to the batch fold across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
