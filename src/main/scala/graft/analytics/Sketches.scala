@@ -197,7 +197,7 @@ object Sketches {
        |cb AS (${cells("purchase")}),
        |ip AS (SELECT ca.i, sum(ca.n * cb.n) AS s
        |  FROM ca JOIN cb ON ca.i = cb.i AND ca.c = cb.c GROUP BY ca.i),
-       |est AS (SELECT min(s) AS est_size FROM ip),
+       |est AS (SELECT CAST(min(s) AS BIGINT) AS est_size FROM ip),
        |ex AS (SELECT CAST(sum(c * p) AS BIGINT) AS exact_size
        |  FROM (SELECT user_id,
        |      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,

@@ -60,7 +60,8 @@ object CorpusOps {
        |fw AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS first_doc
        |  FROM g)
        |SELECT doc_id, count(*) AS n_grams,
-       |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel,
+       |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
        |  round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
        |    * 100.0 / count(*), 4) AS novelty_pct
        |FROM fw GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -237,7 +238,7 @@ object CorpusOps {
        |  GROUP BY 1)
        |SELECT g.min_tokens AS min_tokens,
        |  coalesce(k_docs, 0) AS docs_kept,
-       |  coalesce(k_toks, 0) AS tokens_kept,
+       |  CAST(coalesce(k_toks, 0) AS BIGINT) AS tokens_kept,
        |  round(coalesce(k_docs, 0) * 100.0 / t_docs, 4) AS doc_pct,
        |  round(coalesce(k_toks, 0) * 100.0 / t_toks, 4) AS token_pct
        |FROM grid g LEFT JOIN kept ON g.min_tokens = kept.min_tokens, tot

@@ -54,6 +54,20 @@ def main():
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: cols {list(got.columns)} vs {list(exp.columns)}"); n_fail += 1; continue
+        # The driver's hash is dtype-sensitive: DuckDB sum() over ints
+        # returns HUGEINT which pandas converts to float64 -> hash
+        # mismatch vs Spark's int64 even when values are equal. Fail on
+        # numeric-kind divergence (oracle SQL needs CAST(... AS BIGINT)).
+        kind_bad = [c for c in got.columns
+                    if (pd.api.types.is_float_dtype(got[c])
+                        != pd.api.types.is_float_dtype(exp[c]))
+                    or (pd.api.types.is_integer_dtype(got[c])
+                        != pd.api.types.is_integer_dtype(exp[c]))]
+        if kind_bad:
+            print(f"FAIL {name}: dtype kind mismatch "
+                  + ", ".join(f"{c}: spark={got[c].dtype} oracle={exp[c].dtype}"
+                              for c in kind_bad))
+            n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
         try:
