@@ -922,9 +922,10 @@ object Mining {
     * §2.236's Fano says bursty, this says how high the burst stacks).
     * Sessions are the §2.36 30-minute-gap sessions; each emits a
     * (+1 at start, −1 after end) delta, and per day a running sum
-    * ordered by (ts, delta, user) — ends sort before starts at the
-    * same instant, so back-to-back sessions don't double-count — whose
-    * max is the day's peak.
+    * ordered by (ts, delta DESC, user) — starts sort BEFORE ends at
+    * the same instant (closed-interval convention: a session ending
+    * exactly when another starts counts as 2 concurrent for that
+    * instant) — whose max is the day's peak.
     *
     * Scale shape: ONE user_id exchange builds sessions (the shared-
     * sort family); deltas are 2 rows per session; the sweep is a
@@ -1021,6 +1022,14 @@ object Mining {
   val StartState = "0start"
   val NullState = "1null"
 
+  /** The non-absorbing channel states both engines iterate over. The
+    * oracle SQL unrolls one removal chain PER channel at string-build
+    * time, so it cannot derive this set from the data — the Spark side
+    * asserts the observed set matches and fails loudly if the corpus
+    * ever grows a new event type, instead of silently diverging at
+    * gate time. */
+  val MarkovChannels = Seq("click", "error", "signup", "view")
+
   /** §2.234 `attribution_markov`: Markov removal-effect attribution
     * (the Anderl et al. data-driven model) — the principled sibling
     * of §2.149's positional rules: build the first-order journey
@@ -1093,6 +1102,10 @@ object Mining {
     val pFull = solve(None)
     val channels = states
       .filterNot(s => s == StartState || s == NullState || s == "purchase")
+    require(channels == MarkovChannels,
+      s"attribution_markov: observed channel set $channels != " +
+        s"$MarkovChannels hardcoded in attributionMarkovSql's removal " +
+        "chains - update MarkovChannels (both engines) for the new type")
     val ratios = channels.map(c => c -> solve(Some(c)) / pFull)
     val totEff = ratios.foldLeft(0.0) { case (acc, (_, r)) =>
       acc + (1.0 - r) }
@@ -1121,7 +1134,7 @@ object Mining {
            |      FROM tp t JOIN v$tag${t - 1} v ON v.s = t.dst
            |      GROUP BY t.src) agg ON agg.s = st.s)""".stripMargin
       }.mkString(",\n")
-    val channels = Seq("click", "error", "signup", "view")
+    val channels = MarkovChannels
     val chains = (("f", "") +: channels.map(c =>
       (c.take(2) + c.length, s"WHEN st.s = '$c' THEN 0.0")))
       .map { case (tag, rc) =>

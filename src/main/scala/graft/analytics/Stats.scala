@@ -341,11 +341,24 @@ object Stats {
       .withColumn("z_stat", round((col("m_A") - col("m_B")) /
         sqrt(col("v_A") / col("n_A") + col("v_B") / col("n_B")), 4))
     val w = Window.orderBy(abs(col("z_stat")).desc, col("event_type"))
+    // The BhCritZ grid is exact for m = BhCritZ.size hypotheses only;
+    // the rk inner join would silently DROP hypotheses ranked past the
+    // grid (and m<grid leaves the step-up too conservative). Assert the
+    // observed count instead of letting the join hide a mismatch —
+    // threaded through z_stat so column pruning can't elide it.
+    val wAll = Window.partitionBy(lit(1))
+    val zChecked = z
+      .withColumn("z_stat", when(
+        assert_true(count(lit(1)).over(wAll) === lit(BhCritZ.size),
+          lit(s"ab_test_multi: hypothesis count != ${BhCritZ.size} - " +
+            "regenerate BhCritZ literals for the new m on both engines"))
+          .isNull,
+        col("z_stat")))
     val crit = BhCritZ.zipWithIndex
       .map { case (c, i) => s"(${i + 1}, CAST($c AS DOUBLE))" }
       .mkString(",")
     val critDf = spark.sql(s"SELECT * FROM VALUES $crit AS t(rk, crit_z)")
-    val ranked = z.withColumn("rk", row_number().over(w))
+    val ranked = zChecked.withColumn("rk", row_number().over(w))
       .join(broadcast(critDf), Seq("rk"))
       .withColumn("pass", abs(col("z_stat")) >= col("crit_z"))
     val istar = Window.partitionBy(lit(1))
@@ -487,7 +500,11 @@ object Stats {
       .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
     val mid = ev.agg(min("day").as("d0"), max("day").as("d1"))
       .select(col("d0"),
-        (datediff(col("d1"), col("d0")) / 2).cast("int").as("half"))
+        // floor EXPLICITLY: plain int cast truncates here while the
+        // DuckDB oracle's CAST rounds-to-nearest — on an odd calendar
+        // span they'd split pre/post one day apart (// on the oracle
+        // side floors to match)
+        floor(datediff(col("d1"), col("d0")) / 2).cast("int").as("half"))
     val cells = ev.crossJoin(broadcast(mid))
       .select(
         when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
@@ -537,7 +554,7 @@ object Stats {
        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
        |  FROM events WHERE event_type IN ('click', 'purchase')),
        |mid AS (SELECT min(day) AS d0,
-       |    CAST((max(day) - min(day)) / 2 AS INTEGER) AS half FROM ev),
+       |    CAST((max(day) - min(day)) // 2 AS INTEGER) AS half FROM ev),
        |cells AS (SELECT
        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
        |    CASE WHEN (day - d0) < half THEN 'pre' ELSE 'post' END AS period,
