@@ -1,0 +1,215 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Physical-layout planning operators — SURVEY.md §2.275–277.
+  *
+  * The ops a 100 TB writer runs BEFORE committing to a layout: how to
+  * cut the corpus into balanced output shards, which join keys need
+  * salting and by how much, and which column encodings the data
+  * actually rewards. All three collapse the corpus to a bounded plan
+  * frame in one pass — the plan is always tiny even when the data
+  * is not.
+  */
+object Layout {
+
+  /** Target characters per output shard for [[shardPlan]]. A plan
+    * parameter, not a data statistic — production would pass bytes
+    * (e.g. 512 MB); the test corpus uses a value that yields several
+    * shards per source at every SF. */
+  val ShardTargetChars = 2000L
+
+  /** §2.275 `shard_plan`: balanced output-shard assignment for the
+    * documents corpus — per source, docs in doc_id order are packed
+    * greedily into shards of ~[[ShardTargetChars]] by cumulative
+    * size: shard = (cumulative_chars − 1) div target. This is the
+    * planning pass behind a 100 TB corpus write: it decides file
+    * counts and boundaries BEFORE any bytes move, so the writer can
+    * `repartitionByRange` straight into right-sized files instead of
+    * discovering 40 000 small files afterwards (§2.59's compaction is
+    * the cure; this is the prevention).
+    *
+    * Scale shape: ONE hash exchange on source; the running sum is a
+    * per-source sequential window (each source's docs stream through
+    * one task — the same order the writer itself needs); output grain
+    * is shard-bounded (total_chars/target rows), never doc grain.
+    *
+    * Determinism: all-integer arithmetic — cumulative BIGINT chars,
+    * integer division for the shard index. */
+  def shardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum("n_chars").over(w))
+      .withColumn("shard_id",
+        expr(s"(cum - 1) div $ShardTargetChars"))
+      .groupBy("source", "shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("chars"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("source", "shard_id")
+  }
+
+  val shardPlanSql: String =
+    s"""WITH cum AS (SELECT source, doc_id, n_chars,
+       |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM documents)
+       |SELECT source, (cum - 1) // $ShardTargetChars AS shard_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum GROUP BY 1, 2""".stripMargin
+
+  /** Target rows per post-shuffle task for [[saltPlan]] — the knob a
+    * real deployment sets from executor memory / target task runtime. */
+  val SaltTargetRows = 800L
+
+  /** §2.276 `salt_plan`: actionable skew-remediation plan for a join/
+    * partition key — per key, the salt factor `ceil(rows / target)`
+    * that caps any single post-salt partition at [[SaltTargetRows]]
+    * rows. §2.154's `data_skew_report` DIAGNOSES skew (ratios,
+    * stddevs); this op PRESCRIBES the fix: the exact fan-out to
+    * apply per key (`Skew.saltedJoin` §2.48 consumes a factor like
+    * this), plus the post-salt worst case so the planner can verify
+    * the remedy before paying for it. Run on event_type — the
+    * classic low-cardinality hot key where every key needs splitting.
+    *
+    * Scale shape: one map-side-combined groupBy to key grain (the
+    * only corpus-sized stage); the plan frame is |keys| rows.
+    *
+    * Determinism: all-integer — ceil via (n + t − 1) div t. */
+  def saltPlan(spark: SparkSession, dir: String): DataFrame = {
+    val t = SaltTargetRows
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("salt_factor", expr(s"(n_rows + ${t - 1}) div $t"))
+      .withColumn("max_rows_after",
+        expr("(n_rows + salt_factor - 1) div salt_factor"))
+      .withColumn("needs_salt", col("salt_factor") > 1L)
+      .orderBy(col("n_rows").desc, col("key"))
+  }
+
+  val saltPlanSql: String =
+    s"""SELECT event_type AS key, count(*) AS n_rows,
+       |  (count(*) + ${SaltTargetRows - 1}) // $SaltTargetRows
+       |    AS salt_factor,
+       |  (count(*) + (count(*) + ${SaltTargetRows - 1})
+       |      // $SaltTargetRows - 1)
+       |    // ((count(*) + ${SaltTargetRows - 1}) // $SaltTargetRows)
+       |    AS max_rows_after,
+       |  ((count(*) + ${SaltTargetRows - 1}) // $SaltTargetRows) > 1
+       |    AS needs_salt
+       |FROM events GROUP BY 1""".stripMargin
+
+  /** Row-group size (in l_orderkey units) for [[encodingStats]] —
+    * runs are counted within groups, mirroring how parquet encodes
+    * per row-group, and keeping the window per-group instead of one
+    * global sort. */
+  val RowGroupOrderKeys = 1000L
+
+  /** §2.277 `encoding_stats`: column-encoding advisor over lineitem —
+    * for each candidate column, value-run counts in storage order
+    * (within l_orderkey-div-[[RowGroupOrderKeys]] row groups, the
+    * parquet unit), exact distinct count, and the encoding the
+    * numbers justify: RLE when runs are long, DICT when the
+    * dictionary is small, PLAIN otherwise. This is the audit behind
+    * §2.78's range-sorted data-skipping write: sorting only pays if
+    * it CREATES runs, and this op measures exactly that (a shipdate
+    * sort turns l_shipdate's runs from ~1 into ~rows/2500 — the
+    * difference between bit-packed RLE and 8 bytes/value at 100 TB).
+    *
+    * Scale shape: one hash exchange on row group + one per-group
+    * sort shared by ALL columns (the lag windows share one
+    * WindowSpec and fuse); the ×|columns| unpivot happens at
+    * group-grain, and the report is |columns| rows. The exact
+    * countDistinct Expand rides the same pass — production would
+    * swap it for §2.207's HLL registers.
+    *
+    * Determinism: runs/distincts/rows are exact BIGINTs;
+    * avg_run_len and distinct_ratio are single divisions. */
+  def encodingStats(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+      "l_partkey", "l_quantity")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr(s"l_orderkey div $RowGroupOrderKeys").as("rg"),
+        col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("l_shipdate"),
+        col("l_partkey").cast("string").as("l_partkey"),
+        col("l_quantity").cast("long").cast("string").as("l_quantity"))
+    // (l_orderkey, l_linenumber) is NOT unique on the dirty corpus —
+    // the value columns join the sort so the order is total (equal
+    // full rows are interchangeable for run counting)
+    val ord = Seq("l_orderkey", "l_linenumber") ++ cols
+    val w = Window.partitionBy("rg").orderBy(ord.map(col): _*)
+    val flagged = cols.foldLeft(li) { (df, c) =>
+      df.withColumn(s"${c}_brk",
+        when(lag(col(c), 1).over(w).isNull ||
+          lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L))
+    }
+    val agg = flagged.agg(
+      count(lit(1)).as("n_rows"),
+      struct(cols.map(c => sum(col(s"${c}_brk")).as(c)): _*).as("runs"),
+      struct(cols.map(c => countDistinct(col(c)).as(c)): _*).as("nd"))
+    val perCol = cols.map { c =>
+      agg.select(lit(c).as("col_name"), col("n_rows"),
+        col(s"nd.$c").as("n_distinct"), col(s"runs.$c").as("n_runs"))
+    }.reduce(_ unionAll _)
+    perCol
+      .withColumn("avg_run_len",
+        round(col("n_rows").cast("double") / col("n_runs"), 4))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_rows"), 6))
+      .withColumn("encoding",
+        when(col("avg_run_len") >= 4.0, lit("RLE_DICT"))
+          .when(col("n_distinct") <= 1000L, lit("DICT"))
+          .otherwise(lit("PLAIN")))
+      .orderBy("col_name")
+  }
+
+  val encodingStatsSql: String = {
+    val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+      "l_partkey", "l_quantity")
+    val sel = cols.map { c =>
+      s"""SELECT '$c' AS col_name, n_rows, ${c}_nd AS n_distinct,
+         |  ${c}_runs AS n_runs FROM agg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val ord = (Seq("l_orderkey", "l_linenumber") ++ cols).mkString(", ")
+    s"""WITH li AS (SELECT l_orderkey, l_linenumber,
+       |    l_orderkey // $RowGroupOrderKeys AS rg,
+       |    l_returnflag, l_linestatus,
+       |    strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate,
+       |    CAST(l_partkey AS VARCHAR) AS l_partkey,
+       |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS l_quantity
+       |  FROM lineitem),
+       |brk AS (SELECT *,
+       |    ${cols.map(c =>
+              s"""CASE WHEN lag($c) OVER (PARTITION BY rg
+                 |      ORDER BY $ord) IS DISTINCT
+                 |      FROM $c THEN 1 ELSE 0 END AS ${c}_brk""".stripMargin)
+             .mkString(",\n    ")}
+       |  FROM li),
+       |agg AS (SELECT count(*) AS n_rows,
+       |    ${cols.map(c =>
+              s"CAST(sum(${c}_brk) AS BIGINT) AS ${c}_runs," +
+              s" count(DISTINCT $c) AS ${c}_nd").mkString(",\n    ")}
+       |  FROM brk),
+       |percol AS ($sel)
+       |SELECT col_name, n_rows, n_distinct, n_runs,
+       |  round(CAST(n_rows AS DOUBLE) / n_runs, 4) AS avg_run_len,
+       |  round(CAST(n_distinct AS DOUBLE) / n_rows, 6) AS distinct_ratio,
+       |  CASE WHEN round(CAST(n_rows AS DOUBLE) / n_runs, 4) >= 4.0
+       |      THEN 'RLE_DICT'
+       |    WHEN n_distinct <= 1000 THEN 'DICT'
+       |    ELSE 'PLAIN' END AS encoding
+       |FROM percol""".stripMargin
+  }
+}
