@@ -120,4 +120,86 @@ object Survival {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
        |  END AS survival
        |FROM lf ORDER BY duration_days""".stripMargin
+
+  /** §2.279 `nelson_aalen`: Nelson–Aalen cumulative-hazard estimator
+    * over the SAME lifetimes as [[survivalKm]] — Ĥ(t) = Σ_{s≤t} d_s/n_s.
+    * The hazard-scale companion to KM: additive (hazards of disjoint
+    * windows sum — the property a per-cohort or per-period hazard
+    * decomposition needs, which the multiplicative KM curve lacks),
+    * and exp(−Ĥ) is the Breslow survival estimate reported alongside
+    * for direct comparison with KM.
+    *
+    * Scale shape: identical to KM — corpus → user grain in one
+    * map-side-combined groupBy, then calendar-bounded lifetime grain;
+    * the cumulative sum is a window over that bounded frame.
+    *
+    * Determinism: d/n is one division of exact BIGINTs per row,
+    * rounded at 6 dp BEFORE the ordered cumulative sum (the §2.149
+    * per-addend rule), matching the KM log-domain contract. */
+  def nelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+    val users = ev.groupBy("user_id")
+      .agg(min("day").as("first_day"),
+        min(when(col("event_type") === "purchase" &&
+          col("value") > ConvValueMin, col("day"))).as("purchase_day"))
+    val horizon = ev.agg(max("day").as("h"))
+    val lives = users.crossJoin(broadcast(horizon))
+      .select(
+        datediff(coalesce(col("purchase_day"), col("h")), col("first_day"))
+          .cast("long").as("duration_days"),
+        when(col("purchase_day").isNotNull, 1L).otherwise(0L).as("event"))
+    val na = lives.groupBy("duration_days")
+      .agg(sum("event").as("n_conv"),
+        (count(lit(1)) - sum(col("event"))).as("n_censored"))
+    val w = Window.orderBy("duration_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    na
+      .withColumn("n_risk",
+        sum(col("n_conv") + col("n_censored"))
+          .over(Window.orderBy("duration_days")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("hz",
+        round(col("n_conv").cast("double") / col("n_risk"), 6))
+      .withColumn("cum_hazard", round(sum("hz").over(w), 6))
+      .withColumn("breslow_survival", round(exp(-sum("hz").over(w)), 6))
+      .select(col("duration_days"), col("n_risk"), col("n_conv"),
+        col("n_censored"), col("cum_hazard"), col("breslow_survival"))
+      .orderBy("duration_days")
+  }
+
+  val nelsonAalenSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, value,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+       |users AS (SELECT user_id, min(day) AS first_day,
+       |    min(CASE WHEN event_type = 'purchase' AND value > $ConvValueMin
+       |      THEN day END) AS purchase_day
+       |  FROM ev GROUP BY 1),
+       |hz AS (SELECT max(day) AS h FROM ev),
+       |lives AS (SELECT
+       |    CAST(date_diff('day', first_day, COALESCE(purchase_day, h))
+       |      AS BIGINT) AS duration_days,
+       |    CASE WHEN purchase_day IS NOT NULL THEN 1 ELSE 0 END AS event
+       |  FROM users CROSS JOIN hz),
+       |na AS (SELECT duration_days,
+       |    CAST(sum(event) AS BIGINT) AS n_conv,
+       |    CAST(count(*) - sum(event) AS BIGINT) AS n_censored
+       |  FROM lives GROUP BY 1),
+       |risk AS (SELECT duration_days, n_conv, n_censored,
+       |    CAST(sum(n_conv + n_censored) OVER (ORDER BY duration_days
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+       |      AS n_risk
+       |  FROM na),
+       |hzd AS (SELECT duration_days, n_risk, n_conv, n_censored,
+       |    round(CAST(n_conv AS DOUBLE) / n_risk, 6) AS hz
+       |  FROM risk)
+       |SELECT duration_days, n_risk, n_conv, n_censored,
+       |  round(sum(hz) OVER (ORDER BY duration_days
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+       |    AS cum_hazard,
+       |  round(exp(-sum(hz) OVER (ORDER BY duration_days
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+       |    AS breslow_survival
+       |FROM hzd ORDER BY duration_days""".stripMargin
 }

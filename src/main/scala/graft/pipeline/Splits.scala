@@ -97,6 +97,110 @@ object Splits {
        |       ELSE 'test' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
 
+  /** Calendar fractions for the two split boundaries (train | val |
+    * test at 60% / 80% of the event span). */
+  val EmbargoTrainPct = 6
+  val EmbargoValPct = 8
+
+  /** Embargo width after each boundary, microseconds (1 day). */
+  val EmbargoUs: Long = 86400L * 1000000L
+
+  /** §2.284 `time_split_embargo`: purged + embargoed TIME-based
+    * train/val/test split audit over 30-minute sessions — the
+    * temporal counterpart of [[makeSplits]]'s cluster split, i.e. the
+    * split construction for FORECASTING/sequence models where the
+    * leak vector is time, not near-duplication (López de Prado's
+    * purged k-fold with embargo, applied as a single chronological
+    * cut). Sessions assign by position against boundaries at
+    * [[EmbargoTrainPct]]/[[EmbargoValPct]] tenths of the event span:
+    * entirely-before → the split; SPANNING a boundary → purged (a
+    * session straddling the cut carries future signal into the past);
+    * starting within [[EmbargoUs]] after a boundary → embargo
+    * (serially-correlated neighbors of the held-out horizon are
+    * dropped, not trained on). By construction no retained train
+    * event touches the val horizon — the audit reports the census
+    * per bucket so the cost of purging is visible.
+    *
+    * Scale shape: ONE user_id exchange + per-user sort for the
+    * session window (the §2.36 machinery), one session-grain
+    * map-side-combined groupBy, then a ≤5-row census (n_users via a
+    * second bounded groupBy at (split, user) grain — no distinct over
+    * the corpus). Boundaries are a 1-row broadcast.
+    *
+    * Determinism: all-integer microsecond arithmetic; boundary
+    * positions use integer tenths (span·pct div 10). */
+  def timeSplitEmbargo(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_session",
+        when(lag(col("us"), 1).over(byUser).isNull ||
+          col("us") - lag(col("us"), 1).over(byUser) >
+            graft.streaming.Streaming.SessionGapMinutes * 60L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = ev.groupBy("user_id", "session_id")
+      .agg(min("us").as("s_us"), max("us").as("e_us"),
+        count(lit(1)).as("n_ev"))
+    val bounds = ev.agg(min("us").as("t0"), max("us").as("t1"))
+      .select(
+        expr(s"t0 + (t1 - t0) * $EmbargoTrainPct div 10").as("b1"),
+        expr(s"t0 + (t1 - t0) * $EmbargoValPct div 10").as("b2"))
+    val tagged = sess.crossJoin(broadcast(bounds))
+      .withColumn("split",
+        when(col("e_us") < col("b1"), "train")
+          .when(col("s_us") < col("b1"), "purged")
+          .when(col("s_us") < col("b1") + EmbargoUs, "embargo")
+          .when(col("e_us") < col("b2"), "val")
+          .when(col("s_us") < col("b2"), "purged")
+          .when(col("s_us") < col("b2") + EmbargoUs, "embargo")
+          .otherwise("test"))
+    val census = tagged.groupBy("split")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_ev").as("n_events"))
+    val users = tagged.select("split", "user_id").distinct()
+      .groupBy("split").agg(count(lit(1)).as("n_users"))
+    census.join(users, Seq("split")).orderBy("split")
+  }
+
+  def timeSplitEmbargoSql: String = {
+    val gapUs = graft.streaming.Streaming.SessionGapMinutes * 60L * 1000000L
+    s"""WITH ev AS (SELECT user_id, event_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+       |flagged AS (SELECT user_id, event_id, us,
+       |    CASE WHEN lag(us) OVER w IS NULL
+       |           OR us - lag(us) OVER w > $gapUs THEN 1 ELSE 0 END
+       |      AS new_session
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |sess AS (SELECT user_id,
+       |    min(us) AS s_us, max(us) AS e_us, count(*) AS n_ev
+       |  FROM (SELECT user_id, us,
+       |      sum(new_session) OVER (PARTITION BY user_id
+       |        ORDER BY us, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |        AS session_id
+       |    FROM flagged) t
+       |  GROUP BY user_id, session_id),
+       |bounds AS (SELECT
+       |    min(us) + (max(us) - min(us)) * $EmbargoTrainPct // 10 AS b1,
+       |    min(us) + (max(us) - min(us)) * $EmbargoValPct // 10 AS b2
+       |  FROM ev),
+       |tagged AS (SELECT user_id, n_ev,
+       |    CASE WHEN e_us < b1 THEN 'train'
+       |      WHEN s_us < b1 THEN 'purged'
+       |      WHEN s_us < b1 + $EmbargoUs THEN 'embargo'
+       |      WHEN e_us < b2 THEN 'val'
+       |      WHEN s_us < b2 THEN 'purged'
+       |      WHEN s_us < b2 + $EmbargoUs THEN 'embargo'
+       |      ELSE 'test' END AS split
+       |  FROM sess CROSS JOIN bounds)
+       |SELECT split, count(*) AS n_sessions,
+       |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+       |  count(DISTINCT user_id) AS n_users
+       |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def splitLeakageSql: String =
     s"""WITH pairs AS (${graft.dedup.Dedup.minhashPairsSql()}),
        |tags AS (SELECT doc_id,
