@@ -839,4 +839,114 @@ object Series {
        |  round(st[1] + $h.0 * st[2], 4) AS forecast_$h
        |FROM ser ORDER BY event_type""".stripMargin
   }
+
+  val HwAlpha = 0.3
+  val HwBeta = 0.1
+  val HwGamma = 0.2
+
+  /** Season length for [[holtWinters]] (weekly). */
+  val HwSeason = 7
+
+  /** §2.286 `holt_winters`: additive Holt–Winters triple exponential
+    * smoothing of each event type's zero-filled daily volume — level
+    * + trend + a [[HwSeason]]-slot seasonal state, the step past
+    * §2.248's Holt that actually models the weekly cycle §2.151
+    * detects. Reports the final state (level, trend, seasonal
+    * amplitude) and the 1- and 7-day-ahead forecasts
+    * ŷ_{t+k} = l + k·b + s_{(t+k−1) mod m}.
+    *
+    * Determinism — the LIST-STATE ordered fold, extending the §2.244
+    * scalar and §2.248 pair accumulators: the recursion carries
+    * (l, b, s₀..s₆) and BOTH engines evaluate the identical
+    * left-to-right fold — Spark `aggregate` over the sorted series
+    * with a struct{l, b, s array} accumulator, DuckDB `list_reduce`
+    * over a 9-slot DOUBLE list with the init list prepended (lists
+    * are homogeneous but not fixed-length, so the 9-slot init and
+    * 2-slot [value, season-idx] elements coexist). Seasonal slots
+    * init at 0 and the output is DEFINED as this truncated recursion
+    * (the §2.234 convention) — parity never depends on convergence.
+    * Update order is pinned: l′ then b′ then s′ᵢ, each a
+    * fixed-sequence expression.
+    *
+    * Scale shape: identical to §2.248 — one (type, day) groupBy
+    * collapses the corpus, the fold runs over |days|-bounded arrays
+    * at |types| grain. */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b, g, m) = (HwAlpha, HwBeta, HwGamma, HwSeason)
+    val sI = "element_at(acc.s, e.i + 1)"
+    val lNew = s"($a * (e.v - $sI) + ${1 - a} * (acc.l + acc.b))"
+    val bNew = s"($b * ($lNew - acc.l) + ${1 - b} * acc.b)"
+    daySpine(spark, dir)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+        .as("series"))
+      .select(col("event_type"),
+        size(col("series")).cast("long").as("n_days"),
+        expr("transform(series, x -> CAST(x.n AS DOUBLE))").as("vals"))
+      .select(col("event_type"), col("n_days"),
+        expr(s"""aggregate(
+          slice(transform(vals, (v, j) ->
+                  named_struct('v', v, 'i', CAST(j % $m AS INT))),
+                2, size(vals) - 1),
+          named_struct('l', element_at(vals, 1), 'b', CAST(0.0 AS DOUBLE),
+                       's', array_repeat(CAST(0.0 AS DOUBLE), $m)),
+          (acc, e) -> named_struct(
+            'l', $lNew,
+            'b', $bNew,
+            's', transform(acc.s, (sv, j) -> IF(j = e.i,
+                   $g * (e.v - $lNew) + ${1 - g} * sv, sv))))""").as("st"))
+      .select(col("event_type"), col("n_days"),
+        round(col("st.l"), 4).as("level"),
+        round(col("st.b"), 4).as("trend"),
+        round(expr(s"array_max(st.s) - array_min(st.s)"), 4)
+          .as("season_amplitude"),
+        round(col("st.l") + col("st.b") +
+          expr(s"element_at(st.s, CAST(n_days % $m AS INT) + 1)"), 4)
+          .as("forecast_1"),
+        round(col("st.l") + lit(7.0) * col("st.b") +
+          expr(s"element_at(st.s, CAST((n_days + 6) % $m AS INT) + 1)"), 4)
+          .as("forecast_7"))
+      .orderBy("event_type")
+  }
+
+  val holtWintersSql: String = {
+    val (a, b, g, m) = (HwAlpha, HwBeta, HwGamma, HwSeason)
+    val sI = "acc[3 + CAST(x[2] AS INT)]"
+    val lNew = s"($a * (x[1] - $sI) + ${1 - a} * (acc[1] + acc[2]))"
+    val bNew = s"($b * ($lNew - acc[1]) + ${1 - b} * acc[2])"
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |spine AS (SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+       |  FROM (SELECT event_type,
+       |      unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+       |    FROM (SELECT event_type, CAST(min(day) AS TIMESTAMP) AS d0,
+       |        CAST(max(day) AS TIMESTAMP) AS d1 FROM daily GROUP BY 1) t) s
+       |  LEFT JOIN daily d
+       |    ON s.event_type = d.event_type AND CAST(s.day AS DATE) = d.day),
+       |ser AS (SELECT event_type, count(*) AS n_days,
+       |    list(CAST(n AS DOUBLE) ORDER BY day) AS vs
+       |  FROM spine GROUP BY 1),
+       |folded AS (SELECT event_type, n_days,
+       |    list_reduce(
+       |      list_prepend(
+       |        [vs[1], 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+       |        list_transform(generate_series(2, CAST(n_days AS INT)),
+       |          j -> [vs[j], CAST((j - 1) % $m AS DOUBLE)])),
+       |      (acc, x) -> [$lNew, $bNew] ||
+       |        list_transform(generate_series(1, $m),
+       |          j -> CASE WHEN j - 1 = CAST(x[2] AS INT)
+       |            THEN $g * (x[1] - $lNew) + ${1 - g} * acc[2 + j]
+       |            ELSE acc[2 + j] END)) AS st
+       |  FROM ser)
+       |SELECT event_type, n_days,
+       |  round(st[1], 4) AS level, round(st[2], 4) AS trend,
+       |  round(list_max(st[3:9]) - list_min(st[3:9]), 4)
+       |    AS season_amplitude,
+       |  round(st[1] + st[2] + st[3 + CAST(n_days % $m AS INT)], 4)
+       |    AS forecast_1,
+       |  round(st[1] + 7.0 * st[2] + st[3 + CAST((n_days + 6) % $m AS INT)], 4)
+       |    AS forecast_7
+       |FROM folded ORDER BY event_type""".stripMargin
+  }
 }

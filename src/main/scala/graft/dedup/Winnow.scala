@@ -55,8 +55,13 @@ object Winnow {
   private val PosBits = 4194304L // 2^22
 
   /** Winnowed fingerprints: one row per selected (doc_id, p, h). */
-  private[dedup] def fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  private[dedup] def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    fingerprintsOf(Tables.documents(spark, dir))
+
+  /** Winnowed fingerprints of an arbitrary (doc_id, text) frame — the
+    * kernel [[graft.streaming.Streaming.winnowStreamIndexed]] runs
+    * per micro-batch. */
+  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame = {
     val grams = docs.select(col("doc_id"),
         graft.functions.native.token_poly_hashes(col("text")).as("th"))
       .select(col("doc_id"),

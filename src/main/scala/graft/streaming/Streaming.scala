@@ -592,4 +592,67 @@ object Streaming {
        |  max(ts) AS session_end, count(*) AS n_events
        |FROM sessions GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
+
+  /** §2.287 streaming winnow dedup: the §2.278 winnowing kernel as an
+    * always-on service — per micro-batch, arriving documents are
+    * winnow-fingerprinted (the same compiled gram + argmin-window
+    * kernel, so a batch and a stream produce IDENTICAL fingerprints),
+    * probed against a PERSISTED (doc_id, h) fingerprint index, and a
+    * verdict row is appended per doc: duplicate iff it shares ≥
+    * `minShared` fingerprints with any single indexed doc. Accepted
+    * docs' fingerprints append to the index, so batch N+1 dedups
+    * against everything batch N accepted, across restarts
+    * (checkpointed source + on-disk index). Completes the family:
+    * exact→§2.118 bloom stream, MinHash→§2.122 indexed stream,
+    * winnow→this — the guarantee-carrying member (shared runs ≥
+    * w+k−1 tokens CANNOT slip through between batches, because the
+    * fingerprints are deterministic and the index is cumulative).
+    *
+    * Per-batch work is batch-sized fingerprinting plus a fingerprint-
+    * keyed probe join — the index is read by hash key, never
+    * re-fingerprinted. Same exactly-once caveat as
+    * [[dedupStreamIndexed]]: verdicts idempotent per (batch_id,
+    * doc_id); production fences index appends by batchId in a table
+    * format with atomic commit. */
+  def winnowStreamIndexed(docs: DataFrame, indexDir: String,
+      verdictDir: String, checkpointDir: String,
+      minShared: Int = graft.dedup.Winnow.WinnowMinShared)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fp = graft.dedup.Winnow.fingerprintsOf(batch)
+          .select("doc_id", "h").distinct().persist()
+        try {
+          val haveIndex =
+            new java.io.File(indexDir).listFiles() != null &&
+            new java.io.File(indexDir).listFiles().nonEmpty
+          val dupIds =
+            if (!haveIndex) spark.range(0).select(col("id").as("doc_id"))
+            else {
+              val idx = spark.read.parquet(indexDir)
+                .select(col("doc_id").as("idx_doc"), col("h"))
+              fp.join(idx.hint("shuffle_hash"), Seq("h"))
+                .groupBy("doc_id", "idx_doc")
+                .agg(count(lit(1)).as("n_shared"))
+                .filter(col("n_shared") >= minShared)
+                .select("doc_id").distinct()
+            }
+          val verdicts = batch.select("doc_id")
+            .join(dupIds.withColumn("is_duplicate", lit(true)), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("is_duplicate"), lit(false)).as("is_duplicate"),
+              lit(batchId).as("batch_id"))
+            .persist()
+          try {
+            verdicts.write.mode("append").parquet(verdictDir)
+            val accepted = fp.join(
+              verdicts.filter(!col("is_duplicate")).select("doc_id"), "doc_id")
+            accepted.write.mode("append").parquet(indexDir)
+            ()
+          } finally { verdicts.unpersist(); () }
+        } finally { fp.unpersist(); () }
+      }
+      .start()
 }

@@ -229,6 +229,128 @@ class Round8BatchSpec extends AnyFunSuite {
     }
   }
 
+  // ---- streaming winnow dedup --------------------------------------------
+
+  test("streaming winnow dedup = brute cumulative-index replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-wsi").toString
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+    val b1 = all.filter(col("doc_id") % 2 === 0)
+      .as[(Long, String)].collect().toSeq
+    // batch 2: exact copies of batch 1 (fresh ids) + the odd half
+    val b2 = b1.map { case (id, t) => (id + 100000L, t) } ++
+      all.filter(col("doc_id") % 2 === 1).as[(Long, String)].collect().toSeq
+    // brute replay: fingerprints via the op's own kernel, cumulative
+    // index, dup iff >= minShared hashes shared with ONE indexed doc
+    val fps = dedup.Winnow.fingerprintsOf(
+        (b1 ++ b2).toDF("doc_id", "text"))
+      .select("doc_id", "h").distinct().collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    def dupAgainst(id: Long, index: Seq[Long]): Boolean =
+      index.exists(j =>
+        (fps.getOrElse(id, Set.empty) & fps.getOrElse(j, Set.empty)).size
+          >= dedup.Winnow.WinnowMinShared)
+    val expect1 = b1.map { case (id, _) => id -> false }.toMap // empty index
+    val idx1 = b1.map(_._1)
+    val expect2 = b2.map { case (id, _) => id -> dupAgainst(id, idx1) }.toMap
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.Streaming.winnowStreamIndexed(
+      src.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/verdicts", s"$base/ckpt")
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.read.parquet(s"$base/verdicts").collect()
+      .map(r => (r.getLong(2), r.getLong(0)) -> r.getBoolean(1)).toMap
+    assert(verdicts.size == b1.size + b2.size)
+    b1.foreach { case (id, _) =>
+      assert(verdicts((0L, id)) == expect1(id), s"batch1 doc $id") }
+    b2.foreach { case (id, _) =>
+      assert(verdicts((1L, id)) == expect2(id), s"batch2 doc $id") }
+    // the copies of fingerprint-bearing batch-1 docs MUST be caught
+    val caught = b1.filter(x => fps.getOrElse(x._1, Set.empty).size >=
+      dedup.Winnow.WinnowMinShared)
+    assert(caught.nonEmpty)
+    caught.foreach { case (id, _) =>
+      assert(verdicts((1L, id + 100000L)), s"copy of $id escaped") }
+  }
+
+  // ---- cluster_silhouette ------------------------------------------------
+
+  test("cluster_silhouette = brute centroid-silhouette replay; s in [0,1]") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = ann.Ivf.trainCentroids(emb).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val vecs = emb.collect().map { r =>
+      val e = r.getSeq[Float](1).map(_.toDouble).toArray
+      (r.getLong(0), e, math.sqrt(e.map(x => x * x).sum))
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val micro = scala.collection.mutable.Map[Long, (Long, Long)]()
+    vecs.foreach { case (_, e, n) =>
+      val scored = cents.map { case (cid, ce, cn) =>
+        (dot(e, ce) / (n * cn), cid)
+      }.sortBy { case (c, cid) => (-c, cid) }
+      val (cos1, own) = scored(0); val cos2 = scored(1)._1
+      val s = if (cos2 < 1.0) (cos1 - cos2) / (1.0 - cos2) else 0.0
+      assert(s >= 0.0 && s <= 1.0 + 1e-9)
+      val mu = math.round(s * 1000000)
+      val (cnt, sum) = micro.getOrElse(own, (0L, 0L))
+      micro(own) = (cnt + 1, sum + mu)
+    }
+    val got = ann.Silhouette.clusterSilhouette(spark, sf).collect()
+    assert(got.length == micro.size)
+    assert(got.map(_.getLong(1)).sum == vecs.length.toLong)
+    got.foreach { r =>
+      val (cnt, sum) = micro(r.getLong(0))
+      assert(r.getLong(1) == cnt, s"cid ${r.getLong(0)} count")
+      assert(math.abs(r.getDouble(2) - sum.toDouble / cnt / 1e6) < 1e-5,
+        s"cid ${r.getLong(0)} mean")
+    }
+  }
+
+  // ---- holt_winters ------------------------------------------------------
+
+  test("holt_winters = bit-identical JVM fold replay") {
+    val (a, b, g, m) = (analytics.Series.HwAlpha, analytics.Series.HwBeta,
+      analytics.Series.HwGamma, analytics.Series.HwSeason)
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+    val got = analytics.Series.holtWinters(spark, sf).collect()
+    got.foreach { r =>
+      val t = r.getString(0)
+      val ds = daily.filter(_._1 == t)
+      val d0 = ds.map(_._2).min; val d1 = ds.map(_._2).max
+      val byDay = ds.map(x => x._2 -> x._3).toMap
+      val vs = (d0 to d1).map(d => byDay.getOrElse(d, 0L).toDouble).toArray
+      var l = vs(0); var bb = 0.0; val s = Array.fill(m)(0.0)
+      for (j <- 2 to vs.length) {
+        val v = vs(j - 1); val i = (j - 1) % m
+        val lN = a * (v - s(i)) + (1 - a) * (l + bb)
+        val bN = b * (lN - l) + (1 - b) * bb
+        s(i) = g * (v - lN) + (1 - g) * s(i)
+        l = lN; bb = bN
+      }
+      val n = vs.length
+      assert(r.getLong(1) == n.toLong, s"$t n_days")
+      assert(math.abs(r.getDouble(2) - l) < 1e-4 + 1e-9, s"$t level")
+      assert(math.abs(r.getDouble(3) - bb) < 1e-4 + 1e-9, s"$t trend")
+      assert(math.abs(r.getDouble(4) - (s.max - s.min)) < 1e-4 + 1e-9,
+        s"$t amplitude")
+      assert(math.abs(r.getDouble(5) - (l + bb + s(n % m))) < 1e-4 + 1e-9,
+        s"$t forecast_1")
+      assert(math.abs(r.getDouble(6) - (l + 7.0 * bb + s((n + 6) % m)))
+        < 1e-4 + 1e-9, s"$t forecast_7")
+    }
+  }
+
   // ---- time_split_embargo ----------------------------------------------
 
   test("time_split_embargo: brute assignment; train never touches b1") {
