@@ -677,11 +677,188 @@ object InvariantCheck {
     Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9)
   }
 
+  /** Round-8 operators: conservation/bound/cross-path invariants for
+    * the layout planners, winnow dedup, quantile normalization, the
+    * embargoed time split, the mix-shift bridge, RRF fusion, the
+    * silhouette, Nelson–Aalen, and seq_patterns — each a few linear
+    * passes, no oracle replay needed. */
+  def checkRound8(spark: SparkSession, dir: String): Seq[Res] = {
+    val docs = graft.Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val sumChars = docs.agg(sum("n_chars")).head().getLong(0)
+    val maxChars = docs.agg(max("n_chars")).head().getLong(0)
+
+    // shard_plan: conservation, contiguous shard ids, size bound
+    val sp = graft.etl.Layout.shardPlan(spark, dir).cache()
+    val r1 = res("shard_conservation",
+      math.abs(sp.agg(sum("n_docs")).head().getLong(0) - nDocs) +
+        math.abs(sp.agg(sum("chars")).head().getLong(0) - sumChars),
+      s"$nDocs docs / $sumChars chars partitioned")
+    val contigBad = sp.groupBy("source")
+      .agg(min("shard_id").as("mn"), max("shard_id").as("mx"),
+        count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0L || col("mx") =!= col("n") - 1).count()
+    val r2 = res("shard_contiguous", contigBad, "shard ids are 0..n-1 per source")
+    val sizeBad = sp.filter(
+      col("chars") > graft.etl.Layout.ShardTargetChars + maxChars - 1).count()
+    val r3 = res("shard_size_bound", sizeBad,
+      s"every shard <= target+maxdoc-1 chars (max doc $maxChars)")
+    sp.unpersist()
+
+    // salt_plan: conservation + post-salt cap
+    val ev = graft.Tables.events(spark, dir)
+    val nEv = ev.count()
+    val salt = graft.etl.Layout.saltPlan(spark, dir).collect()
+    val t = graft.etl.Layout.SaltTargetRows
+    val r4 = res("salt_conservation",
+      math.abs(salt.map(_.getLong(1)).sum - nEv), s"$nEv event rows")
+    val r5 = res("salt_cap", salt.count { r =>
+      r.getLong(3) > t || r.getLong(2) != (r.getLong(1) + t - 1) / t
+    }.toLong, s"ceil factors cap partitions at $t rows")
+
+    // encoding_stats: per-column totals + runs bounds
+    val li = graft.Tables.lineitem(spark, dir)
+    val nLi = li.count()
+    val enc = graft.etl.Layout.encodingStats(spark, dir).collect()
+    val r6 = res("encoding_rows", enc.count(_.getLong(1) != nLi).toLong,
+      s"all columns scanned $nLi rows")
+    val r7 = res("encoding_runs_bounds", enc.count { r =>
+      r.getLong(3) < r.getLong(2) || r.getLong(3) > r.getLong(1)
+    }.toLong, "n_distinct <= n_runs <= n_rows per column")
+
+    // dedup_winnow: pair recount through an independent path
+    val pairs = graft.dedup.Winnow.dedupWinnow(spark, dir).cache()
+    val fpsAll = graft.dedup.Winnow.fingerprintsOf(docs)
+      .select("doc_id", "h").distinct()
+    // same df-capped definition, different recount path (set join)
+    val fps = fpsAll.join(
+      fpsAll.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 &&
+          col("df") <= graft.dedup.Winnow.WinnowDfCap).select("h"),
+      Seq("h"))
+    val sideA = pairs.select(col("doc_a").as("doc_id"), col("doc_b"))
+      .join(fps, "doc_id")
+      .select(col("doc_id").as("doc_a"), col("doc_b"), col("h"))
+    val recount = sideA.join(
+        fps.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n2"))
+    val winBad = pairs.join(recount, Seq("doc_a", "doc_b"), "left")
+      .filter(col("n_shared") =!= coalesce(col("n2"), lit(0L))).count()
+    val r8 = res("winnow_pair_recount", winBad,
+      "n_shared = |A intersect B| recomputed by set join (df cap applies " +
+        "only to evidence, so recount >= n_shared; equality checked on " +
+        "capped hashes)")
+    val ordBad = pairs.filter(col("doc_a") >= col("doc_b") ||
+      col("n_shared") < graft.dedup.Winnow.WinnowMinShared ||
+      col("jaccard") <= 0.0 || col("jaccard") > 1.0).count()
+    val r9 = res("winnow_pair_shape", ordBad,
+      "a<b, n_shared >= min, jaccard in (0,1]")
+    pairs.unpersist()
+
+    // quantile_normalize: conservation + per-source monotone mapping
+    val qn = graft.pipeline.Normalize.quantileNormalize(spark, dir).cache()
+    val r10 = res("qnorm_conservation",
+      math.abs(qn.agg(sum("n_rows")).head().getLong(0) - nDocs),
+      s"value rows cover all $nDocs docs")
+    val w = Window.partitionBy("source").orderBy("value")
+    val monoBad = qn.withColumn("prev", lag("q_value", 1).over(w))
+      .filter(col("prev").isNotNull && col("q_value") < col("prev")).count()
+    val r11 = res("qnorm_monotone", monoBad, "q_value nondecreasing per source")
+    val maxBad = qn.withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("value"))))
+      .filter(col("rk") === 1)
+      .crossJoin(broadcast(docs.agg(max("n_chars").as("mx"))))
+      .filter(col("q_value") =!= col("mx")).count()
+    val r12 = res("qnorm_max_maps_to_max", maxBad,
+      "each source's top value maps to the pooled maximum")
+    qn.unpersist()
+
+    // time_split_embargo: census partitions the event stream
+    val tse = graft.pipeline.Splits.timeSplitEmbargo(spark, dir).collect()
+    val r13 = res("embargo_partition",
+      math.abs(tse.map(_.getLong(2)).sum - nEv), s"$nEv events bucketed")
+    val names = Set("train", "purged", "embargo", "val", "test")
+    val r14 = res("embargo_buckets",
+      tse.count(r => !names.contains(r.getString(0))).toLong,
+      "bucket names from the 5-way census")
+
+    // mix_shift: the bridge + order conservation
+    val nOrders = graft.Tables.orders(spark, dir).count()
+    val ms = graft.analytics.MixShift.mixShift(spark, dir).collect()
+    val r15 = res("mixshift_conservation",
+      math.abs(ms.map(r => r.getLong(1) + r.getLong(2)).sum - nOrders),
+      s"$nOrders orders in cells")
+    val r16 = res("mixshift_bridge", ms.count { r =>
+      math.abs(r.getDouble(6) + r.getDouble(7) - r.getDouble(5)) > 1e-3
+    }.toLong, "volume + rate = delta per segment")
+
+    // rank_fusion: shape + score bounds
+    val rf = graft.ann.Fusion.rankFusion(spark, dir).collect()
+    val maxRrf = 2.0 / (graft.ann.Fusion.RrfK + 1)
+    val r17 = res("fusion_bounds", rf.count { r =>
+      // +5e-7: rrf is reported on the 6 dp grid, which can round the
+      // exact bound 2/(k+1) up by half a grid step
+      r.getDouble(3) <= 0.0 || r.getDouble(3) > maxRrf + 5e-7
+    }.toLong, s"0 < rrf <= $maxRrf (+6dp slack)")
+    val r18 = res("fusion_topk", rf.groupBy(_.getLong(0)).count {
+      case (_, rows) => rows.length != graft.ann.Fusion.FuseTopK ||
+        rows.map(_.getLong(2)).distinct.length != rows.length
+    }.toLong, s"${graft.ann.Fusion.FuseTopK} distinct docs per query")
+
+    // cluster_silhouette: conservation + range
+    val nVecs = graft.Tables.embeddings(spark, dir).count()
+    val sil = graft.ann.Silhouette.clusterSilhouette(spark, dir).collect()
+    val r19 = res("silhouette_conservation",
+      math.abs(sil.map(_.getLong(1)).sum - nVecs), s"$nVecs vectors")
+    val r20 = res("silhouette_range", sil.count { r =>
+      r.getDouble(2) < 0.0 || r.getDouble(2) > 1.0
+    }.toLong, "mean silhouette in [0,1] (argmax assignment floor)")
+
+    // nelson_aalen: telescoping risk sets + monotonicity
+    val na = graft.analytics.Survival.nelsonAalen(spark, dir).collect()
+    val teleBad = na.sliding(2).count {
+      case Array(a, b) =>
+        a.getLong(1) - b.getLong(1) != a.getLong(2) + a.getLong(3)
+      case _ => false
+    }.toLong
+    val r21 = res("na_risk_telescopes", teleBad,
+      "n_risk(t) - n_risk(next) = exits(t)")
+    val monoNa = na.sliding(2).count {
+      case Array(a, b) => b.getDouble(4) < a.getDouble(4) - 1e-9 ||
+        b.getDouble(5) > a.getDouble(5) + 1e-9
+      case _ => false
+    }.toLong
+    val r22 = res("na_monotone", monoNa,
+      "hazard nondecreasing, Breslow survival nonincreasing")
+
+    // seq_patterns: share denominator from an independent session count
+    val sq = graft.analytics.Sequences.seqPatterns(spark, dir).collect()
+    val gapSec = graft.streaming.Streaming.SessionGapMinutes * 60L
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val totTri = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("ns", when(lag(col("ts"), 1).over(byUser).isNull ||
+        col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")
+          > gapSec, 1L).otherwise(0L))
+      .withColumn("sid", sum("ns").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid").agg(count(lit(1)).as("n"))
+      .agg(sum(greatest(col("n") - 2L, lit(0L)))).head().getLong(0)
+    val seqBad = sq.count { r =>
+      math.abs(r.getDouble(3) - r.getLong(2).toDouble / totTri) > 1e-5
+    }.toLong
+    val r23 = res("seq_share_denominator", seqBad,
+      s"shares divide by $totTri session trigram slots")
+
+    Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14,
+      r15, r16, r17, r18, r19, r20, r21, r22, r23)
+  }
+
   def runAll(spark: SparkSession, dir: String): Seq[Res] =
     checkClusters(spark, dir) ++ checkIvf(spark, dir) ++ checkBpe(spark, dir) ++
       checkSemantic(spark, dir) ++ checkGraph(spark, dir) ++
       checkBitext(spark, dir) ++ checkIvfPq(spark, dir) ++ checkBfs(spark, dir) ++
-      checkKcore(spark, dir) ++ checkGrowth(spark, dir)
+      checkKcore(spark, dir) ++ checkGrowth(spark, dir) ++ checkRound8(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata/sf1")

@@ -68,4 +68,8 @@ class InvariantSpec extends AnyFunSuite {
   test("growth/sweep/concentration conservation laws hold") {
     assertAll(InvariantCheck.checkGrowth(spark, sf))
   }
+
+  test("round-8 layout/dedup/normalize/split invariants hold") {
+    assertAll(InvariantCheck.checkRound8(spark, sf))
+  }
 }
