@@ -84,6 +84,10 @@ object Winnow {
       .filter(col("p") <= greatest(col("n_grams") - lit(WinnowW - 1).cast("long"), lit(1L)))
       .select(col("doc_id"), col("sel_p").as("p"))
       .distinct()
+      // the selected-positions frame is ~2/(w+1) of gram volume —
+      // data-proportional, so small-SF stats must not broadcast it
+      // (the §6 round-5 trap class); hash-join with it as build side
+      .hint("shuffle_hash")
       .join(grams.select("doc_id", "p", "h"), Seq("doc_id", "p"))
   }
 
@@ -113,10 +117,12 @@ object Winnow {
     val fp = fingerprints(spark, dir)
       .select("doc_id", "h").distinct()
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    // the df-capped key set is vocabulary-proportional — pinned like
+    // the selected-positions frame above
     val capped = fp.join(
       fp.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= WinnowDfCap)
-        .select("h"),
+        .select("h").hint("shuffle_hash"),
       Seq("h"))
     val pairs = capped.as("a")
       .join(capped.as("b").hint("shuffle_hash"), Seq("h"))
