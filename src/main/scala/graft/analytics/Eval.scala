@@ -582,4 +582,96 @@ object Eval {
        |  round(sum(ece_term) OVER (PARTITION BY n_total), 6) AS ece
        |FROM e ORDER BY bin""".stripMargin
   }
+
+  /** §2.289 `lift_table`: cumulative gains / lift deciles of the §2.29
+    * quality score as an English-document classifier — the targeting
+    * view the §2.203 AUC compresses to one number ("if we only take
+    * the top 10/20/…% by score, what share of the positives do we
+    * capture, and at what multiple of the base rate?"), the table a
+    * corpus-selection budget decision actually reads.
+    *
+    * Scale shape: the §2.203 trick verbatim — the 4 dp score grid
+    * bounds the cell frame at ≤10⁴ rows whatever the corpus, ONE
+    * map-side-combined groupBy collapses the scan, and the decile
+    * assignment/cumulatives are windows over the bounded frame (no
+    * data-sized global sort).
+    *
+    * Determinism: decile boundaries by INTEGER floor-division of
+    * exact counts (cum·10 div total, capped at 9 — cells straddling a
+    * boundary go to their starting decile); every rate/lift is a
+    * fixed-sequence division of exact integers, rounded 6 dp. */
+  def liftTable(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.text.TextQueries.qualityFrame(Tables.documents(spark, dir))
+      .select((round(col("quality_score") * 10000) / 10000.0).as("s"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val cells = f.groupBy("s").agg(
+      count(lit(1)).as("cn"), sum("y").as("cp"))
+    val wCum = Window.orderBy(desc("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    val dec = cells
+      .withColumn("cum_above", sum("cn").over(wCum) - col("cn"))
+      .withColumn("total", sum("cn").over(wAll))
+      .withColumn("decile",
+        least(expr("cum_above * 10 div total"), lit(9L)) + 1)
+      .groupBy("decile").agg(sum("cn").as("n"), sum("cp").as("n_pos"))
+    val wDec = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(lit(1))
+    def d(c: Column) = c.cast("double")
+    val out = dec
+      .withColumn("cum_n", sum("n").over(wDec))
+      .withColumn("cum_pos", sum("n_pos").over(wDec))
+      .withColumn("tot", sum("n").over(wTot))
+      .withColumn("tot_pos", sum("n_pos").over(wTot))
+    val base = d(col("tot_pos")) / d(col("tot"))
+    out.select(col("decile"), col("n"), col("n_pos"),
+      round(d(col("n_pos")) / d(col("n")), 6).as("response_rate"),
+      round((d(col("n_pos")) / d(col("n"))) / base, 6).as("lift"),
+      round(d(col("cum_pos")) / d(col("tot_pos")), 6).as("cum_capture"),
+      round((d(col("cum_pos")) / d(col("cum_n"))) / base, 6).as("cum_lift"))
+      .orderBy("decile")
+  }
+
+  val liftTableSql: String = {
+    import graft.text.TextQueries.stopListSql
+    s"""WITH f AS (SELECT
+       |    round(round(0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text))
+       |      + 0.4 * (1.0 - abs(len(list_filter(_toks, t -> t IN ($stopListSql))) / n_tokens - 0.3))
+       |      + 0.2 * least(1.0, n_tokens / 100.0), 6) * 10000) / 10000.0 AS s,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT lang, text, string_split_regex(trim(text), '\\s+') AS _toks,
+       |          CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens
+       |        FROM documents) t),
+       |cells AS (SELECT s, count(*) AS cn, CAST(sum(y) AS BIGINT) AS cp
+       |  FROM f GROUP BY s),
+       |marked AS (SELECT cn, cp,
+       |    CAST(sum(cn) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - cn AS BIGINT) AS cum_above,
+       |    CAST(sum(cn) OVER () AS BIGINT) AS total
+       |  FROM cells),
+       |dec AS (SELECT least(cum_above * 10 // total, 9) + 1 AS decile,
+       |    CAST(sum(cn) AS BIGINT) AS n, CAST(sum(cp) AS BIGINT) AS n_pos
+       |  FROM marked GROUP BY 1),
+       |cum AS (SELECT decile, n, n_pos,
+       |    CAST(sum(n) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_n,
+       |    CAST(sum(n_pos) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_pos,
+       |    CAST(sum(n) OVER () AS BIGINT) AS tot,
+       |    CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+       |  FROM dec)
+       |SELECT decile, n, n_pos,
+       |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS response_rate,
+       |  round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+       |    / (CAST(tot_pos AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS lift,
+       |  round(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 6)
+       |    AS cum_capture,
+       |  round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+       |    / (CAST(tot_pos AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS cum_lift
+       |FROM cum ORDER BY decile""".stripMargin
+  }
 }

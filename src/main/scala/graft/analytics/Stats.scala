@@ -642,4 +642,125 @@ object Stats {
       |  round(CAST(rev_cents AS DOUBLE) / total_cents, 6) AS share,
       |  round(CAST(cum_cents AS DOUBLE) / total_cents, 6) AS cum_share
       |FROM cum ORDER BY decile""".stripMargin
+
+  /** §2.288 `cuped_adjust`: CUPED variance reduction (Deng et al.
+    * WSDM'13) on the experiment the §2.208/228 tests analyze raw —
+    * each user's POST-period spend adjusted by their own PRE-period
+    * spend, the covariate an experiment platform always has and the
+    * single highest-leverage sensitivity win at 100 TB scale (same
+    * traffic, tighter CI): Ŷᵢ = Yᵢ − θ(Xᵢ − X̄) with θ = cov(X,Y)/var(X)
+    * POOLED across arms (arm-blind, so the adjustment cannot inject
+    * bias), periods split at the §2.254 floored calendar midpoint and
+    * arms by the §2.170 parity rule.
+    *
+    * Scale shape: one user-grain aggregate (the only corpus shuffle)
+    * → per-user (arm, x_cents, y_cents) → ONE map-side-combined pass
+    * computes the pooled moments AND both arm subtotals; everything
+    * after is fixed arithmetic on a 1-row frame.
+    *
+    * Determinism: x/y are exact integer cents, the cross moments
+    * Σxy/Σx²/Σy² exact DECIMAL(38,0)/HUGEINT (the §2.228 convention);
+    * θ, r², and the adjusted means are fixed-sequence float
+    * expressions over those identical integers, with the zero-variance
+    * degenerate gated by an INTEGER comparison (the §2.247 pattern).
+    * var_reduction = r²(X,Y): the CUPED identity var(Ŷ) = var(Y)(1−r²). */
+  def cupedAdjust(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val mid = ev.agg(min("day").as("d0"),
+      floor(datediff(max("day"), min("day")) / 2).cast("int").as("half"))
+    val users = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id").agg(
+        sum(when(datediff(col("day"), col("d0")) < col("half"),
+          col("cents")).otherwise(0L)).as("x"),
+        sum(when(datediff(col("day"), col("d0")) >= col("half"),
+          col("cents")).otherwise(0L)).as("y"))
+      .withColumn("arm", when(col("user_id") % 2 === 0, "A").otherwise("B"))
+    val one = users.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum((col("x").cast(dec) * col("x").cast(dec)).cast(dec)).as("sxx"),
+      sum((col("x").cast(dec) * col("y").cast(dec)).cast(dec)).as("sxy"),
+      sum((col("y").cast(dec) * col("y").cast(dec)).cast(dec)).as("syy"),
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "A", col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("arm") === "A", col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "B", col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(col("arm") === "B", col("y")).otherwise(0L)).as("sy_b"))
+    def d(c: String) = col(c).cast("double")
+    // centered moments ×n (exact-integer numerators kept as one
+    // double expression each; both engines evaluate the same sequence)
+    val cxy = d("sxy") - d("sx") * d("sy") / col("n")
+    val cxx = d("sxx") - d("sx") * d("sx") / col("n")
+    val cyy = d("syy") - d("sy") * d("sy") / col("n")
+    // integer-exact degenerate gate: var(X) == 0 iff n·Σx² == (Σx)²
+    val degen = (col("sxx").cast(dec) * col("n").cast(dec)) ===
+      (col("sx").cast(dec) * col("sx").cast(dec))
+    val theta = when(degen, lit(0.0)).otherwise(cxy / cxx)
+    val r2 = when(degen, lit(0.0)).otherwise(cxy * cxy / (cxx * cyy))
+    def meanD(s: String, nn: String) = d(s) / 100.0 / col(nn)
+    val adjA = (d("sy_a") / col("n_a") -
+      theta * (d("sx_a") / col("n_a") - d("sx") / col("n"))) / 100.0
+    val adjB = (d("sy_b") / col("n_b") -
+      theta * (d("sx_b") / col("n_b") - d("sx") / col("n"))) / 100.0
+    one.select(
+      col("n_a"), col("n_b"),
+      round(meanD("sy_a", "n_a"), 6).as("mean_a"),
+      round(meanD("sy_b", "n_b"), 6).as("mean_b"),
+      round(theta, 6).as("theta"),
+      round(r2, 6).as("var_reduction"),
+      round(adjA, 6).as("adj_mean_a"),
+      round(adjB, 6).as("adj_mean_b"),
+      round(meanD("sy_a", "n_a") - meanD("sy_b", "n_b"), 6).as("diff_raw"),
+      round(adjA - adjB, 6).as("diff_adj"))
+  }
+
+  val cupedAdjustSql: String = {
+    val cxy = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)"
+    val cxx = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)"
+    val cyy = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)"
+    val degen = "(sxx * CAST(n AS HUGEINT) = CAST(sx AS HUGEINT) * sx)"
+    val theta = s"(CASE WHEN $degen THEN 0.0 ELSE $cxy / $cxx END)"
+    val r2 = s"(CASE WHEN $degen THEN 0.0 ELSE $cxy * $cxy / ($cxx * $cyy) END)"
+    val adjA = s"((CAST(sy_a AS DOUBLE) / n_a - $theta * " +
+      "(CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n)) / 100.0)"
+    val adjB = s"((CAST(sy_b AS DOUBLE) / n_b - $theta * " +
+      "(CAST(sx_b AS DOUBLE) / n_b - CAST(sx AS DOUBLE) / n)) / 100.0)"
+    s"""WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+       |mid AS (SELECT min(day) AS d0,
+       |    CAST((max(day) - min(day)) // 2 AS INTEGER) AS half FROM ev),
+       |users AS (SELECT user_id,
+       |    CAST(sum(CASE WHEN (day - d0) < half THEN cents ELSE 0 END)
+       |      AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN (day - d0) >= half THEN cents ELSE 0 END)
+       |      AS BIGINT) AS y,
+       |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+       |  FROM ev CROSS JOIN mid GROUP BY user_id),
+       |one AS (SELECT count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy,
+       |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+       |    CAST(sum(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+       |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN arm = 'B' THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+       |    CAST(sum(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS BIGINT) AS sy_b
+       |  FROM users)
+       |SELECT n_a, n_b,
+       |  round(CAST(sy_a AS DOUBLE) / 100.0 / n_a, 6) AS mean_a,
+       |  round(CAST(sy_b AS DOUBLE) / 100.0 / n_b, 6) AS mean_b,
+       |  round($theta, 6) AS theta,
+       |  round($r2, 6) AS var_reduction,
+       |  round($adjA, 6) AS adj_mean_a,
+       |  round($adjB, 6) AS adj_mean_b,
+       |  round(CAST(sy_a AS DOUBLE) / 100.0 / n_a
+       |    - CAST(sy_b AS DOUBLE) / 100.0 / n_b, 6) AS diff_raw,
+       |  round($adjA - $adjB, 6) AS diff_adj
+       |FROM one""".stripMargin
+  }
 }

@@ -212,4 +212,147 @@ object Layout {
        |    ELSE 'PLAIN' END AS encoding
        |FROM percol""".stripMargin
   }
+
+  /** Bits per distinct key for a 1% false-positive bloom filter:
+    * ln(1/p)/ln²2 at p = 0.01, inlined as the SAME literal on both
+    * engines (no live libm — the §2.95 convention). The matching
+    * optimal hash count k = round((bits/n)·ln 2) is the CONSTANT 7
+    * at this p, inlined likewise. */
+  val BloomBitsPerKey = 9.58505837736744
+  val BloomHashes = 7L
+
+  /** Dictionary-page cutoff for [[bloomPlan]]: at or below this many
+    * distinct values a parquet dictionary page already answers point
+    * lookups (and row-group dictionary filtering prunes), so a bloom
+    * filter spends bytes for nothing. */
+  val BloomDictCutoff = 4096L
+
+  /** §2.291 `bloom_plan`: parquet bloom-filter sizing advisor for the
+    * lineitem point-lookup keys — per candidate column, the exact
+    * distinct-key count, the filter size (bits/bytes) a 1% FPP bloom
+    * needs at that cardinality, and the recommendation (columns under
+    * [[BloomDictCutoff]] distincts get 'dict' — the dictionary page
+    * already prunes). The write-path twin of §2.118's READ-side bloom
+    * prefilter: at 100 TB the decision "which columns carry blooms,
+    * at what size" is made once per layout, from exactly this frame.
+    *
+    * Scale shape: one stack projection → (col, value)-grain map-side
+    * combined groupBy → col-grain re-aggregate; the reduce side is
+    * bounded by Σ ndv, the plan frame by the column count. No
+    * count(DISTINCT) expand, no per-column scans.
+    *
+    * Determinism: counts exact integers; bits = ceil(ndv · literal)
+    * is ONE product of an exact integer by a shared literal (the
+    * engines cannot disagree); bytes/k all-integer from there. */
+  def bloomPlan(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .select(expr("stack(3, 'l_orderkey', l_orderkey, " +
+        "'l_partkey', l_partkey, 'l_suppkey', l_suppkey)")
+        .as(Seq("col_name", "v")))
+      .groupBy("col_name", "v").agg(count(lit(1)).as("c"))
+    cells.groupBy("col_name").agg(
+      sum("c").as("n_rows"), count(lit(1)).as("n_distinct"))
+      .withColumn("bloom_bits",
+        ceil(col("n_distinct") * lit(BloomBitsPerKey)).cast("long"))
+      .withColumn("bloom_bytes", expr("(bloom_bits + 7) div 8"))
+      .withColumn("k_hashes", lit(BloomHashes))
+      .withColumn("recommend",
+        when(col("n_distinct") <= BloomDictCutoff, "dict")
+          .otherwise("bloom"))
+      .orderBy("col_name")
+  }
+
+  val bloomPlanSql: String =
+    s"""WITH cells AS (SELECT col_name, v, count(*) AS c FROM (
+       |    SELECT 'l_orderkey' AS col_name, l_orderkey AS v FROM lineitem
+       |    UNION ALL
+       |    SELECT 'l_partkey' AS col_name, l_partkey AS v FROM lineitem
+       |    UNION ALL
+       |    SELECT 'l_suppkey' AS col_name, l_suppkey AS v FROM lineitem) t
+       |  GROUP BY 1, 2),
+       |agg AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+       |    count(*) AS n_distinct
+       |  FROM cells GROUP BY 1)
+       |SELECT col_name, n_rows, n_distinct,
+       |  CAST(ceil(n_distinct * $BloomBitsPerKey) AS BIGINT) AS bloom_bits,
+       |  (CAST(ceil(n_distinct * $BloomBitsPerKey) AS BIGINT) + 7) // 8
+       |    AS bloom_bytes,
+       |  CAST($BloomHashes AS BIGINT) AS k_hashes,
+       |  CASE WHEN n_distinct <= $BloomDictCutoff THEN 'dict'
+       |    ELSE 'bloom' END AS recommend
+       |FROM agg ORDER BY col_name""".stripMargin
+
+  /** Partition-count guard rails for [[partitionPlan]]: a Hive-style
+    * partition column wants enough partitions to prune usefully but
+    * not so many that the metastore and small files drown the win,
+    * and no single partition holding most of the table. */
+  val PartMinParts = 8L
+  val PartMaxParts = 10000L
+
+  /** §2.292 `partition_plan`: Hive-partition-column advisor — for
+    * each candidate (documents.source, documents.lang,
+    * events.event_type, orders by month), the partition count, row
+    * balance (max/min/share-of-largest), and the verdict:
+    * 'too_coarse' (< [[PartMinParts]] partitions — pruning buys
+    * little), 'too_fine' (> [[PartMaxParts]] — metastore/small-file
+    * explosion), 'skewed' (largest partition holds > half the rows —
+    * a hot partition nullifies pruning AND breaks task balance), else
+    * 'ok'. §2.275 sizes files WITHIN a layout; this op picks the
+    * directory key the layout hangs on — the decision a 100 TB lake
+    * makes exactly once, with this table in front of it.
+    *
+    * Scale shape: per candidate ONE value-grain map-side-combined
+    * groupBy, then a candidate-grain re-aggregate; the union of the
+    * four 1-row reports is the output. All counts exact integers;
+    * max_share is the single final division, rounded 6 dp. */
+  def partitionPlan(spark: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, cand: String, keyCol: Column): DataFrame =
+      df.select(keyCol.cast("string").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_partitions"), sum("c").as("n_rows"),
+          max("c").as("max_rows"), min("c").as("min_rows"))
+        .select(lit(cand).as("candidate"), col("n_partitions"),
+          col("n_rows"), col("max_rows"), col("min_rows"))
+    val docs = Tables.documents(spark, dir)
+    val reports =
+      audit(docs, "documents.source", col("source"))
+        .unionAll(audit(docs, "documents.lang", col("lang")))
+        .unionAll(audit(Tables.events(spark, dir), "events.event_type",
+          col("event_type")))
+        .unionAll(audit(Tables.orders(spark, dir), "orders.o_month",
+          date_format(col("o_orderdate"), "yyyy-MM")))
+    reports
+      .withColumn("max_share",
+        round(col("max_rows").cast("double") / col("n_rows"), 6))
+      .withColumn("verdict",
+        when(col("n_partitions") < PartMinParts, "too_coarse")
+          .when(col("n_partitions") > PartMaxParts, "too_fine")
+          .when(col("max_rows") * 2 > col("n_rows"), "skewed")
+          .otherwise("ok"))
+      .orderBy("candidate")
+  }
+
+  val partitionPlanSql: String = {
+    def audit(table: String, cand: String, keyExpr: String): String =
+      s"""SELECT '$cand' AS candidate, count(*) AS n_partitions,
+         |  CAST(sum(c) AS BIGINT) AS n_rows,
+         |  CAST(max(c) AS BIGINT) AS max_rows,
+         |  CAST(min(c) AS BIGINT) AS min_rows
+         |FROM (SELECT CAST($keyExpr AS VARCHAR) AS k, count(*) AS c
+         |      FROM $table GROUP BY 1) cells""".stripMargin
+    val union = Seq(
+      audit("documents", "documents.source", "source"),
+      audit("documents", "documents.lang", "lang"),
+      audit("events", "events.event_type", "event_type"),
+      audit("orders", "orders.o_month",
+        "strftime(o_orderdate, '%Y-%m')")).mkString("\nUNION ALL\n")
+    s"""WITH reports AS ($union)
+       |SELECT candidate, n_partitions, n_rows, max_rows, min_rows,
+       |  round(CAST(max_rows AS DOUBLE) / n_rows, 6) AS max_share,
+       |  CASE WHEN n_partitions < $PartMinParts THEN 'too_coarse'
+       |    WHEN n_partitions > $PartMaxParts THEN 'too_fine'
+       |    WHEN max_rows * 2 > n_rows THEN 'skewed'
+       |    ELSE 'ok' END AS verdict
+       |FROM reports ORDER BY candidate""".stripMargin
+  }
 }

@@ -707,4 +707,63 @@ object Graph {
        |FROM a$HitsIters, na
        |ORDER BY authority DESC, item LIMIT 20""".stripMargin
   }
+
+  /** §2.290 `graph_clustering`: degree-binned local clustering
+    * coefficients + per-bin transitivity over the §2.148 item-item
+    * projection — the small-world diagnostic ("does clustering decay
+    * with degree?") and the global-structure number (transitivity =
+    * closed wedges / wedges) that one scalar triangle count can't
+    * separate: a graph can be triangle-rich at hubs and tree-like at
+    * the fringe, and corpus-graph sampling decisions (§2.146's
+    * label-propagation communities, §2.159's cluster splits) depend
+    * on which.
+    *
+    * Builds directly on §2.148's per-node (item, deg, triangles)
+    * output — the oriented-wedge O(m^{3/2}) bound carries over, and
+    * the binning pass is node-sized. Degree bins are powers of two
+    * computed by INTEGER string-length-of-binary (length(bin(deg))−1
+    * on BOTH engines — no libm log2, whose ulp error flips floor at
+    * exact powers).
+    *
+    * Determinism: wedge counts deg·(deg−1)/2 are exact integers
+    * (the product is always even); per-node cc = 2·tri/(deg·(deg−1))
+    * converts to integer micro-units BEFORE the per-bin sum (the
+    * §2.285 cents pattern — no cross-row float sum); transitivity is
+    * one division of two exact per-bin integers. */
+  def graphClustering(spark: SparkSession, dir: String): DataFrame = {
+    val base = triangles(spark, dir) // (item, deg, triangles), node-sized
+    val binned = base
+      .withColumn("bin", (length(expr("bin(deg)")) - 1).cast("long"))
+      .withColumn("wedges", expr("deg * (deg - 1) div 2"))
+      .withColumn("micro", expr(
+        "CAST(round(CASE WHEN deg >= 2 THEN 2.0 * triangles / " +
+          "(deg * (deg - 1)) ELSE 0.0 END * 1000000) AS BIGINT)"))
+    binned.groupBy("bin").agg(
+      count(lit(1)).as("n_nodes"),
+      sum("wedges").cast("long").as("wedges"),
+      sum("triangles").as("tri_corners"),
+      round(sum("micro").cast("double") / count(lit(1)) / 1e6, 6)
+        .as("mean_local_cc"))
+      .withColumn("transitivity",
+        when(col("wedges") === 0L, lit(0.0)).otherwise(
+          round(col("tri_corners").cast("double") / col("wedges"), 6)))
+      .orderBy("bin")
+  }
+
+  val graphClusteringSql: String =
+    s"""WITH base AS ($trianglesSql),
+       |b AS (SELECT length(bin(deg)) - 1 AS bin,
+       |    deg * (deg - 1) // 2 AS wedges, triangles,
+       |    CAST(round(CASE WHEN deg >= 2 THEN 2.0 * triangles /
+       |      (deg * (deg - 1)) ELSE 0.0 END * 1000000) AS BIGINT) AS micro
+       |  FROM base)
+       |SELECT bin, count(*) AS n_nodes,
+       |  CAST(sum(wedges) AS BIGINT) AS wedges,
+       |  CAST(sum(triangles) AS BIGINT) AS tri_corners,
+       |  round(CAST(sum(micro) AS DOUBLE) / count(*) / 1e6, 6)
+       |    AS mean_local_cc,
+       |  CASE WHEN sum(wedges) = 0 THEN 0.0
+       |    ELSE round(CAST(sum(triangles) AS DOUBLE)
+       |      / CAST(sum(wedges) AS BIGINT), 6) END AS transitivity
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 }

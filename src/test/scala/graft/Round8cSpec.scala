@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Brute-force replays for the round-8 third-push operators:
+  * cuped_adjust, lift_table, graph_clustering, bloom_plan,
+  * partition_plan.
+  */
+class Round8cSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  test("cuped_adjust = brute per-user CUPED replay; identities hold") {
+    val sf = SparkTestSession.sf
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2)))
+    val d0 = ev.map(_._2).min
+    val half = (ev.map(_._2).max - d0) / 2 // floor: both positive
+    val users = ev.groupBy(_._1).map { case (u, rows) =>
+      val x = rows.filter(r => r._2 - d0 < half).map(_._3).sum
+      val y = rows.filter(r => r._2 - d0 >= half).map(_._3).sum
+      (u, x, y)
+    }.toSeq
+    val n = users.size.toLong
+    def bi(l: Long) = BigInt(l)
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val sxx = users.map(u => bi(u._2) * bi(u._2)).sum
+    val sxy = users.map(u => bi(u._2) * bi(u._3)).sum
+    val cxy = sxy.toDouble - sx.toDouble * sy.toDouble / n
+    val cxx = sxx.toDouble - sx.toDouble * sx.toDouble / n
+    val theta = cxy / cxx
+    val a = users.filter(_._1 % 2 == 0); val b = users.filter(_._1 % 2 != 0)
+    def adj(arm: Seq[(Long, Long, Long)]) =
+      (arm.map(_._3).sum.toDouble / arm.size -
+        theta * (arm.map(_._2).sum.toDouble / arm.size -
+          sx.toDouble / n)) / 100.0
+    val r = graft.analytics.Stats.cupedAdjust(spark, sf).collect().head
+    assert(r.getLong(0) == a.size && r.getLong(1) == b.size)
+    assert(math.abs(r.getDouble(4) - theta) < 1e-4, "theta")
+    assert(math.abs(r.getDouble(6) - adj(a)) < 1e-4, "adj_mean_a")
+    assert(math.abs(r.getDouble(7) - adj(b)) < 1e-4, "adj_mean_b")
+    // identities: var_reduction in [0,1); diff_adj = adjA - adjB
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
+    assert(math.abs(r.getDouble(9) - (r.getDouble(6) - r.getDouble(7)))
+      < 2e-6, "diff_adj bridge")
+  }
+
+  test("lift_table = brute decile replay; capture ends at 1, lift ~ base") {
+    val sf = SparkTestSession.sf
+    val cells = graft.text.TextQueries
+      .qualityFrame(Tables.documents(spark, sf))
+      .select((round(col("quality_score") * 10000) / 10000.0).as("s"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .groupBy("s").agg(count(lit(1)).as("cn"), sum("y").as("cp"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    val total = cells.map(_._2).sum
+    var cum = 0L
+    val byDec = cells.map { case (s, cn, cp) =>
+      val d = math.min(cum * 10 / total, 9L) + 1; cum += cn; (d, cn, cp)
+    }.groupBy(_._1).view.mapValues(g =>
+      (g.map(_._2).sum, g.map(_._3).sum)).toMap
+    val got = graft.analytics.Eval.liftTable(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet == byDec.keySet)
+    got.foreach { r =>
+      val (n, np) = byDec(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == np, s"decile ${r.getLong(0)}")
+    }
+    val last = got.maxBy(_.getLong(0))
+    assert(math.abs(last.getDouble(5) - 1.0) < 1e-9, "cum_capture ends at 1")
+    assert(math.abs(last.getDouble(6) - 1.0) < 1e-9, "final cum_lift = 1")
+    // response_rate must be non-trivial somewhere (score is informative)
+    assert(got.exists(r => r.getDouble(3) > 0.0))
+  }
+
+  test("graph_clustering = brute bin replay over triangles(); ranges hold") {
+    val sf = SparkTestSession.sf
+    val base = graft.graph.Graph.triangles(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (deg, triangles)
+    val byBin = base.groupBy { case (deg, _) =>
+      63 - java.lang.Long.numberOfLeadingZeros(deg) // floor(log2(deg))
+    }
+    val got = graft.graph.Graph.graphClustering(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet == byBin.keySet.map(_.toLong))
+    got.foreach { r =>
+      val g = byBin(r.getLong(0).toInt)
+      assert(r.getLong(1) == g.length.toLong, "n_nodes")
+      assert(r.getLong(2) == g.map { case (d, _) => d * (d - 1) / 2 }.sum,
+        "wedges")
+      assert(r.getLong(3) == g.map(_._2).sum, "tri_corners")
+      val micro = g.map { case (d, t) =>
+        if (d >= 2) math.round(2.0 * t / (d * (d - 1)) * 1e6) else 0L
+      }.sum
+      val mean = BigDecimal(micro.toDouble / g.length / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(4) - mean) < 1e-9, "mean_local_cc")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, "transitivity")
+    }
+  }
+
+  test("bloom_plan = brute ndv replay; sizing arithmetic exact") {
+    val sf = SparkTestSession.sf
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey").collect()
+    val nRows = li.length.toLong
+    val ndv = Map(
+      "l_orderkey" -> li.map(_.getLong(0)).distinct.length.toLong,
+      "l_partkey" -> li.map(_.getLong(1)).distinct.length.toLong,
+      "l_suppkey" -> li.map(_.getLong(2)).distinct.length.toLong)
+    val got = graft.etl.Layout.bloomPlan(spark, sf).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val c = r.getString(0)
+      assert(r.getLong(1) == nRows, s"$c n_rows")
+      assert(r.getLong(2) == ndv(c), s"$c ndv")
+      val bits = math.ceil(ndv(c) * graft.etl.Layout.BloomBitsPerKey).toLong
+      assert(r.getLong(3) == bits, s"$c bits")
+      assert(r.getLong(4) == (bits + 7) / 8, s"$c bytes")
+      assert(r.getLong(5) == 7L, s"$c k")
+      val want = if (ndv(c) <= graft.etl.Layout.BloomDictCutoff) "dict"
+        else "bloom"
+      assert(r.getString(6) == want, s"$c recommend")
+    }
+  }
+
+  test("partition_plan = brute candidate replay; verdict logic exact") {
+    val sf = SparkTestSession.sf
+    def counts(pairs: Seq[String]): (Long, Long, Long, Long) = {
+      val g = pairs.groupBy(identity).view.mapValues(_.size.toLong).values
+      (g.size.toLong, g.sum, g.max, g.min)
+    }
+    val docs = Tables.documents(spark, sf).select("source", "lang").collect()
+    val evs = Tables.events(spark, sf).select("event_type").collect()
+      .map(_.getString(0)).toSeq
+    val ords = Tables.orders(spark, sf).select(
+      date_format(col("o_orderdate"), "yyyy-MM")).collect()
+      .map(_.getString(0)).toSeq
+    val want = Map(
+      "documents.source" -> counts(docs.map(_.getString(0)).toSeq),
+      "documents.lang" -> counts(docs.map(_.getString(1)).toSeq),
+      "events.event_type" -> counts(evs),
+      "orders.o_month" -> counts(ords))
+    val got = graft.etl.Layout.partitionPlan(spark, sf).collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      val (np, nr, mx, mn) = want(r.getString(0))
+      assert(r.getLong(1) == np && r.getLong(2) == nr &&
+        r.getLong(3) == mx && r.getLong(4) == mn, r.getString(0))
+      val verdict =
+        if (np < graft.etl.Layout.PartMinParts) "too_coarse"
+        else if (np > graft.etl.Layout.PartMaxParts) "too_fine"
+        else if (mx * 2 > nr) "skewed" else "ok"
+      assert(r.getString(6) == verdict, s"${r.getString(0)} verdict")
+    }
+  }
+}
