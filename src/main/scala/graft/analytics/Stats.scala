@@ -717,6 +717,113 @@ object Stats {
       round(adjA - adjB, 6).as("diff_adj"))
   }
 
+  /** §2.295 `conformal_pi`: split-conformal prediction interval
+    * (Vovk; Lei et al.) around the §2.65-style OLS of line price on
+    * quantity — the distribution-free "how wrong is the model, with
+    * guarantees" wrapper a 100 TB scoring pipeline wants: a 90%
+    * interval that needs NO normality assumption, just exchangeable
+    * calibration data. Three disjoint folds by l_orderkey mod 3:
+    * fit (OLS moments), calibrate (the ⌈0.9(n+1)⌉-th order statistic
+    * of |residual| on a whole-dollar grid), evaluate (empirical coverage — the honest check
+    * the calibration fold can't give).
+    *
+    * Scale shape: TWO corpus scans — one for the fit moments (1-row
+    * broadcast back), one computing BOTH remaining folds' residual
+    * CELLS (cents grid, tagged by fold) — then the order statistic
+    * and coverage are windows/joins over bounded cell frames (the
+    * §2.203 gridded-rank trick; no data-sized sort for a quantile).
+    *
+    * Determinism: moments exact cents/DECIMAL(38,0) integers; α/β
+    * fixed-sequence doubles of those integers; residuals rounded to an
+    * integer DOLLAR grid per row (cents would leave ~10⁷ possible
+    * cells; dollars cap the rank window at ~10⁵ whatever the corpus); the rank index ⌈0.9(n+1)⌉ is
+    * all-integer ((9(n+1)+9) div 10); coverage one final division. */
+  def conformalPi(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(spark, dir).select(
+      (col("l_orderkey") % 3).as("g"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+    val m = li.filter(col("g") === 0).agg(
+      count(lit(1)).as("n_fit"), sum("x").as("sx"), sum("y").as("sy"),
+      sum((col("x").cast(dec) * col("y").cast(dec)).cast(dec)).as("sxy"),
+      sum((col("x").cast(dec) * col("x").cast(dec)).cast(dec)).as("sxx"))
+    def d(c: String) = col(c).cast("double")
+    val beta = (col("n_fit") * d("sxy") - d("sx") * d("sy")) /
+      (col("n_fit") * d("sxx") - d("sx") * d("sx"))
+    val ab = m.select(col("n_fit"), beta.as("beta"),
+      ((d("sy") - beta * d("sx")) / col("n_fit")).as("alpha"))
+    val cells = li.filter(col("g") =!= 0).crossJoin(broadcast(ab))
+      .select(col("g"), col("n_fit"), col("beta"), col("alpha"),
+        expr("CAST(round(abs(y - (alpha + beta * x)) / 100) AS BIGINT)")
+          .as("r"))
+      .groupBy("g", "n_fit", "beta", "alpha", "r")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("g").orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+    val calib = cells.filter(col("g") === 1)
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n_cal", sum("c").over(wAll))
+      .withColumn("q_rank", expr("(9 * (n_cal + 1) + 9) div 10"))
+      .filter(col("cum") >= col("q_rank"))
+      .groupBy("n_fit", "beta", "alpha", "n_cal")
+      .agg(min("r").as("q90_d"))
+    cells.filter(col("g") === 2).select("r", "c")
+      .crossJoin(broadcast(calib))
+      .groupBy("n_fit", "beta", "alpha", "n_cal", "q90_d")
+      .agg(sum("c").as("n_eval"),
+        sum(when(col("r") <= col("q90_d"), col("c")).otherwise(0L))
+          .as("n_cov"))
+      .select(col("n_fit"), col("n_cal"), col("n_eval"),
+        round(col("beta") / 100.0, 6).as("beta_dollars"),
+        round(col("alpha") / 100.0, 6).as("alpha_dollars"),
+        col("q90_d").cast("double").as("q90_dollars"),
+        round(col("n_cov").cast("double") / col("n_eval"), 6).as("coverage"))
+  }
+
+  val conformalPiSql: String = {
+    val beta = "((n_fit * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+      "CAST(sy AS DOUBLE)) / (n_fit * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+    s"""WITH li AS (SELECT l_orderkey % 3 AS g,
+       |    CAST(round(l_quantity) AS BIGINT) AS x,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+       |  FROM lineitem),
+       |m AS (SELECT count(*) AS n_fit,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM li WHERE g = 0),
+       |ab AS (SELECT n_fit, $beta AS beta,
+       |    (CAST(sy AS DOUBLE) - $beta * CAST(sx AS DOUBLE)) / n_fit
+       |      AS alpha
+       |  FROM m),
+       |cells AS (SELECT g, n_fit, beta, alpha,
+       |    CAST(round(abs(y - (alpha + beta * x)) / 100) AS BIGINT) AS r,
+       |    count(*) AS c
+       |  FROM li CROSS JOIN ab WHERE g <> 0 GROUP BY 1, 2, 3, 4, 5),
+       |calib AS (SELECT n_fit, beta, alpha, n_cal, min(r) AS q90_d
+       |  FROM (SELECT *,
+       |      CAST(sum(c) OVER (PARTITION BY g ORDER BY r
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |        AS BIGINT) AS cum,
+       |      CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n_cal
+       |    FROM cells WHERE g = 1) t
+       |  WHERE cum >= (9 * (n_cal + 1) + 9) // 10
+       |  GROUP BY 1, 2, 3, 4),
+       |ev AS (SELECT CAST(sum(c) AS BIGINT) AS n_eval,
+       |    CAST(sum(CASE WHEN r <= (SELECT q90_d FROM calib)
+       |      THEN c ELSE 0 END) AS BIGINT) AS n_cov
+       |  FROM cells WHERE g = 2)
+       |SELECT n_fit, n_cal, n_eval,
+       |  round(beta / 100.0, 6) AS beta_dollars,
+       |  round(alpha / 100.0, 6) AS alpha_dollars,
+       |  CAST(q90_d AS DOUBLE) AS q90_dollars,
+       |  round(CAST(n_cov AS DOUBLE) / n_eval, 6) AS coverage
+       |FROM calib CROSS JOIN ev""".stripMargin
+  }
+
   val cupedAdjustSql: String = {
     val cxy = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)"
     val cxx = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)"

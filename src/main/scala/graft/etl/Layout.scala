@@ -332,6 +332,108 @@ object Layout {
       .orderBy("candidate")
   }
 
+  /** n_chars predicate thresholds audited by [[pruneStats]] — spread
+    * across the corpus's length distribution (roughly the median, p75,
+    * p90 and the upper tail) so every row of the report carries a
+    * non-degenerate selectivity. */
+  val PruneThresholds: Seq[Long] = Seq(200L, 300L, 420L, 500L)
+
+  /** §2.293 `prune_stats`: min/max data-skipping effectiveness audit —
+    * the documents corpus packed into §2.275 shards under TWO layouts
+    * (natural doc_id order vs range-sorted by n_chars), then each
+    * `n_chars >= P` predicate in [[PruneThresholds]] replayed against
+    * the per-shard min/max footer stats: shards pruned, rows scanned,
+    * rows actually matching, scan efficiency. This MEASURES what
+    * §2.78's range-sorted write buys: on the natural layout every
+    * shard straddles the predicate (efficiency = selectivity); on the
+    * sorted layout the scan reads almost only matching rows — the
+    * number that justifies (or rejects) a 100 TB re-sort before
+    * anyone pays for it.
+    *
+    * Scale shape: two per-source sequential windows (one per layout —
+    * the §2.275 packing pass), shard-grain stats, a ×|thresholds|
+    * unpivot at SHARD grain, and a (layout, threshold)-grain report.
+    * All counts exact integers; efficiency is one division. */
+  def pruneStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    def packed(layout: String, ord: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy("source").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val aggs = Seq(count(lit(1)).as("n_docs"),
+        max("n_chars").as("max_chars")) ++
+        PruneThresholds.map(p =>
+          sum(when(col("n_chars") >= p, 1L).otherwise(0L)).as(s"m$p"))
+      base.withColumn("cum", sum("n_chars").over(w))
+        .withColumn("shard_id", expr(s"(cum - 1) div $ShardTargetChars"))
+        .groupBy("source", "shard_id").agg(aggs.head, aggs.tail: _*)
+        .withColumn("layout", lit(layout))
+    }
+    val shards = packed("natural", Seq(col("doc_id")))
+      .unionByName(packed("sorted_chars", Seq(col("n_chars"), col("doc_id"))))
+    val stackExpr = PruneThresholds
+      .map(p => s"${p}L, m$p").mkString(s"stack(${PruneThresholds.size}, ", ", ", ")")
+    shards
+      .select(col("layout"), col("n_docs"), col("max_chars"),
+        expr(stackExpr).as(Seq("threshold", "m")))
+      .groupBy("layout", "threshold").agg(
+        count(lit(1)).as("shards_total"),
+        sum(when(col("max_chars") < col("threshold"), 1L).otherwise(0L))
+          .as("shards_pruned"),
+        sum("n_docs").as("rows_total"),
+        sum(when(col("max_chars") >= col("threshold"), col("n_docs"))
+          .otherwise(0L)).as("rows_scanned"),
+        sum("m").as("rows_match"))
+      .withColumn("scan_efficiency",
+        when(col("rows_scanned") === 0L, lit(1.0)).otherwise(
+          round(col("rows_match").cast("double") / col("rows_scanned"), 6)))
+      .orderBy("layout", "threshold")
+  }
+
+  val pruneStatsSql: String = {
+    def layoutCte(name: String, ord: String): String =
+      s"""SELECT '$name' AS layout, source, (cum - 1) // $ShardTargetChars
+         |    AS shard_id, n_chars,
+         |    ${PruneThresholds.map(p =>
+                s"CASE WHEN n_chars >= $p THEN 1 ELSE 0 END AS m$p")
+               .mkString(", ")}
+         |  FROM (SELECT source, doc_id, n_chars,
+         |      CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY $ord
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        AS BIGINT) AS cum
+         |    FROM documents) t""".stripMargin
+    val shardAgg =
+      s"""SELECT layout, source, shard_id, count(*) AS n_docs,
+         |    max(n_chars) AS max_chars,
+         |    ${PruneThresholds.map(p =>
+                s"CAST(sum(m$p) AS BIGINT) AS mm$p").mkString(", ")}
+         |  FROM both_layouts GROUP BY 1, 2, 3""".stripMargin
+    val unpiv = PruneThresholds.map(p =>
+      s"""SELECT layout, CAST($p AS BIGINT) AS threshold, n_docs,
+         |  max_chars, mm$p AS m FROM shards""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH both_layouts AS (
+       |${layoutCte("natural", "doc_id")}
+       |UNION ALL
+       |${layoutCte("sorted_chars", "n_chars, doc_id")}),
+       |shards AS ($shardAgg),
+       |unpiv AS ($unpiv),
+       |rep AS (SELECT layout, threshold, count(*) AS shards_total,
+       |    CAST(sum(CASE WHEN max_chars < threshold THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS shards_pruned,
+       |    CAST(sum(n_docs) AS BIGINT) AS rows_total,
+       |    CAST(sum(CASE WHEN max_chars >= threshold THEN n_docs ELSE 0 END)
+       |      AS BIGINT) AS rows_scanned,
+       |    CAST(sum(m) AS BIGINT) AS rows_match
+       |  FROM unpiv GROUP BY 1, 2)
+       |SELECT layout, threshold, shards_total, shards_pruned, rows_total,
+       |  rows_scanned, rows_match,
+       |  CASE WHEN rows_scanned = 0 THEN 1.0
+       |    ELSE round(CAST(rows_match AS DOUBLE) / rows_scanned, 6)
+       |  END AS scan_efficiency
+       |FROM rep ORDER BY layout, threshold""".stripMargin
+  }
+
   val partitionPlanSql: String = {
     def audit(table: String, cand: String, keyExpr: String): String =
       s"""SELECT '$cand' AS candidate, count(*) AS n_partitions,

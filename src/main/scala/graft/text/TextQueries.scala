@@ -977,4 +977,102 @@ object TextQueries {
        |FROM pred GROUP BY lang, pred_lang
        |ORDER BY lang, pred_lang""".stripMargin
   }
+
+  /** §2.294 `heaps_fit`: Heaps'-law vocabulary-growth fit V(n) ≈ K·n^β
+    * — the §2.171 Zipf rank-frequency law's corpus-size twin, and the
+    * number a tokenizer/vocab budget decision extrapolates from ("at
+    * 100 TB, how many distinct tokens will we see?"). β comes from
+    * log-log OLS over power-of-two document-prefix checkpoints.
+    *
+    * Scale shape: ONE corpus-sized term shuffle (term → min doc_id,
+    * the tfidf/source_overlap shape) collapses to vocabulary grain,
+    * then to ≤64 first-appearance BUCKETS (power-of-two, via the
+    * §2.290 integer length(bin(x))−1 — no libm in the bucketing);
+    * document counts bucket identically; the checkpoint cumulative,
+    * join, and OLS run on the ≤20-row checkpoint frame. The prefix
+    * trick avoids |checkpoints| passes: V(2ʲ) = Σ buckets ≤ j because
+    * a term is IN prefix c iff its FIRST occurrence is.
+    *
+    * Determinism: counts exact integers end-to-end; ln/OLS on the
+    * bounded checkpoint frame is the §2.171 precedent (live ln over
+    * identical integer arguments, avg over a fixed tiny frame). */
+  def heapsFit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions.tokens
+    val docs = Tables.documents(spark, dir)
+    val termB = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(min("doc_id").as("fid"))
+      .groupBy(expr(
+        "CASE WHEN fid <= 1 THEN 0 ELSE length(bin(fid - 1)) END").as("b"))
+      .agg(count(lit(1)).as("vterms"))
+    val docB = docs
+      .groupBy(expr(
+        "CASE WHEN doc_id <= 1 THEN 0 ELSE length(bin(doc_id - 1)) END")
+        .as("b"))
+      .agg(count(lit(1)).as("ndocs"))
+    val cps = docs.agg(max("doc_id").as("maxdoc"))
+      .select(explode(expr("sequence(3, length(bin(maxdoc)) - 1)")).as("j"))
+    val pts = cps
+      .join(broadcast(termB), col("b") <= col("j"))
+      .groupBy("j").agg(sum("vterms").as("v"))
+      .join(cps.join(broadcast(docB), col("b") <= col("j"))
+        .groupBy("j").agg(sum("ndocs").as("n")), "j")
+      .select(col("j"), log(col("n").cast("double")).as("lx"),
+        log(col("v").cast("double")).as("ly"))
+    // OLS sums as j-ORDERED folds (sort_array + aggregate ≡ DuckDB
+    // list_sum over list(ORDER BY j)) — a plain avg() here would sum
+    // partials in partition-merge order, which is not cross-engine
+    // (or run-to-run) stable for floats
+    pts.agg(sort_array(collect_list(struct(col("j"), col("lx"), col("ly"))))
+        .as("a"))
+      .select(size(col("a")).cast("long").as("n"),
+        expr("aggregate(a, 0D, (acc, s) -> acc + s.lx)").as("slx"),
+        expr("aggregate(a, 0D, (acc, s) -> acc + s.ly)").as("sly"),
+        expr("aggregate(a, 0D, (acc, s) -> acc + s.lx * s.ly)").as("slxly"),
+        expr("aggregate(a, 0D, (acc, s) -> acc + s.lx * s.lx)").as("slxlx"))
+      .select(col("n").as("n_checkpoints"),
+        round((col("n") * col("slxly") - col("slx") * col("sly")) /
+          (col("n") * col("slxlx") - col("slx") * col("slx")), 6).as("beta"),
+        round((col("sly") -
+          (col("n") * col("slxly") - col("slx") * col("sly")) /
+            (col("n") * col("slxlx") - col("slx") * col("slx")) * col("slx"))
+          / col("n"), 6).as("intercept"))
+  }
+
+  val heapsFitSql: String = {
+    import graft.text.TextFunctions.tokensSql
+    s"""WITH first AS (SELECT t AS term, min(doc_id) AS fid
+       |  FROM (SELECT doc_id, unnest(${tokensSql("lower(text)")}) AS t
+       |        FROM documents) x
+       |  WHERE t <> '' GROUP BY t),
+       |termb AS (SELECT CASE WHEN fid <= 1 THEN 0
+       |    ELSE length(bin(fid - 1)) END AS b, count(*) AS vterms
+       |  FROM first GROUP BY 1),
+       |docb AS (SELECT CASE WHEN doc_id <= 1 THEN 0
+       |    ELSE length(bin(doc_id - 1)) END AS b, count(*) AS ndocs
+       |  FROM documents GROUP BY 1),
+       |cps AS (SELECT unnest(generate_series(3,
+       |    length(bin((SELECT max(doc_id) FROM documents)::BIGINT)) - 1))
+       |    AS j),
+       |pts AS (SELECT n.j AS j, ln(CAST(n.n AS DOUBLE)) AS lx,
+       |    ln(CAST(v.v AS DOUBLE)) AS ly
+       |  FROM (SELECT j, CAST(sum(vterms) AS BIGINT) AS v
+       |        FROM cps JOIN termb ON termb.b <= cps.j GROUP BY j) v
+       |  JOIN (SELECT j, CAST(sum(ndocs) AS BIGINT) AS n
+       |        FROM cps JOIN docb ON docb.b <= cps.j GROUP BY j) n
+       |  ON v.j = n.j),
+       |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    list_sum(list(lx ORDER BY j)) AS slx,
+       |    list_sum(list(ly ORDER BY j)) AS sly,
+       |    list_sum(list(lx * ly ORDER BY j)) AS slxly,
+       |    list_sum(list(lx * lx ORDER BY j)) AS slxlx
+       |  FROM pts)
+       |SELECT n AS n_checkpoints,
+       |  round((n * slxly - slx * sly) / (n * slxlx - slx * slx), 6)
+       |    AS beta,
+       |  round((sly - (n * slxly - slx * sly) / (n * slxlx - slx * slx)
+       |    * slx) / n, 6) AS intercept
+       |FROM sums""".stripMargin
+  }
 }

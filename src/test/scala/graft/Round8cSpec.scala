@@ -128,6 +128,103 @@ class Round8cSpec extends AnyFunSuite {
     }
   }
 
+  test("prune_stats = brute two-layout packing replay; sorted layout wins") {
+    val sf = SparkTestSession.sf
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def shardsOf(ord: ((String, Long, Long)) => (Long, Long)) =
+      docs.groupBy(_._1).values.flatMap { g =>
+        var cum = 0L
+        g.sortBy(ord).map { d =>
+          cum += d._3
+          ((d._1, (cum - 1) / graft.etl.Layout.ShardTargetChars), d._3)
+        }
+      }.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val layouts = Map(
+      "natural" -> shardsOf(d => (d._2, 0L)),
+      "sorted_chars" -> shardsOf(d => (d._3, d._2)))
+    val got = graft.etl.Layout.pruneStats(spark, sf).collect()
+    assert(got.length == 2 * graft.etl.Layout.PruneThresholds.size)
+    got.foreach { r =>
+      val shards = layouts(r.getString(0)); val p = r.getLong(1)
+      assert(r.getLong(2) == shards.size.toLong, "shards_total")
+      assert(r.getLong(3) == shards.count(_.max < p).toLong, "shards_pruned")
+      assert(r.getLong(4) == docs.length.toLong, "rows_total")
+      assert(r.getLong(5) ==
+        shards.filter(_.max >= p).map(_.size.toLong).sum, "rows_scanned")
+      assert(r.getLong(6) == docs.count(_._3 >= p).toLong, "rows_match")
+    }
+    // the point of the op: range-sorting never scans MORE than natural
+    graft.etl.Layout.PruneThresholds.foreach { p =>
+      val byLayout = got.filter(_.getLong(1) == p)
+        .map(r => r.getString(0) -> r.getLong(5)).toMap
+      assert(byLayout("sorted_chars") <= byLayout("natural"), s"p=$p")
+    }
+  }
+
+  test("heaps_fit = brute checkpoint replay") {
+    val sf = SparkTestSession.sf
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val first = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (id, text) =>
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        first.get(t) match {
+          case Some(v) if v <= id => ()
+          case _ => first(t) = math.min(id, first.getOrElse(t, Long.MaxValue))
+        }
+      }
+    }
+    val maxdoc = docs.map(_._1).max
+    val jmax = 63 - java.lang.Long.numberOfLeadingZeros(maxdoc)
+    val pts = (3 to jmax.toInt).map { j =>
+      val c = 1L << j
+      val n = docs.count(_._1 <= c).toDouble
+      val v = first.values.count(_ <= c).toDouble
+      (math.log(n), math.log(v))
+    }
+    val n = pts.size.toDouble
+    val slx = pts.map(_._1).sum; val sly = pts.map(_._2).sum
+    val slxly = pts.map(p => p._1 * p._2).sum
+    val slxlx = pts.map(p => p._1 * p._1).sum
+    val beta = (n * slxly - slx * sly) / (n * slxlx - slx * slx)
+    val r = graft.text.TextQueries.heapsFit(spark, sf).collect().head
+    assert(r.getLong(0) == pts.size.toLong, "n_checkpoints")
+    assert(math.abs(r.getDouble(1) - beta) < 1e-4, "beta")
+    // vocabulary never shrinks -> slope of the fit is non-negative
+    assert(r.getDouble(1) >= 0.0)
+  }
+
+  test("conformal_pi = brute split-conformal replay; coverage ~ 0.9") {
+    val sf = SparkTestSession.sf
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0) % 3, math.round(r.getDouble(1)),
+        math.round(r.getDouble(2) * 100)))
+    val fit = li.filter(_._1 == 0L)
+    val nf = fit.length.toDouble
+    val sx = fit.map(_._2).sum.toDouble; val sy = fit.map(_._3).sum.toDouble
+    val sxy = fit.map(t => BigInt(t._2) * BigInt(t._3)).sum.toDouble
+    val sxx = fit.map(t => BigInt(t._2) * BigInt(t._2)).sum.toDouble
+    val beta = (nf * sxy - sx * sy) / (nf * sxx - sx * sx)
+    val alpha = (sy - beta * sx) / nf
+    def resid(t: (Long, Long, Long)) =
+      math.round(math.abs(t._3 - (alpha + beta * t._2)) / 100.0)
+    val cal = li.filter(_._1 == 1L).map(resid).sorted
+    val qRank = ((9 * (cal.length + 1L) + 9) / 10).toInt
+    val q90 = cal(qRank - 1)
+    val ev = li.filter(_._1 == 2L).map(resid)
+    val cov = ev.count(_ <= q90).toDouble / ev.length
+    val r = graft.analytics.Stats.conformalPi(spark, sf).collect().head
+    assert(r.getLong(0) == fit.length.toLong &&
+      r.getLong(1) == cal.length.toLong && r.getLong(2) == ev.length.toLong)
+    assert(math.abs(r.getDouble(3) - beta / 100.0) < 1e-4, "beta")
+    assert(math.abs(r.getDouble(5) - q90.toDouble) < 1e-6, "q90")
+    assert(math.abs(r.getDouble(6) - cov) < 1e-6, "coverage")
+    assert(r.getDouble(6) > 0.85 && r.getDouble(6) < 0.95, "~90% coverage")
+  }
+
   test("partition_plan = brute candidate replay; verdict logic exact") {
     val sf = SparkTestSession.sf
     def counts(pairs: Seq[String]): (Long, Long, Long, Long) = {
