@@ -717,6 +717,126 @@ object Stats {
       round(adjA - adjB, 6).as("diff_adj"))
   }
 
+  /** Two-sided O'Brien–Fleming group-sequential z boundaries for 5
+    * equally-spaced interim looks at overall α = 0.05 — the textbook
+    * values (Φ-scaled c/√t), inlined as the SAME literals in both
+    * engines (the [[BhCritZ]] convention; no engine-side inverse CDF). */
+  val ObfZ: IndexedSeq[Double] =
+    IndexedSeq(4.8769, 3.3569, 2.6803, 2.2898, 2.0310)
+
+  /** §2.296 `sequential_test`: group-sequential A/B monitoring — the
+    * §2.208 Welch z recomputed at [[ObfZ]].size equally-spaced
+    * CALENDAR looks with O'Brien–Fleming stopping boundaries, the
+    * "peek early without lying to yourself" discipline an experiment
+    * platform needs once dashboards refresh daily (five naive peeks
+    * at α=0.05 false-alarm ~14% under the null; OBF spends almost no
+    * α early and converges to ~1.96 at the final look).
+    *
+    * Scale shape: ONE map-side-combined pass collapses the corpus to
+    * (arm, look) cells with exact integer moments (cents / HUGEINT,
+    * §2.228); the cumulative-over-looks prefix sums, Welch z, and
+    * boundary comparisons are windows over the ≤2×5-row cell frame.
+    * Look assignment is all-integer: look = min(K−1, (day_idx·K) div
+    * (span+1)).
+    *
+    * Determinism: z derives from identical integers in a fixed
+    * sequence, rounded 4 dp BEFORE the boundary compare (grid-stable,
+    * §2.228); boundaries are shared literals. */
+  def sequentialTest(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val k = ObfZ.size
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val span = ev.agg(min("day").as("d0"),
+      datediff(max("day"), min("day")).as("span"))
+    val cells = ev.crossJoin(broadcast(span))
+      .select(
+        when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+        least(lit(k - 1),
+          expr(s"(datediff(day, d0) * $k) div (span + 1)")).as("look"),
+        col("cents"))
+      .groupBy("arm", "look").agg(
+        count(lit(1)).as("n"), sum("cents").as("s"),
+        sum((col("cents").cast(dec) * col("cents").cast(dec)).cast(dec))
+          .as("s2"))
+    val wCum = Window.partitionBy("arm").orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("cn", sum("n").over(wCum))
+      .withColumn("cs", sum("s").over(wCum))
+      .withColumn("cs2", sum("s2").over(wCum))
+    def d(c: Column) = c.cast("double")
+    def side(a: String) = cum.filter(col("arm") === a)
+      .select(col("look"), col("cn").as(s"n_$a"),
+        (d(col("cs")) / 100.0 / col("cn")).as(s"m_$a"),
+        (((d(col("cs2")) - d(col("cs")) * d(col("cs")) / col("cn")) /
+          (col("cn") - 1)) / 10000.0).as(s"v_$a"))
+    val bounds = spark.sql("SELECT * FROM VALUES " +
+      ObfZ.zipWithIndex.map { case (b, i) =>
+        s"($i, CAST($b AS DOUBLE))" }.mkString(",") + " AS t(look, obf_z)")
+    val z = side("A").join(side("B"), "look")
+      .withColumn("z_stat", round((col("m_A") - col("m_B")) /
+        sqrt(col("v_A") / col("n_A") + col("v_B") / col("n_B")), 4))
+      .join(broadcast(bounds), "look")
+      .withColumn("crossed", abs(col("z_stat")) >= col("obf_z"))
+    val wSoFar = Window.orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    z.withColumn("rejected_by_now",
+        max(when(col("crossed"), 1L).otherwise(0L)).over(wSoFar) === 1L)
+      .select(col("look"), col("n_A").as("n_a"), col("n_B").as("n_b"),
+        round(col("m_A"), 4).as("mean_a"), round(col("m_B"), 4).as("mean_b"),
+        col("z_stat"), col("obf_z"), col("crossed"), col("rejected_by_now"))
+      .orderBy("look")
+  }
+
+  val sequentialTestSql: String = {
+    val k = ObfZ.size
+    val bounds = ObfZ.zipWithIndex
+      .map { case (b, i) => s"($i, CAST($b AS DOUBLE))" }.mkString(", ")
+    s"""WITH ev AS (SELECT user_id,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'click'),
+       |sp AS (SELECT min(day) AS d0, max(day) - min(day) AS span FROM ev),
+       |cells AS (SELECT
+       |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    least($k - 1, ((day - d0) * $k) // (span + 1)) AS look,
+       |    count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+       |    sum(CAST(cents AS HUGEINT) * cents) AS s2
+       |  FROM ev CROSS JOIN sp GROUP BY 1, 2),
+       |cum AS (SELECT arm, look,
+       |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+       |    CAST(sum(s) OVER w AS BIGINT) AS cs,
+       |    sum(s2) OVER w AS cs2
+       |  FROM cells
+       |  WINDOW w AS (PARTITION BY arm ORDER BY look
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |sides AS (SELECT a.look,
+       |    a.cn AS n_a, b.cn AS n_b,
+       |    CAST(a.cs AS DOUBLE) / 100.0 / a.cn AS m_a,
+       |    CAST(b.cs AS DOUBLE) / 100.0 / b.cn AS m_b,
+       |    ((CAST(a.cs2 AS DOUBLE) - CAST(a.cs AS DOUBLE) * CAST(a.cs AS DOUBLE) / a.cn)
+       |      / (a.cn - 1)) / 10000.0 AS v_a,
+       |    ((CAST(b.cs2 AS DOUBLE) - CAST(b.cs AS DOUBLE) * CAST(b.cs AS DOUBLE) / b.cn)
+       |      / (b.cn - 1)) / 10000.0 AS v_b
+       |  FROM (SELECT * FROM cum WHERE arm = 'A') a
+       |  JOIN (SELECT * FROM cum WHERE arm = 'B') b ON a.look = b.look),
+       |z AS (SELECT look, n_a, n_b, m_a, m_b,
+       |    round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS z_stat
+       |  FROM sides),
+       |j AS (SELECT z.*, c.obf_z, abs(z.z_stat) >= c.obf_z AS crossed
+       |  FROM z JOIN (VALUES $bounds) c(lk, obf_z) ON c.lk = z.look)
+       |SELECT look, n_a, n_b,
+       |  round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+       |  z_stat, obf_z, crossed,
+       |  max(CASE WHEN crossed THEN 1 ELSE 0 END) OVER (ORDER BY look
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+       |    AS rejected_by_now
+       |FROM j ORDER BY look""".stripMargin
+  }
+
   /** §2.295 `conformal_pi`: split-conformal prediction interval
     * (Vovk; Lei et al.) around the §2.65-style OLS of line price on
     * quantity — the distribution-free "how wrong is the model, with

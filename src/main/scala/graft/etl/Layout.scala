@@ -434,6 +434,85 @@ object Layout {
        |FROM rep ORDER BY layout, threshold""".stripMargin
   }
 
+  /** Candidate watermark delays (whole minutes) audited by
+    * [[watermarkPlan]]. */
+  val WatermarkCandidates: Seq[Long] = Seq(30L, 60L, 240L, 720L, 1440L)
+
+  /** §2.297 `watermark_plan`: out-of-orderness audit behind a
+    * Structured Streaming watermark choice — replays the event stream
+    * under a day-batched, user-sharded arrival order (each ingest day
+    * lands as 32 per-user-shard upload batches — the mobile/device
+    * upload pattern where a shard's whole day arrives at once), advances the event-time
+    * watermark exactly as the engine would (max event time of all
+    * PRIOR batches), and measures each event's lateness against it;
+    * then each candidate delay in [[WatermarkCandidates]] gets the
+    * row count it would DROP. §2.33/85's streaming ops consume a
+    * watermark; this op is where the number comes from — at 100 TB
+    * "withWatermark('10 minutes')" is a measured decision, not a
+    * guess.
+    *
+    * Scale shape: one batch-grain aggregate (days×32 rows — calendar-
+    * bounded, not corpus-proportional), a running max over that bounded frame, a broadcast join
+    * back to the scan, ONE minute-grid cell aggregate (bounded by the
+    * observed lateness range), and a candidates×cells report join.
+    *
+    * Determinism: all-integer microseconds end-to-end (ns→µs floor on
+    * both engines); the minute grid is integer division; drop rule is
+    * late_min > W on the shared grid; share is one final division. */
+  def watermarkPlan(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("tsu"),
+        (datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long") * 32L + col("user_id") % 32L).as("b"))
+    val wPrior = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bw = ev.groupBy("b").agg(max("tsu").as("bmax"))
+      .withColumn("wm", max("bmax").over(wPrior))
+    val cells = ev.join(broadcast(bw.select("b", "wm")), "b")
+      .select(expr(
+        "greatest(0L, coalesce(wm - tsu, 0L)) div 60000000").as("late_min"))
+      .groupBy("late_min").agg(count(lit(1)).as("c"))
+    val cand = spark.sql("SELECT * FROM VALUES " +
+      WatermarkCandidates.map(w => s"(CAST($w AS BIGINT))").mkString(",") +
+      " AS t(wm_minutes)")
+    cand.crossJoin(broadcast(cells))
+      .groupBy("wm_minutes").agg(
+        sum("c").as("n_events"),
+        sum(when(col("late_min") > col("wm_minutes"), col("c"))
+          .otherwise(0L)).as("n_dropped"),
+        max("late_min").as("max_late_min"))
+      .withColumn("drop_share",
+        round(col("n_dropped").cast("double") / col("n_events"), 6))
+      .orderBy("wm_minutes")
+  }
+
+  val watermarkPlanSql: String = {
+    val cand = WatermarkCandidates
+      .map(w => s"(CAST($w AS BIGINT))").mkString(", ")
+    s"""WITH ev AS (SELECT
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+       |    CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')
+       |      AS BIGINT) * 32 + user_id % 32 AS b
+       |  FROM events),
+       |bw AS (SELECT b,
+       |    max(max_tsu) OVER (ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+       |  FROM (SELECT b, max(tsu) AS max_tsu FROM ev GROUP BY b) t),
+       |cells AS (SELECT
+       |    greatest(0, COALESCE(wm - tsu, 0)) // 60000000 AS late_min,
+       |    count(*) AS c
+       |  FROM ev JOIN bw USING (b) GROUP BY 1)
+       |SELECT wm_minutes,
+       |  CAST(sum(c) AS BIGINT) AS n_events,
+       |  CAST(sum(CASE WHEN late_min > wm_minutes THEN c ELSE 0 END)
+       |    AS BIGINT) AS n_dropped,
+       |  CAST(max(late_min) AS BIGINT) AS max_late_min,
+       |  round(CAST(sum(CASE WHEN late_min > wm_minutes THEN c ELSE 0 END)
+       |    AS DOUBLE) / sum(c), 6) AS drop_share
+       |FROM (VALUES $cand) w(wm_minutes) CROSS JOIN cells
+       |GROUP BY wm_minutes ORDER BY wm_minutes""".stripMargin
+  }
+
   val partitionPlanSql: String = {
     def audit(table: String, cand: String, keyExpr: String): String =
       s"""SELECT '$cand' AS candidate, count(*) AS n_partitions,

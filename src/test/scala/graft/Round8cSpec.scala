@@ -225,6 +225,70 @@ class Round8cSpec extends AnyFunSuite {
     assert(r.getDouble(6) > 0.85 && r.getDouble(6) < 0.95, "~90% coverage")
   }
 
+  test("sequential_test = brute cumulative-look replay; OBF discipline") {
+    val sf = SparkTestSession.sf
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2)))
+    val d0 = ev.map(_._2).min; val span = ev.map(_._2).max - d0
+    val k = graft.analytics.Stats.ObfZ.size
+    def look(day: Long) = math.min(k - 1L, (day - d0) * k / (span + 1))
+    val got = graft.analytics.Stats.sequentialTest(spark, sf).collect()
+    assert(got.length == k)
+    got.foreach { r =>
+      val lk = r.getLong(0)
+      val a = ev.filter(t => t._1 % 2 == 0 && look(t._2) <= lk)
+      val b = ev.filter(t => t._1 % 2 != 0 && look(t._2) <= lk)
+      assert(r.getLong(1) == a.length.toLong, s"look $lk n_a")
+      assert(r.getLong(2) == b.length.toLong, s"look $lk n_b")
+      assert(math.abs(r.getDouble(3) -
+        a.map(_._3).sum.toDouble / 100.0 / a.length) < 1e-3, s"look $lk mean_a")
+      // boundary literal matches the shared grid; crossed is |z|>=bound
+      assert(r.getDouble(6) == graft.analytics.Stats.ObfZ(lk.toInt))
+      assert(r.getBoolean(7) ==
+        (math.abs(r.getDouble(5)) >= r.getDouble(6)), s"look $lk crossed")
+    }
+    // rejected_by_now is the running OR of crossed
+    var any = false
+    got.sortBy(_.getLong(0)).foreach { r =>
+      any = any || r.getBoolean(7)
+      assert(r.getBoolean(8) == any, s"look ${r.getLong(0)} rejected_by_now")
+    }
+  }
+
+  test("watermark_plan = brute arrival replay; drops decrease in delay") {
+    val sf = SparkTestSession.sf
+    val ev = Tables.events(spark, sf).select(
+      unix_micros(col("ts")).as("tsu"),
+      (datediff(to_date(col("ts")),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") * 32L +
+        col("user_id") % 32L).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bmax = ev.groupBy(_._2).view.mapValues(_.map(_._1).max).toMap
+    val batches = bmax.keys.toSeq.sorted
+    val wm = batches.zipWithIndex.map { case (b, i) =>
+      b -> (if (i == 0) None else Some(batches.take(i).map(bmax).max))
+    }.toMap
+    val lateMin = ev.map { case (tsu, b) =>
+      math.max(0L, wm(b).map(_ - tsu).getOrElse(0L)) / 60000000L
+    }
+    val got = graft.etl.Layout.watermarkPlan(spark, sf).collect()
+    assert(got.length == graft.etl.Layout.WatermarkCandidates.size)
+    got.foreach { r =>
+      val w = r.getLong(0)
+      assert(r.getLong(1) == ev.length.toLong, "n_events")
+      assert(r.getLong(2) == lateMin.count(_ > w).toLong, s"w=$w dropped")
+      assert(r.getLong(3) == lateMin.max, "max_late_min")
+    }
+    // more tolerance never drops more
+    val shares = got.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(shares.zip(shares.tail).forall { case (x, y) => y <= x })
+  }
+
   test("partition_plan = brute candidate replay; verdict logic exact") {
     val sf = SparkTestSession.sf
     def counts(pairs: Seq[String]): (Long, Long, Long, Long) = {
