@@ -854,11 +854,124 @@ object InvariantCheck {
       r15, r16, r17, r18, r19, r20, r21, r22, r23)
   }
 
+  /** Conservation/bound/monotonicity invariants for the round-8
+    * third-push operators (§2.288–297). */
+  def checkRound8b(spark: SparkSession, dir: String): Seq[Res] = {
+    // cuped_adjust: r² in [0,1); the adjusted diff is the arm bridge
+    val cu = graft.analytics.Stats.cupedAdjust(spark, dir).head()
+    val r1 = res("cuped_bounds",
+      (if (cu.getDouble(5) >= 0.0 && cu.getDouble(5) < 1.0) 0 else 1).toLong,
+      "var_reduction in [0,1)")
+    val r2 = res("cuped_diff_bridge",
+      (if (math.abs(cu.getDouble(9) -
+        (cu.getDouble(6) - cu.getDouble(7))) < 2e-6) 0 else 1).toLong,
+      "diff_adj = adj_mean_a - adj_mean_b")
+
+    // lift_table: cumulative capture monotone, ends at exactly 1
+    val lt = graft.analytics.Eval.liftTable(spark, dir).collect()
+    val capt = lt.sortBy(_.getLong(0)).map(_.getDouble(5))
+    val r3 = res("lift_capture_monotone",
+      capt.zip(capt.tail).count { case (a, b) => b < a - 1e-12 }.toLong,
+      "cum_capture non-decreasing")
+    val r4 = res("lift_capture_terminal",
+      (if (math.abs(capt.last - 1.0) < 1e-9) 0 else 1).toLong,
+      "cum_capture ends at 1")
+
+    // graph_clustering: cc and transitivity in [0,1]; node conservation
+    val gc = graft.graph.Graph.graphClustering(spark, dir).collect()
+    val r5 = res("gcc_ranges", gc.count { r =>
+      r.getDouble(4) < 0 || r.getDouble(4) > 1 ||
+        r.getDouble(5) < 0 || r.getDouble(5) > 1
+    }.toLong, "mean_local_cc and transitivity in [0,1]")
+
+    // bloom_plan: sizing arithmetic + dict cutoff replayed
+    val bp = graft.etl.Layout.bloomPlan(spark, dir).collect()
+    val r6 = res("bloom_sizing", bp.count { r =>
+      val bits = math.ceil(
+        r.getLong(2) * graft.etl.Layout.BloomBitsPerKey).toLong
+      r.getLong(3) != bits || r.getLong(4) != (bits + 7) / 8 ||
+        (r.getString(6) == "dict") !=
+          (r.getLong(2) <= graft.etl.Layout.BloomDictCutoff)
+    }.toLong, "bits/bytes/verdict replay per column")
+
+    // partition_plan: max>=min, share in (0,1], verdict consistent
+    val pp = graft.etl.Layout.partitionPlan(spark, dir).collect()
+    val r7 = res("partition_verdicts", pp.count { r =>
+      val (np, nr, mx, mn) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val want =
+        if (np < graft.etl.Layout.PartMinParts) "too_coarse"
+        else if (np > graft.etl.Layout.PartMaxParts) "too_fine"
+        else if (mx * 2 > nr) "skewed" else "ok"
+      mx < mn || r.getString(6) != want
+    }.toLong, "verdict matches integer rules; max >= min")
+
+    // prune_stats: row conservation + the sorted layout never scans more
+    val ps = graft.etl.Layout.pruneStats(spark, dir).collect()
+    val r8 = res("prune_conservation", ps.count { r =>
+      r.getLong(6) > r.getLong(5) || r.getLong(5) > r.getLong(4)
+    }.toLong, "rows_match <= rows_scanned <= rows_total")
+    val byP = ps.groupBy(_.getLong(1))
+    val r9 = res("prune_sorted_wins", byP.count { case (_, rows) =>
+      val m = rows.map(r => r.getString(0) -> r.getLong(5)).toMap
+      m("sorted_chars") > m("natural")
+    }.toLong, "range-sorted layout scans <= natural at every threshold")
+
+    // heaps_fit: checkpoint count positive, beta non-negative
+    val hf = graft.text.TextQueries.heapsFit(spark, dir).head()
+    val r10 = res("heaps_beta",
+      (if (hf.getLong(0) >= 3 && hf.getDouble(1) >= 0.0) 0 else 1).toLong,
+      ">=3 checkpoints, vocabulary growth slope >= 0")
+
+    // conformal_pi: fold partition + coverage near the nominal 90%
+    val cp = graft.analytics.Stats.conformalPi(spark, dir).head()
+    val nLi = graft.Tables.lineitem(spark, dir).count()
+    val r11 = res("conformal_folds",
+      math.abs(cp.getLong(0) + cp.getLong(1) + cp.getLong(2) - nLi),
+      s"fit+cal+eval partition the $nLi lineitem rows")
+    val r12 = res("conformal_coverage",
+      (if (cp.getDouble(6) > 0.85 && cp.getDouble(6) < 0.95) 0 else 1).toLong,
+      s"eval coverage ${cp.getDouble(6)} within (0.85, 0.95)")
+
+    // sequential_test: boundary grid decreasing; rejected_by_now is a
+    // running OR (once true, stays true)
+    val st = graft.analytics.Stats.sequentialTest(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    val bounds = st.map(_.getDouble(6))
+    val r13 = res("obf_grid_decreasing",
+      bounds.zip(bounds.tail).count { case (a, b) => b >= a }.toLong,
+      "OBF boundaries strictly decrease across looks")
+    val rej = st.map(_.getBoolean(8))
+    val r14 = res("sequential_absorbing",
+      rej.zip(rej.tail).count { case (a, b) => a && !b }.toLong,
+      "rejected_by_now never un-rejects")
+    val r15 = res("sequential_n_monotone", {
+      val na = st.map(_.getLong(1)); val nb = st.map(_.getLong(2))
+      (na.zip(na.tail).count { case (a, b) => b < a } +
+        nb.zip(nb.tail).count { case (a, b) => b < a }).toLong
+    }, "cumulative look sizes non-decreasing")
+
+    // watermark_plan: constant totals, drop monotone in the delay
+    val wp = graft.etl.Layout.watermarkPlan(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    val r16 = res("watermark_totals",
+      wp.count(_.getLong(1) != wp.head.getLong(1)).toLong,
+      "every candidate audits the same event count")
+    val drops = wp.map(_.getLong(2))
+    val r17 = res("watermark_monotone",
+      drops.zip(drops.tail).count { case (a, b) => b > a }.toLong,
+      "longer delay never drops more rows")
+
+    Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14,
+      r15, r16, r17)
+  }
+
   def runAll(spark: SparkSession, dir: String): Seq[Res] =
     checkClusters(spark, dir) ++ checkIvf(spark, dir) ++ checkBpe(spark, dir) ++
       checkSemantic(spark, dir) ++ checkGraph(spark, dir) ++
       checkBitext(spark, dir) ++ checkIvfPq(spark, dir) ++ checkBfs(spark, dir) ++
-      checkKcore(spark, dir) ++ checkGrowth(spark, dir) ++ checkRound8(spark, dir)
+      checkKcore(spark, dir) ++ checkGrowth(spark, dir) ++
+      checkRound8(spark, dir) ++ checkRound8b(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata/sf1")

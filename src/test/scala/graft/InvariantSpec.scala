@@ -72,4 +72,8 @@ class InvariantSpec extends AnyFunSuite {
   test("round-8 layout/dedup/normalize/split invariants hold") {
     assertAll(InvariantCheck.checkRound8(spark, sf))
   }
+
+  test("round-8 third-push invariants hold (cuped/lift/prune/conformal/...)") {
+    assertAll(InvariantCheck.checkRound8b(spark, sf))
+  }
 }
