@@ -674,4 +674,114 @@ object Eval {
        |    / (CAST(tot_pos AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS cum_lift
        |FROM cum ORDER BY decile""".stripMargin
   }
+  /** Reciprocal-rank micro-units for ranks 1..10 — round(10⁶/r) as
+    * shared literals on both engines (1/3 etc. are not exact doubles,
+    * so the grid is pinned, the §2.205 IdcgCum convention). */
+  val RrMicro: Seq[Long] = Seq(1000000L, 500000L, 333333L, 250000L,
+    200000L, 166667L, 142857L, 125000L, 111111L, 100000L)
+
+  /** §2.301 `mrr_eval`: MRR@10 and hit-rate@k of the §2.205 popularity
+    * recommender — the first-hit metrics that complement NDCG's graded
+    * view (MRR is what search/recsys teams quote when ONE good result
+    * is enough). Same candidate machinery as §2.205: per user the
+    * viewed items ranked by global click popularity, relevance = the
+    * user's purchased items, users with ≥1 relevant candidate scored;
+    * RR = 1/rank of the first relevant item inside the top-10, 0 if
+    * it sits below the cutoff.
+    *
+    * Scale shape: identical to §2.205 — one corpus scan + distinct to
+    * the user×item view grain, item-grain popularity BROADCAST onto
+    * it, the rank window partitioned per user; the relevance join
+    * runs at the same user×item grain (NOT top-10-pruned — a user
+    * whose only purchase ranks 11th must score RR = 0, not drop out),
+    * and the metric reduction collapses user-grain rows to one.
+    *
+    * Determinism: first-hit ranks are integers off a totally-ordered
+    * window (pop DESC, item ASC); each RR contribution is the exact
+    * [[RrMicro]] integer so the cross-user sum is pure BIGINT; the
+    * final MRR is one division of identical integers. */
+  def mrrEval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("item"))
+      .filter(col("item").isNotNull)
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "item").distinct()
+    val pop = ev.filter(col("event_type") === "click")
+      .groupBy("item").agg(count(lit(1)).as("pop"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "item").distinct()
+      .withColumn("rel", lit(1L))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("pop").desc, col("item").asc)
+    val ranked = views
+      .join(broadcast(pop), Seq("item"), "left")
+      .na.fill(0L, Seq("pop"))
+      .withColumn("rn", row_number().over(w))
+      .join(purch, Seq("user_id", "item"), "left")
+      .na.fill(0L, Seq("rel"))
+    val perUser = ranked.groupBy("user_id").agg(
+      sum("rel").as("n_rel"),
+      min(when(col("rel") === 1L && col("rn") <= 10, col("rn")))
+        .as("first_hit"))
+      .filter(col("n_rel") > 0)
+      // explicit null guard: element_at(arr, NULL) is not a safe 0 —
+      // guard BEFORE indexing so no-hit users contribute exactly 0
+      .withColumn("rr_micro", when(col("first_hit").isNotNull,
+        element_at(array(RrMicro.map(lit): _*), col("first_hit").cast("int")))
+        .otherwise(lit(0L)))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("first_hit").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+      sum(when(col("first_hit") <= 1, 1L).otherwise(0L)).as("hits_at_1"),
+      sum(when(col("first_hit") <= 3, 1L).otherwise(0L)).as("hits_at_3"),
+      sum(when(col("first_hit") <= 5, 1L).otherwise(0L)).as("hits_at_5"),
+      sum("rr_micro").as("rrm"))
+      .select(col("n_users"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_users"), 6)
+          .as("hit_rate_10"),
+        col("hits_at_1"), col("hits_at_3"), col("hits_at_5"),
+        round(col("rrm") / 1000000.0 / col("n_users"), 6).as("mrr_10"))
+  }
+
+  val mrrEvalSql: String = {
+    val grid = RrMicro.mkString("[", ", ", "]")
+    s"""WITH ev AS (SELECT user_id, event_type,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+       |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |views AS (SELECT DISTINCT user_id, item FROM ev
+       |  WHERE event_type = 'view'),
+       |pop AS (SELECT item, count(*) AS pop FROM ev
+       |  WHERE event_type = 'click' GROUP BY 1),
+       |purch AS (SELECT DISTINCT user_id, item FROM ev
+       |  WHERE event_type = 'purchase'),
+       |ranked AS (SELECT v.user_id, v.item,
+       |    row_number() OVER (PARTITION BY v.user_id
+       |      ORDER BY coalesce(p.pop, 0) DESC, v.item ASC) AS rn
+       |  FROM views v LEFT JOIN pop p USING (item)),
+       |per_user AS (SELECT r.user_id,
+       |    CAST(count(pu.item) AS BIGINT) AS n_rel,
+       |    min(CASE WHEN pu.item IS NOT NULL AND r.rn <= 10
+       |      THEN r.rn END) AS first_hit
+       |  FROM ranked r LEFT JOIN purch pu
+       |    ON pu.user_id = r.user_id AND pu.item = r.item
+       |  GROUP BY 1 HAVING count(pu.item) > 0),
+       |rr AS (SELECT first_hit,
+       |    coalesce($grid[CAST(first_hit AS INTEGER)], 0) AS rr_micro
+       |  FROM per_user)
+       |SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(sum(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS hit_rate_10,
+       |  CAST(sum(CASE WHEN first_hit <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hits_at_1,
+       |  CAST(sum(CASE WHEN first_hit <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hits_at_3,
+       |  CAST(sum(CASE WHEN first_hit <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hits_at_5,
+       |  round(CAST(sum(rr_micro) AS BIGINT) / 1000000.0 / count(*), 6)
+       |    AS mrr_10
+       |FROM rr""".stripMargin
+  }
 }

@@ -717,6 +717,83 @@ object Stats {
       round(adjA - adjB, 6).as("diff_adj"))
   }
 
+  /** Relative minimum-detectable-effect grid for [[powerAnalysis]]:
+    * the MDEs a metrics platform quotes (1/2/5/10% of the baseline). */
+  val MdePcts: Seq[Int] = Seq(1, 2, 5, 10)
+
+  /** §2.298 `power_analysis`: the sample-size table next to every
+    * §2.208/228/296 test — for each relative MDE in [[MdePcts]], the
+    * per-arm n that gives 80% power at two-sided α=0.05 for the click
+    * value metric: n = 2(z_{.975}+z_{.8})²σ²/δ², with the z's inlined
+    * as shared literals (1.96, 0.8416 — the §2.228 convention) and σ²
+    * the pooled variance from exact integer moments. The "how long
+    * must this experiment run" answer, derived from the data it will
+    * run on.
+    *
+    * Scale shape: ONE map-side-combined pass collapses the corpus to
+    * a 1-row moment frame; the grid crossJoin is 1×|MdePcts| rows.
+    *
+    * Determinism: moments exact cents/DECIMAL(38,0); σ², δ, and the
+    * ceil'd n are fixed-sequence expressions of those integers and
+    * shared literals (ceil of the identical product double). */
+  def powerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(
+        when(col("user_id") % 2 === 0, 0L).otherwise(1L).as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum((col("cents").cast(dec) * col("cents").cast(dec)).cast(dec))
+          .as("s2"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+    val grid = spark.sql("SELECT * FROM VALUES " +
+      MdePcts.map(p => s"(CAST($p AS BIGINT))").mkString(",") +
+      " AS t(mde_pct)")
+    def d(c: String) = col(c).cast("double")
+    val mean = d("s") / col("n")                       // cents
+    val variance = (d("s2") - d("s") * d("s") / col("n")) / (col("n") - 1)
+    val delta = mean * col("mde_pct") / 100.0          // cents
+    val nArm = ceil(lit(2.0) * (lit(1.96) + lit(0.8416)) *
+      (lit(1.96) + lit(0.8416)) * variance / (delta * delta)).cast("long")
+    m.crossJoin(grid)
+      .select(col("mde_pct"),
+        round(delta / 100.0, 6).as("delta_dollars"),
+        round(variance / 10000.0, 6).as("variance_dollars"),
+        nArm.as("n_per_arm"),
+        (nArm * 2).as("n_total"),
+        (least(col("n_a"), col("n_b")) >= nArm).as("powered_now"))
+      .orderBy("mde_pct")
+  }
+
+  val powerAnalysisSql: String = {
+    val grid = MdePcts.map(p => s"(CAST($p AS BIGINT))").mkString(", ")
+    val mean = "(CAST(s AS DOUBLE) / n)"
+    val variance = "((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * " +
+      "CAST(s AS DOUBLE) / n) / (n - 1))"
+    val delta = s"($mean * mde_pct / 100.0)"
+    val nArm = s"CAST(ceil(2.0 * (1.96 + 0.8416) * (1.96 + 0.8416) * " +
+      s"$variance / ($delta * $delta)) AS BIGINT)"
+    s"""WITH m AS (SELECT count(*) AS n,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+       |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+       |      * CAST(round(value * 100) AS BIGINT)) AS s2,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_b
+       |  FROM events WHERE event_type = 'click')
+       |SELECT mde_pct,
+       |  round($delta / 100.0, 6) AS delta_dollars,
+       |  round($variance / 10000.0, 6) AS variance_dollars,
+       |  $nArm AS n_per_arm,
+       |  $nArm * 2 AS n_total,
+       |  least(n_a, n_b) >= $nArm AS powered_now
+       |FROM m CROSS JOIN (VALUES $grid) g(mde_pct)
+       |ORDER BY mde_pct""".stripMargin
+  }
+
   /** Two-sided O'Brien–Fleming group-sequential z boundaries for 5
     * equally-spaced interim looks at overall α = 0.05 — the textbook
     * values (Φ-scaled c/√t), inlined as the SAME literals in both

@@ -202,4 +202,140 @@ object Survival {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
        |    AS breslow_survival
        |FROM hzd ORDER BY duration_days""".stripMargin
+  /** §2.300 `logrank_test`: two-sample log-rank test over the SAME
+    * right-censored lifetimes as [[survivalKm]], arms split by the
+    * §2.170 user-id parity rule — "do the two arms' time-to-convert
+    * curves differ?", the hypothesis test that completes the survival
+    * family (KM draws the curves, Nelson–Aalen the hazards, log-rank
+    * says whether the gap is signal). At each duration t with d_t > 0
+    * total conversions the test treats arm-A conversions as a
+    * hypergeometric draw: E_A(t) = d_t·n_A(t)/n(t),
+    * V(t) = d_t·(n_A/n)·(n_B/n)·(n−d)/(n−1); the statistic is
+    * z = (O_A − ΣE_A)/√ΣV ~ N(0,1) under H₀ (Mantel–Haenszel form).
+    *
+    * Scale shape: identical to KM — the corpus collapses to user
+    * grain in ONE map-side-combined groupBy, then to (duration, arm)
+    * cells bounded by the calendar; risk sets are suffix-window sums
+    * over that bounded frame and the test statistic is a 1-row
+    * reduction of it.
+    *
+    * Determinism: all counts are exact BIGINTs; each E and V addend
+    * is one fixed-sequence expression of identical integers rounded
+    * into exact micro-units (×10⁶, the §2.203 integer-carry trick)
+    * BEFORE the cross-row sum, so both engines sum identical
+    * integers; z and χ² are single final expressions of those sums. */
+  def logrankTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+    val users = ev.groupBy("user_id")
+      .agg(min("day").as("first_day"),
+        min(when(col("event_type") === "purchase" &&
+          col("value") > ConvValueMin, col("day"))).as("purchase_day"))
+    val horizon = ev.agg(max("day").as("h"))
+    val lives = users.crossJoin(broadcast(horizon))
+      .select((col("user_id") % 2).as("arm"),
+        datediff(coalesce(col("purchase_day"), col("h")), col("first_day"))
+          .cast("long").as("duration_days"),
+        when(col("purchase_day").isNotNull, 1L).otherwise(0L).as("event"))
+    val cells = lives.groupBy("duration_days")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("x_a"),
+        sum(when(col("arm") === 0, col("event")).otherwise(0L)).as("d_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("x_b"),
+        sum(when(col("arm") === 1, col("event")).otherwise(0L)).as("d_b"))
+    val wRisk = Window.orderBy("duration_days")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = cells
+      .withColumn("n_a", sum("x_a").over(wRisk))
+      .withColumn("n_b", sum("x_b").over(wRisk))
+      .withColumn("d", col("d_a") + col("d_b"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .filter(col("d") > 0)
+      .withColumn("e_micro",
+        round(col("d").cast("double") * col("n_a") / col("n") * 1000000)
+          .cast("long"))
+      .withColumn("v_micro",
+        when(col("n") > 1,
+          round(col("d").cast("double") * col("n_a") / col("n") *
+            col("n_b") / col("n") * (col("n") - col("d")) /
+            (col("n") - 1) * 1000000).cast("long"))
+          .otherwise(0L))
+    val arms = lives.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_users_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_users_b"))
+    val t = risk.agg(sum("d_a").as("obs_a"), sum("d_b").as("obs_b"),
+      sum("e_micro").as("em"), sum("v_micro").as("vm"))
+    val z = (col("obs_a") - col("em") / 1000000.0) /
+      sqrt(col("vm") / 1000000.0)
+    t.crossJoin(broadcast(arms)).select(
+      col("n_users_a"), col("n_users_b"), col("obs_a"), col("obs_b"),
+      round(col("em") / 1000000.0, 6).as("exp_a"),
+      round((col("obs_a") + col("obs_b")) - col("em") / 1000000.0, 6)
+        .as("exp_b"),
+      round(col("vm") / 1000000.0, 6).as("variance"),
+      round(z, 6).as("z_logrank"),
+      round(z * z, 6).as("chi2"),
+      (abs(z) > 1.96).as("significant"))
+  }
+
+  val logrankTestSql: String = {
+    val z = "((obs_a - em / 1000000.0) / sqrt(vm / 1000000.0))"
+    s"""WITH ev AS (SELECT user_id, event_type, value,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+       |users AS (SELECT user_id, min(day) AS first_day,
+       |    min(CASE WHEN event_type = 'purchase' AND value > $ConvValueMin
+       |      THEN day END) AS purchase_day
+       |  FROM ev GROUP BY 1),
+       |hz AS (SELECT max(day) AS h FROM ev),
+       |lives AS (SELECT user_id % 2 AS arm,
+       |    CAST(date_diff('day', first_day, COALESCE(purchase_day, h))
+       |      AS BIGINT) AS duration_days,
+       |    CASE WHEN purchase_day IS NOT NULL THEN 1 ELSE 0 END AS event
+       |  FROM users CROSS JOIN hz),
+       |cells AS (SELECT duration_days,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+       |    CAST(sum(CASE WHEN arm = 0 THEN event ELSE 0 END) AS BIGINT)
+       |      AS d_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x_b,
+       |    CAST(sum(CASE WHEN arm = 1 THEN event ELSE 0 END) AS BIGINT)
+       |      AS d_b
+       |  FROM lives GROUP BY 1),
+       |risk AS (SELECT duration_days, d_a, d_b,
+       |    CAST(sum(x_a) OVER (ORDER BY duration_days
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+       |      AS n_a,
+       |    CAST(sum(x_b) OVER (ORDER BY duration_days
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+       |      AS n_b
+       |  FROM cells),
+       |mm AS (SELECT duration_days, d_a, d_b, n_a, n_b,
+       |    d_a + d_b AS d, n_a + n_b AS n FROM risk WHERE d_a + d_b > 0),
+       |mic AS (SELECT d_a, d_b,
+       |    CAST(round(CAST(d AS DOUBLE) * n_a / n * 1000000) AS BIGINT)
+       |      AS e_micro,
+       |    CASE WHEN n > 1 THEN
+       |      CAST(round(CAST(d AS DOUBLE) * n_a / n * n_b / n * (n - d)
+       |        / (n - 1) * 1000000) AS BIGINT)
+       |    ELSE 0 END AS v_micro
+       |  FROM mm),
+       |arms AS (SELECT
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_users_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_users_b
+       |  FROM lives),
+       |t AS (SELECT CAST(sum(d_a) AS BIGINT) AS obs_a,
+       |    CAST(sum(d_b) AS BIGINT) AS obs_b,
+       |    CAST(sum(e_micro) AS BIGINT) AS em,
+       |    CAST(sum(v_micro) AS BIGINT) AS vm
+       |  FROM mic)
+       |SELECT n_users_a, n_users_b, obs_a, obs_b,
+       |  round(em / 1000000.0, 6) AS exp_a,
+       |  round((obs_a + obs_b) - em / 1000000.0, 6) AS exp_b,
+       |  round(vm / 1000000.0, 6) AS variance,
+       |  round($z, 6) AS z_logrank,
+       |  round($z * $z, 6) AS chi2,
+       |  abs($z) > 1.96 AS significant
+       |FROM t CROSS JOIN arms""".stripMargin
+  }
 }

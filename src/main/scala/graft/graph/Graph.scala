@@ -156,7 +156,7 @@ object Graph {
       val votes = adj.join(labels, col("src") === col("node"))
         .groupBy("dst", "lbl").agg(count(lit(1)).as("c"))
       labels = votes
-        .withColumn("mx", max("c").over(Window.partitionBy("dst")))
+        .withColumn("mx", max("c").over(org.apache.spark.sql.expressions.Window.partitionBy("dst")))
         .filter(col("c") === col("mx"))
         .groupBy("dst").agg(min("lbl").as("lbl"))
         .select(col("dst").as("node"), col("lbl"))
@@ -766,4 +766,63 @@ object Graph {
        |    ELSE round(CAST(sum(triangles) AS DOUBLE)
        |      / CAST(sum(wedges) AS BIGINT), 6) END AS transitivity
        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+  /** §2.302 `degree_dist`: degree distribution + CCDF of the click
+    * graph, split by node kind (user / item) — the structural
+    * fingerprint behind every other graph op here: the heavy-tail
+    * check that says whether §2.48's salting and AQE skew handling
+    * are load-bearing (a power-law item tail at 100 TB means hot
+    * vertices by construction), reported as the survival curve
+    * P(deg ≥ d) a capacity plan reads off directly (the §2.171 Zipf
+    * rank–frequency law, on the graph side).
+    *
+    * Scale shape: degrees come from the shared persisted §2.131
+    * adjacency at node grain (one groupBy); the (kind, deg) cell
+    * frame is bounded by the distinct-degree count regardless of
+    * corpus size, and the CCDF is a suffix window over those cells
+    * partitioned by kind. Nothing after the node-grain groupBy is
+    * data-proportional.
+    *
+    * Determinism: integers end-to-end; the two shares are single
+    * divisions of identical integers. */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val (adj, _, _) = adjacency(spark, dir)
+    val deg = adj.groupBy("src").agg(max("deg").as("deg"))
+      .select(substring(col("src"), 1, 1).as("kind"), col("deg"))
+    val cells = deg.groupBy("kind", "deg")
+      .agg(count(lit(1)).as("n_nodes"))
+    val wSuf = org.apache.spark.sql.expressions.Window.partitionBy("kind").orderBy("deg")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("kind")
+    cells
+      .withColumn("n_ge", sum("n_nodes").over(wSuf))
+      .withColumn("kind_total", sum("n_nodes").over(wAll))
+      .select(col("kind"), col("deg"), col("n_nodes"), col("n_ge"),
+        round(col("n_ge").cast("double") / col("kind_total"), 6)
+          .as("ccdf"),
+        round(col("n_nodes").cast("double") / col("kind_total"), 6)
+          .as("pmf"))
+      .orderBy("kind", "deg")
+  }
+
+  val degreeDistSql: String =
+    s"""WITH uv AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+       |    'i' || CAST(json_extract_string(props, '$$.k') AS VARCHAR) AS v
+       |  FROM events WHERE event_type = 'click'),
+       |e AS (SELECT u AS src, v AS dst FROM uv
+       |      UNION ALL SELECT v AS src, u AS dst FROM uv),
+       |deg AS (SELECT substr(src, 1, 1) AS kind, count(*) AS deg
+       |  FROM e GROUP BY src),
+       |cells AS (SELECT kind, deg, count(*) AS n_nodes
+       |  FROM deg GROUP BY 1, 2),
+       |c AS (SELECT kind, deg, n_nodes,
+       |    CAST(sum(n_nodes) OVER (PARTITION BY kind ORDER BY deg
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+       |      AS n_ge,
+       |    CAST(sum(n_nodes) OVER (PARTITION BY kind) AS BIGINT)
+       |      AS kind_total
+       |  FROM cells)
+       |SELECT kind, deg, n_nodes, n_ge,
+       |  round(CAST(n_ge AS DOUBLE) / kind_total, 6) AS ccdf,
+       |  round(CAST(n_nodes AS DOUBLE) / kind_total, 6) AS pmf
+       |FROM c ORDER BY kind, deg""".stripMargin
 }

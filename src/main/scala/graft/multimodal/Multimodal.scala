@@ -288,4 +288,68 @@ object Multimodal {
        |  round(list_sum(bytes) / CAST(len(bytes) AS DOUBLE), 6) AS mean_byte
        |FROM b ORDER BY doc_id""".stripMargin
   }
+
+  /** Target tar-archive bytes per shard for [[mmShardPlan]]. A knob:
+    * WebDataset deployments use 100 MB–1 GB; the test corpus uses a
+    * value that yields several shards per source. */
+  val MmShardTargetBytes = 8192L
+
+  /** §2.299 `mm_shard_plan`: WebDataset-style tar-shard packing plan
+    * for the multimodal payloads — per source, members in doc_id
+    * order packed greedily into ~[[MmShardTargetBytes]] archives by
+    * CUMULATIVE TAR SIZE, where each member costs its real tar
+    * footprint (one 512-byte header + payload padded up to a 512
+    * multiple) and each archive ends with the mandatory two zero
+    * blocks. §2.275 plans text shards by characters; training on
+    * binary media ships tar shards (sequential reads, no per-sample
+    * open cost), and THIS is the byte-exact plan the packer executes
+    * at 100 TB — file counts and boundaries decided before a byte
+    * moves.
+    *
+    * Scale shape: payload bytes come from the metadata struct ONLY
+    * (parquet column pruning skips the binary payloads — the §3 note;
+    * the plan pass never reads media). One hash exchange on source,
+    * per-source sequential window, shard-grain output.
+    *
+    * Determinism: all-integer — the tar footprint is
+    * 512 + 512·((n_bytes + 511) div 512). */
+  def mmShardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    graft.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        octet_length(encode(col("text"), "utf-8")).cast("long")
+          .as("n_bytes"))
+      .withColumn("tar_bytes",
+        expr("512 + 512 * ((n_bytes + 511) div 512)"))
+      .withColumn("cum", sum("tar_bytes").over(w))
+      .withColumn("shard_id", expr(s"(cum - 1) div $MmShardTargetBytes"))
+      .groupBy("source", "shard_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum("n_bytes").as("payload_bytes"),
+        (sum("tar_bytes") + 1024L).as("archive_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "shard_id")
+  }
+
+  val mmShardPlanSql: String =
+    s"""WITH m AS (SELECT source, doc_id,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |    512 + 512 * ((CAST(octet_length(encode(text)) AS BIGINT) + 511)
+       |      // 512) AS tar_bytes
+       |  FROM documents),
+       |cum AS (SELECT source, doc_id, n_bytes, tar_bytes,
+       |    CAST(sum(tar_bytes) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM m)
+       |SELECT source, (cum - 1) // $MmShardTargetBytes AS shard_id,
+       |  count(*) AS n_members,
+       |  CAST(sum(n_bytes) AS BIGINT) AS payload_bytes,
+       |  CAST(sum(tar_bytes) + 1024 AS BIGINT) AS archive_bytes,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum GROUP BY 1, 2
+       |ORDER BY source, shard_id""".stripMargin
 }

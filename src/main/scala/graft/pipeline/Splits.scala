@@ -131,7 +131,7 @@ object Splits {
     * positions use integer tenths (span·pct div 10). */
   def timeSplitEmbargo(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val byUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("us", "event_id")
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .withColumn("new_session",
@@ -140,7 +140,7 @@ object Splits {
             graft.streaming.Streaming.SessionGapMinutes * 60L * 1000000L,
           1L).otherwise(0L))
       .withColumn("session_id", sum("new_session").over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)))
     val sess = ev.groupBy("user_id", "session_id")
       .agg(min("us").as("s_us"), max("us").as("e_us"),
         count(lit(1)).as("n_ev"))
@@ -214,4 +214,77 @@ object Splits {
        |JOIN tags b ON p.id_b = b.doc_id
        |WHERE a.is_val <> b.is_val
        |ORDER BY p.id_a, p.id_b""".stripMargin
+  /** §2.303 `split_balance`: χ² homogeneity audit of the §2.159
+    * cluster-hash split against the corpus's source mix — "did the
+    * group-split accidentally concentrate a source in one split?",
+    * the balance check a training run does before trusting val/test
+    * numbers (a source skewed into val reads as a domain-shift
+    * regression that isn't there). Per split×source cell: observed
+    * docs, expected under independence E = row·col/n, standardized
+    * residual (O−E)/√E, plus the overall χ² and its degrees of
+    * freedom — the residuals localize WHICH cell drove a significant
+    * χ² (|std_residual| > 2 is the usual flag).
+    *
+    * Scale shape: the split table is the §2.159 doc-grain frame; one
+    * hash join onto the doc-grain source projection, then ONE
+    * map-side-combined groupBy to a splits×sources-bounded cell
+    * frame — margins and the χ² are windows over those ≤ 3·|S| cells
+    * and the (n_splits, n_sources) dims are a 1-row broadcast.
+    *
+    * Determinism: counts exact BIGINTs; E and each residual are
+    * fixed-sequence expressions of identical integers; each χ² addend
+    * is carried as an exact micro-integer (×10⁶, the §2.203 carry) so
+    * the cross-cell sum is pure BIGINT. */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val cells = makeSplits(spark, dir).select("doc_id", "split")
+      .join(docs, "doc_id")
+      .groupBy("split", "source").agg(count(lit(1)).as("n_docs"))
+    val dims = cells.agg(
+      countDistinct("split").as("n_splits"),
+      countDistinct("source").as("n_sources"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val e = col("row_t").cast("double") * col("col_t") / col("n")
+    cells
+      .withColumn("row_t", sum("n_docs").over(org.apache.spark.sql.expressions.Window.partitionBy("split")))
+      .withColumn("col_t", sum("n_docs").over(org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .withColumn("n", sum("n_docs").over(all))
+      .withColumn("chi2_micro",
+        round((col("n_docs") - e) * (col("n_docs") - e) / e * 1000000)
+          .cast("long"))
+      .withColumn("chi2_sum", sum("chi2_micro").over(all))
+      .crossJoin(broadcast(dims))
+      .select(col("split"), col("source"), col("n_docs"),
+        round(e, 6).as("expected"),
+        round((col("n_docs") - e) / sqrt(e), 6).as("std_residual"),
+        round(col("chi2_sum") / 1000000.0, 6).as("chi2_total"),
+        ((col("n_splits") - 1) * (col("n_sources") - 1)).as("df"))
+      .orderBy("split", "source")
+  }
+
+  val splitBalanceSql: String = {
+    val e = "(CAST(row_t AS DOUBLE) * col_t / n)"
+    s"""WITH s AS (SELECT doc_id, split FROM (${makeSplitsSql}) t),
+       |cells AS (SELECT s.split, d.source, count(*) AS n_docs
+       |  FROM s JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |dims AS (SELECT CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       |  FROM cells),
+       |m AS (SELECT split, source, n_docs,
+       |    CAST(sum(n_docs) OVER (PARTITION BY split) AS BIGINT) AS row_t,
+       |    CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS col_t,
+       |    CAST(sum(n_docs) OVER () AS BIGINT) AS n
+       |  FROM cells),
+       |a AS (SELECT *,
+       |    CAST(round((n_docs - $e) * (n_docs - $e) / $e * 1000000)
+       |      AS BIGINT) AS chi2_micro
+       |  FROM m)
+       |SELECT split, source, n_docs,
+       |  round($e, 6) AS expected,
+       |  round((n_docs - $e) / sqrt($e), 6) AS std_residual,
+       |  round(CAST(sum(chi2_micro) OVER () AS BIGINT) / 1000000.0, 6)
+       |    AS chi2_total,
+       |  (n_splits - 1) * (n_sources - 1) AS df
+       |FROM a CROSS JOIN dims ORDER BY split, source""".stripMargin
+  }
 }

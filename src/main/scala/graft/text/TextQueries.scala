@@ -1075,4 +1075,66 @@ object TextQueries {
        |    * slx) / n, 6) AS intercept
        |FROM sums""".stripMargin
   }
+  /** §2.304 `bpe_fertility`: per-language fertility of the learned
+    * §2.90 BPE tokenizer — symbols emitted per whitespace word and
+    * per 100 characters, plus the share of words the merge table
+    * compresses to a SINGLE symbol. THE number a tokenizer team
+    * quotes per language (fertility ≫ 1 on a language means its text
+    * pays more sequence positions per word — the compression-equity
+    * lens on the §2.89/90/121 induction loop, and the reason
+    * production vocabularies are rebalanced across languages).
+    *
+    * Scale shape: the §2.121 vocab-fold trick — merges replay over
+    * the DISTINCT-token table only; the corpus token stream joins the
+    * vocab-sized dict once (per-token symbol counts precomputed), and
+    * the language rollup is ONE map-side-combined groupBy to a
+    * |langs|-bounded frame.
+    *
+    * Determinism: symbol counts are integers from the deterministic
+    * §2.89 fold (ties: count desc, pair asc); all aggregates are
+    * exact BIGINTs; the three ratios are single fixed-sequence
+    * divisions of identical integers. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(normalize(col("text")))).as("tok"))
+    val (_, syms) = learnAndFold(bpeTokenCounts(spark, dir), foldLast = true)
+    val dict = syms.select(col("tok"), size(col("symbols")).cast("long").as("n_syms"))
+    toks.join(dict, Seq("tok"), "left")
+      .withColumn("n_syms", coalesce(col("n_syms"), length(col("tok")).cast("long")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("tok"))).cast("long").as("n_chars"),
+        sum(col("n_syms")).as("n_symbols"),
+        sum(when(col("n_syms") === 1L, 1L).otherwise(0L)).as("n_single"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_symbols"),
+        round(col("n_symbols").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_symbols").cast("double") * 100 / col("n_chars"), 6)
+          .as("syms_per_100ch"),
+        round(col("n_single").cast("double") / col("n_words"), 6)
+          .as("single_sym_share"))
+      .orderBy("lang")
+  }
+
+  val bpeFertilitySql: String =
+    s"""WITH RECURSIVE $bpeChainSql,
+       |dict AS (
+       |  SELECT tok, CAST(len(symbols) AS BIGINT) AS n_syms
+       |  FROM syms_$BpeRounds),
+       |dtoks AS (SELECT lang, unnest(${tokensSql(normalizeSql("text"))})
+       |    AS tok
+       |  FROM documents),
+       |j AS (SELECT lang, tok,
+       |    coalesce(n_syms, length(tok)) AS n_syms
+       |  FROM dtoks LEFT JOIN dict USING (tok))
+       |SELECT lang, count(*) AS n_words,
+       |  CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_syms) AS BIGINT) AS n_symbols,
+       |  round(CAST(sum(n_syms) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+       |    AS fertility,
+       |  round(CAST(sum(n_syms) AS BIGINT) * 100 / CAST(sum(length(tok))
+       |    AS DOUBLE), 6) AS syms_per_100ch,
+       |  round(CAST(sum(CASE WHEN n_syms = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    / CAST(count(*) AS DOUBLE), 6) AS single_sym_share
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 }
