@@ -784,4 +784,223 @@ object Eval {
        |    AS mrr_10
        |FROM rr""".stripMargin
   }
+
+  /** Labeler-A keep rule for [[cohensKappa]]: the §2.29 composite
+    * quality score gated at its corpus median (~0.72 — the score
+    * ranges [0.62, 0.86] on this corpus; a 0.5 gate keeps everything
+    * and degenerates κ). The score is 6 dp-rounded, so the boundary
+    * compare is on identical doubles on both engines. */
+  val KappaScoreGate = 0.72
+
+  /** Labeler-B keep rule for [[cohensKappa]]: the cheap structural
+    * heuristic a pipeline runs before it has a trained scorer —
+    * enough tokens and mostly-alphabetic text. */
+  val KappaMinTokens = 50L
+  val KappaMinAlpha = 0.8
+
+  /** §2.305 `cohens_kappa`: inter-labeler agreement (Cohen 1960)
+    * between two corpus-filter "keep" rules — labeler A the §2.29
+    * quality-score gate, labeler B a structural heuristic
+    * (≥[[KappaMinTokens]] tokens and alpha ratio ≥[[KappaMinAlpha]]).
+    * κ = (p_o − p_e)/(1 − p_e) corrects raw agreement for chance —
+    * the number that says whether two cheap labelers actually measure
+    * the same thing (raw p_o flatters any pair of imbalanced rules).
+    * At 100 TB filter rules are developed independently and composed;
+    * this is the audit run before replacing one gate with another.
+    *
+    * Scale shape: ONE map-side-combined pass collapses the corpus to
+    * the four 2×2 contingency cells; everything after is arithmetic
+    * on one row.
+    *
+    * Determinism: cells are exact BIGINTs; p_o, p_e are divisions of
+    * exact integer cross-products (n·n as the common denominator); κ
+    * is one fixed-sequence expression of those. The degenerate
+    * both-labelers-constant case (p_e = 1) is gated by an INTEGER
+    * compare, not a float equality. */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.text.TextQueries.qualityFrame(Tables.documents(spark, dir))
+      .select(
+        when(col("quality_score") >= KappaScoreGate, 1L).otherwise(0L).as("a"),
+        when(col("n_tokens") >= KappaMinTokens &&
+          col("_alpha") >= KappaMinAlpha, 1L).otherwise(0L).as("b"))
+    val cells = f.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("a") === 1L && col("b") === 1L, 1L).otherwise(0L))
+        .as("n_both"),
+      sum(when(col("a") === 1L && col("b") === 0L, 1L).otherwise(0L))
+        .as("n_a_only"),
+      sum(when(col("a") === 0L && col("b") === 1L, 1L).otherwise(0L))
+        .as("n_b_only"),
+      sum(when(col("a") === 0L && col("b") === 0L, 1L).otherwise(0L))
+        .as("n_neither"))
+    def d(c: Column) = c.cast("double")
+    val rA1 = col("n_both") + col("n_a_only")
+    val rB1 = col("n_both") + col("n_b_only")
+    val po = d(col("n_both") + col("n_neither")) / d(col("n"))
+    val pe = d(rA1 * rB1 + (col("n") - rA1) * (col("n") - rB1)) /
+      d(col("n") * col("n"))
+    val degenerate = (rA1 === 0L || rA1 === col("n")) &&
+      (rB1 === 0L || rB1 === col("n"))
+    cells.select(col("n"), col("n_both"), col("n_a_only"),
+      col("n_b_only"), col("n_neither"),
+      round(po, 6).as("p_observed"),
+      round(pe, 6).as("p_expected"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  val cohensKappaSql: String = {
+    import graft.text.TextQueries.stopListSql
+    s"""WITH f AS (SELECT
+       |    CASE WHEN round(0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text))
+       |      + 0.4 * (1.0 - abs(len(list_filter(_toks, t -> t IN ($stopListSql))) / n_tokens - 0.3))
+       |      + 0.2 * least(1.0, n_tokens / 100.0), 6) >= $KappaScoreGate
+       |      THEN 1 ELSE 0 END AS a,
+       |    CASE WHEN n_tokens >= $KappaMinTokens AND
+       |      (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text))
+       |        >= $KappaMinAlpha THEN 1 ELSE 0 END AS b
+       |  FROM (SELECT lang, text, string_split_regex(trim(text), '\\s+') AS _toks,
+       |          CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens
+       |        FROM documents) t),
+       |cells AS (SELECT count(*) AS n,
+       |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_both,
+       |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a_only,
+       |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b_only,
+       |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_neither
+       |  FROM f)
+       |SELECT n, n_both, n_a_only, n_b_only, n_neither,
+       |  round(CAST(n_both + n_neither AS DOUBLE) / n, 6) AS p_observed,
+       |  round(CAST((n_both + n_a_only) * (n_both + n_b_only)
+       |      + (n - n_both - n_a_only) * (n - n_both - n_b_only) AS DOUBLE)
+       |    / (n * n), 6) AS p_expected,
+       |  CASE WHEN ((n_both + n_a_only) = 0 OR (n_both + n_a_only) = n)
+       |        AND ((n_both + n_b_only) = 0 OR (n_both + n_b_only) = n)
+       |    THEN NULL
+       |    ELSE round((CAST(n_both + n_neither AS DOUBLE) / n
+       |        - CAST((n_both + n_a_only) * (n_both + n_b_only)
+       |            + (n - n_both - n_a_only) * (n - n_both - n_b_only)
+       |          AS DOUBLE) / (n * n))
+       |      / (1.0 - CAST((n_both + n_a_only) * (n_both + n_b_only)
+       |            + (n - n_both - n_a_only) * (n - n_both - n_b_only)
+       |          AS DOUBLE) / (n * n)), 6)
+       |  END AS kappa
+       |FROM cells""".stripMargin
+  }
+
+  /** §2.306 `brier_decomposition`: Murphy (1973) decomposition of the
+    * Brier score of the §2.29 quality score read as P(lang = en) —
+    * BS, and over the §2.225 10-bin reliability table the REL
+    * (miscalibration, the penalty ECE reports unsquared), RES
+    * (discrimination recovered), and UNC = ȳ(1−ȳ) (irreducible)
+    * components, plus the Brier skill score 1 − BS/UNC and the
+    * binning residual gap = BS − (REL − RES + UNC), which is exactly
+    * the within-bin score variance the 10-bin coarsening hides. ECE
+    * (§2.225) says HOW FAR off the calibration is; this says how much
+    * of the total loss calibration vs discrimination each explain —
+    * the decision between recalibrating a scorer and retraining it.
+    *
+    * Scale shape: ONE map-side-combined groupBy to ≤10 bins carrying
+    * exact integer moments — the squared error (s_e6 − y·10⁶)² is an
+    * exact ≤10¹² integer per row, summed as DECIMAL(38,0)/HUGEINT; no
+    * float crosses a row boundary. The decomposition is arithmetic on
+    * the bounded bin frame.
+    *
+    * Determinism: the corpus-side sums are exact integers; each
+    * per-bin REL/RES addend is one fixed-sequence float expression of
+    * identical integers rounded to 8 dp before the ≤10-addend sum
+    * (finer than the §2.225 6 dp because squared gaps are ~10⁻⁴);
+    * BS/UNC/skill/gap are single final expressions. */
+  def brierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val f = graft.text.TextQueries.qualityFrame(Tables.documents(spark, dir))
+      .select(round(col("quality_score") * 1000000).cast("long").as("s_e6"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val bins = f
+      .withColumn("bin",
+        least(expr("s_e6 div 100000"), lit(9L)).cast("int"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum(col("s_e6").cast(dec)).as("s_sum"),
+        sum("y").as("n_pos"),
+        sum(((col("s_e6") - col("y") * 1000000L).cast(dec) *
+          (col("s_e6") - col("y") * 1000000L).cast(dec)).cast(dec))
+          .as("se2_sum"))
+    def d(c: Column) = c.cast("double")
+    val tot = bins.agg(
+      sum("n").as("nt"), sum(col("s_sum").cast(dec)).as("st"),
+      sum("n_pos").as("pt"), sum(col("se2_sum").cast(dec)).as("e2t"))
+    val terms = bins.crossJoin(broadcast(tot))
+      .withColumn("conf", d(col("s_sum")) / 1000000.0 / d(col("n")))
+      .withColumn("acc", d(col("n_pos")) / d(col("n")))
+      .withColumn("ybar", d(col("pt")) / d(col("nt")))
+      .withColumn("rel_term", round(d(col("n")) / d(col("nt")) *
+        (col("conf") - col("acc")) * (col("conf") - col("acc")), 8))
+      .withColumn("res_term", round(d(col("n")) / d(col("nt")) *
+        (col("acc") - col("ybar")) * (col("acc") - col("ybar")), 8))
+    val agg = terms.groupBy("nt", "pt", "e2t").agg(
+      round(sum("rel_term"), 8).as("reliability"),
+      round(sum("res_term"), 8).as("resolution"))
+    val ybar = d(col("pt")) / d(col("nt"))
+    val bs = d(col("e2t")) / 1.0e12 / d(col("nt"))
+    val unc = ybar * (lit(1.0) - ybar)
+    agg.select(col("nt").as("n"),
+      round(ybar, 6).as("base_rate"),
+      round(bs, 8).as("brier"),
+      round(unc, 8).as("uncertainty"),
+      col("reliability"), col("resolution"),
+      round(bs - (col("reliability") - col("resolution") + unc), 8)
+        .as("decomp_gap"),
+      round(lit(1.0) - bs / unc, 6).as("skill"))
+  }
+
+  val brierDecompositionSql: String = {
+    import graft.text.TextQueries.stopListSql
+    s"""WITH f AS (SELECT
+       |    CAST(round(round(0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text))
+       |      + 0.4 * (1.0 - abs(len(list_filter(_toks, t -> t IN ($stopListSql))) / n_tokens - 0.3))
+       |      + 0.2 * least(1.0, n_tokens / 100.0), 6) * 1000000) AS BIGINT) AS s_e6,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT lang, text, string_split_regex(trim(text), '\\s+') AS _toks,
+       |          CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens
+       |        FROM documents) t),
+       |bins AS (SELECT CAST(least(s_e6 // 100000, 9) AS INTEGER) AS bin,
+       |    count(*) AS n,
+       |    sum(CAST(s_e6 AS HUGEINT)) AS s_sum,
+       |    CAST(sum(y) AS BIGINT) AS n_pos,
+       |    sum(CAST(s_e6 - y * 1000000 AS HUGEINT)
+       |      * CAST(s_e6 - y * 1000000 AS HUGEINT)) AS se2_sum
+       |  FROM f GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, sum(s_sum) AS st,
+       |    CAST(sum(n_pos) AS BIGINT) AS pt, sum(se2_sum) AS e2t
+       |  FROM bins),
+       |terms AS (SELECT b.n, b.s_sum, b.n_pos, t.nt, t.pt, t.e2t,
+       |    CAST(b.s_sum AS DOUBLE) / 1000000.0 / b.n AS conf,
+       |    CAST(b.n_pos AS DOUBLE) / b.n AS acc,
+       |    CAST(t.pt AS DOUBLE) / t.nt AS ybar
+       |  FROM bins b CROSS JOIN tot t),
+       |rr AS (SELECT nt, pt, e2t,
+       |    round(sum(round(CAST(n AS DOUBLE) / nt * (conf - acc) * (conf - acc), 8)), 8)
+       |      AS reliability,
+       |    round(sum(round(CAST(n AS DOUBLE) / nt * (acc - ybar) * (acc - ybar), 8)), 8)
+       |      AS resolution
+       |  FROM terms GROUP BY 1, 2, 3)
+       |SELECT nt AS n,
+       |  round(CAST(pt AS DOUBLE) / nt, 6) AS base_rate,
+       |  round(CAST(e2t AS DOUBLE) / 1.0e12 / nt, 8) AS brier,
+       |  round((CAST(pt AS DOUBLE) / nt) * (1.0 - CAST(pt AS DOUBLE) / nt), 8)
+       |    AS uncertainty,
+       |  reliability, resolution,
+       |  round(CAST(e2t AS DOUBLE) / 1.0e12 / nt
+       |    - (reliability - resolution
+       |       + (CAST(pt AS DOUBLE) / nt) * (1.0 - CAST(pt AS DOUBLE) / nt)), 8)
+       |    AS decomp_gap,
+       |  round(1.0 - (CAST(e2t AS DOUBLE) / 1.0e12 / nt)
+       |    / ((CAST(pt AS DOUBLE) / nt) * (1.0 - CAST(pt AS DOUBLE) / nt)), 6)
+       |    AS skill
+       |FROM rr""".stripMargin
+  }
 }

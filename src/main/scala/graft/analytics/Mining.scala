@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -1191,4 +1191,116 @@ object Mining {
        |    ELSE 0.0 END AS credit_share
        |FROM eff CROSS JOIN tot ORDER BY channel""".stripMargin
   }
+
+  /** §2.307 `gini_lorenz`: Gini coefficient + Lorenz-curve shares of
+    * customer revenue per market segment — the inequality measure
+    * that complements §2.163's HHI (HHI reads concentration off the
+    * top squares; Gini integrates the whole Lorenz curve) and §2.236's
+    * Pareto table (fixed top-k% cuts of the item side). Per segment:
+    * G from the rank-sum identity G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n,
+    * the revenue share of the bottom half of customers, and of the
+    * top decile.
+    *
+    * Scale shape: customer-grain revenue in ONE map-side-combined
+    * groupBy; the segment decoration is a pinned shuffle_hash join
+    * (data-proportional dim — the §6 round-5 broadcast trap); then
+    * value-grain (segment, cents) cells with a per-segment cumulative
+    * window (the §2.272 cumulative-weight-over-sorted-values pattern —
+    * distributed per-segment sort of an already-collapsed frame, no
+    * global sort, no collect). Σi·x never materializes ranks: a tied
+    * value group's rank-sum is cnt·C_prev + cnt(cnt+1)/2 — exact, and
+    * independent of tie order because tied x are equal.
+    *
+    * Determinism: cents/counts exact; rank-sums and i·x products
+    * carried as DECIMAL(38,0) ≡ HUGEINT; Lorenz boundaries are INTEGER
+    * floor-divisions (n div 2, 9n div 10) with straddling value
+    * groups split exactly by integer rank arithmetic; the three
+    * ratios are fixed-sequence divisions of identical integers. */
+  def giniLorenz(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rev = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("o_custkey").agg(sum("c").as("cents"))
+    val seg = rev.join(
+      Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        .hint("shuffle_hash"),
+      "o_custkey")
+    val cells = seg.groupBy("c_mktsegment", "cents")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("c_mktsegment").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("c_mktsegment")
+    def d(c: Column) = c.cast("double")
+    val marked = cells
+      .withColumn("cc", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("sx", sum((col("cents").cast(dec) *
+        col("cnt").cast(dec)).cast(dec)).over(wAll))
+      .withColumn("cp", col("cc") - col("cnt"))
+      .withColumn("ranksum", (col("cnt").cast(dec) * col("cp").cast(dec) +
+        expr("CAST(cnt AS DECIMAL(38,0)) * (cnt + 1) div 2").cast(dec))
+        .cast(dec))
+      .withColumn("ix", (col("cents").cast(dec) * col("ranksum")).cast(dec))
+      .withColumn("half", expr("n div 2"))
+      .withColumn("r90", expr("(n * 9) div 10"))
+      .withColumn("c50", (col("cents").cast(dec) *
+        greatest(lit(0L), least(col("cc"), col("half")) - col("cp"))
+          .cast(dec)).cast(dec))
+      .withColumn("t10", (col("cents").cast(dec) *
+        greatest(lit(0L), col("cc") - greatest(col("cp"), col("r90")))
+          .cast(dec)).cast(dec))
+    marked.groupBy("c_mktsegment", "n", "sx").agg(
+      sum(col("ix").cast(dec)).as("six"),
+      sum(col("c50").cast(dec)).as("s50"),
+      sum(col("t10").cast(dec)).as("st10"))
+      .select(col("c_mktsegment").as("segment"),
+        col("n").as("n_customers"),
+        col("sx").cast("long").as("revenue_cents"),
+        round(lit(2.0) * d(col("six")) / (d(col("n")) * d(col("sx")))
+          - d(col("n") + 1) / d(col("n")), 6).as("gini"),
+        round(d(col("s50")) / d(col("sx")), 6).as("bottom50_share"),
+        round(d(col("st10")) / d(col("sx")), 6).as("top10_share"))
+      .orderBy("segment")
+  }
+
+  val giniLorenzSql: String =
+    """WITH rev AS (SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |seg AS (SELECT c.c_mktsegment, r.cents
+      |  FROM rev r JOIN customer c ON c.c_custkey = r.o_custkey),
+      |cells AS (SELECT c_mktsegment, cents, count(*) AS cnt
+      |  FROM seg GROUP BY 1, 2),
+      |marked AS (SELECT c_mktsegment, cents, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cc,
+      |    CAST(sum(cnt) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n,
+      |    sum(CAST(cents AS HUGEINT) * cnt)
+      |      OVER (PARTITION BY c_mktsegment) AS sx
+      |  FROM cells),
+      |terms AS (SELECT c_mktsegment, n, sx,
+      |    CAST(cents AS HUGEINT)
+      |      * (CAST(cnt AS HUGEINT) * (cc - cnt)
+      |         + CAST(cnt AS HUGEINT) * (cnt + 1) // 2) AS ix,
+      |    CAST(cents AS HUGEINT)
+      |      * greatest(0, least(cc, n // 2) - (cc - cnt)) AS c50,
+      |    CAST(cents AS HUGEINT)
+      |      * greatest(0, cc - greatest(cc - cnt, (n * 9) // 10)) AS t10
+      |  FROM marked)
+      |SELECT c_mktsegment AS segment, n AS n_customers,
+      |  CAST(sx AS BIGINT) AS revenue_cents,
+      |  round(2.0 * CAST(sum(ix) AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini,
+      |  round(CAST(sum(c50) AS DOUBLE) / CAST(sx AS DOUBLE), 6)
+      |    AS bottom50_share,
+      |  round(CAST(sum(t10) AS DOUBLE) / CAST(sx AS DOUBLE), 6)
+      |    AS top10_share
+      |FROM terms GROUP BY c_mktsegment, n, sx
+      |ORDER BY segment""".stripMargin
 }

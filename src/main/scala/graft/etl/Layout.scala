@@ -536,4 +536,164 @@ object Layout {
        |    ELSE 'ok' END AS verdict
        |FROM reports ORDER BY candidate""".stripMargin
   }
+
+  /** Shard count for [[zorderStats]] — 64 range buckets per layout. */
+  val ZShards = 64L
+
+  /** 16-bit Morton interleave as engine-portable integer arithmetic:
+    * x lands on odd bits, y on even. `divOp` is `div` (Spark SQL) or
+    * `//` (DuckDB); the expansion is pure power-of-two div/mod/mul, so
+    * both engines compute identical BIGINTs. */
+  def mortonExpr(x: String, y: String, divOp: String): String =
+    (0 until 16).map { i =>
+      val bit = 1L << i
+      s"(($x $divOp $bit) % 2) * ${1L << (2 * i + 1)}" +
+        s" + (($y $divOp $bit) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  /** §2.308 `zorder_stats`: Z-order vs linear-sort vs natural layout
+    * audit for TWO-dimensional predicate pruning — the lineitem corpus
+    * range-bucketed into [[ZShards]] shards under three layouts
+    * (natural orderkey ranges; partkey-sorted; Morton-interleaved
+    * (partkey, suppkey)), then two 2-D box predicates (a 10%×10% and a
+    * 30%×30% slice of both key domains) replayed against per-shard
+    * min/max footer stats. §2.293 proves single-column sorting wins on
+    * ONE predicate dimension; this measures the multi-dimensional
+    * claim behind §2.92's Z-order write: a partkey sort prunes partkey
+    * boxes but scans every suppkey, while the Morton curve prunes BOTH
+    * — the table that justifies (or rejects) interleaved clustering
+    * before a 100 TB rewrite.
+    *
+    * Scale shape: shard ids are PURE EXPRESSIONS (equal-width ranges
+    * over the normalized key / the Morton code / the dense orderkey) —
+    * range-partitioned writes, NO global sort, no row_number anywhere;
+    * ONE row-level 3-way stack → ONE map-side-combined groupBy to
+    * ≤3·[[ZShards]] shard-footer rows; the box replay is arithmetic on
+    * that bounded frame. Key-domain maxima are a 1-row broadcast.
+    *
+    * Determinism: all-integer — 16-bit normalization and box bounds
+    * by floor division, the Morton code via [[mortonExpr]], overlap
+    * tests integer compares; efficiency is the single final division. */
+  def zorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"),
+        col("l_suppkey").as("s"))
+    val maxes = li.agg(max("o").as("maxo"), max("p").as("maxp"),
+      max("s").as("maxs"))
+    // keys are 0-based dense; div by (max+1) keeps px/py in [0, 65536)
+    // with NO negative operand anywhere (negative % / bit extraction is
+    // where engine semantics and two's-complement replays diverge)
+    val rows = li.crossJoin(broadcast(maxes))
+      .withColumn("px", expr("p * 65536 div (maxp + 1)"))
+      .withColumn("py", expr("s * 65536 div (maxs + 1)"))
+      .withColumn("mz", expr(mortonExpr("px", "py", "div")))
+      .withColumn("sh_nat", least(lit(ZShards - 1),
+        expr(s"o * $ZShards div (maxo + 1)")))
+      .withColumn("sh_sort", expr(s"px div ${65536L / ZShards}"))
+      .withColumn("sh_z", expr(s"mz div ${4294967296L / ZShards}"))
+      .withColumn("m_narrow",
+        when(col("p") > expr("maxp * 2 div 10") &&
+          col("p") <= expr("maxp * 3 div 10") &&
+          col("s") > expr("maxs * 2 div 10") &&
+          col("s") <= expr("maxs * 3 div 10"), 1L).otherwise(0L))
+      .withColumn("m_wide",
+        when(col("p") > expr("maxp * 2 div 10") &&
+          col("p") <= expr("maxp * 5 div 10") &&
+          col("s") > expr("maxs * 2 div 10") &&
+          col("s") <= expr("maxs * 5 div 10"), 1L).otherwise(0L))
+    val shards = rows
+      .select(col("p"), col("s"), col("m_narrow"), col("m_wide"),
+        expr("stack(3, 'natural', sh_nat, 'sorted_part', sh_sort, " +
+          "'zorder', sh_z)").as(Seq("layout", "shard")))
+      .groupBy("layout", "shard").agg(
+        count(lit(1)).as("n"),
+        min("p").as("p_min"), max("p").as("p_max"),
+        min("s").as("s_min"), max("s").as("s_max"),
+        sum("m_narrow").as("mn"), sum("m_wide").as("mw"))
+      .crossJoin(broadcast(maxes))
+    def boxed(box: String, hiTenths: Int, m: Column): DataFrame =
+      shards.select(col("layout"), lit(box).as("box"), col("n"),
+        col("p_min"), col("p_max"), col("s_min"), col("s_max"),
+        m.as("m"),
+        expr("maxp * 2 div 10").as("plo"),
+        expr(s"maxp * $hiTenths div 10").as("phi"),
+        expr("maxs * 2 div 10").as("slo"),
+        expr(s"maxs * $hiTenths div 10").as("shi"))
+    val scanned = (col("p_max") > col("plo")) &&
+      (col("p_min") <= col("phi")) &&
+      (col("s_max") > col("slo")) && (col("s_min") <= col("shi"))
+    boxed("narrow", 3, col("mn")).unionByName(boxed("wide", 5, col("mw")))
+      .groupBy("layout", "box").agg(
+        count(lit(1)).as("shards_total"),
+        sum(when(scanned, 1L).otherwise(0L)).as("shards_scanned"),
+        sum("n").as("rows_total"),
+        sum(when(scanned, col("n")).otherwise(0L)).as("rows_scanned"),
+        sum("m").as("rows_match"))
+      .withColumn("scan_efficiency",
+        when(col("rows_scanned") === 0L, lit(1.0)).otherwise(
+          round(col("rows_match").cast("double") / col("rows_scanned"), 6)))
+      .orderBy("layout", "box")
+  }
+
+  val zorderStatsSql: String = {
+    val mz = mortonExpr("px", "py", "//")
+    s"""WITH maxes AS (SELECT max(l_orderkey) AS maxo, max(l_partkey) AS maxp,
+       |    max(l_suppkey) AS maxs FROM lineitem),
+       |rows_n AS (SELECT l_orderkey AS o, l_partkey AS p, l_suppkey AS s,
+       |    l_partkey * 65536 // (maxp + 1) AS px,
+       |    l_suppkey * 65536 // (maxs + 1) AS py,
+       |    maxo, maxp, maxs
+       |  FROM lineitem CROSS JOIN maxes),
+       |rows_m AS (SELECT o, p, s, px, py, maxo, maxp, maxs,
+       |    $mz AS mz,
+       |    CASE WHEN p > maxp * 2 // 10 AND p <= maxp * 3 // 10
+       |      AND s > maxs * 2 // 10 AND s <= maxs * 3 // 10
+       |      THEN 1 ELSE 0 END AS m_narrow,
+       |    CASE WHEN p > maxp * 2 // 10 AND p <= maxp * 5 // 10
+       |      AND s > maxs * 2 // 10 AND s <= maxs * 5 // 10
+       |      THEN 1 ELSE 0 END AS m_wide
+       |  FROM rows_n),
+       |stacked AS (
+       |  SELECT 'natural' AS layout,
+       |    least(${ZShards - 1}, o * $ZShards // (maxo + 1)) AS shard,
+       |    p, s, m_narrow, m_wide FROM rows_m
+       |  UNION ALL
+       |  SELECT 'sorted_part', px // ${65536L / ZShards}, p, s,
+       |    m_narrow, m_wide FROM rows_m
+       |  UNION ALL
+       |  SELECT 'zorder', mz // ${4294967296L / ZShards}, p, s,
+       |    m_narrow, m_wide FROM rows_m),
+       |shards AS (SELECT layout, shard, count(*) AS n,
+       |    min(p) AS p_min, max(p) AS p_max,
+       |    min(s) AS s_min, max(s) AS s_max,
+       |    CAST(sum(m_narrow) AS BIGINT) AS mn,
+       |    CAST(sum(m_wide) AS BIGINT) AS mw
+       |  FROM stacked GROUP BY 1, 2),
+       |boxed AS (
+       |  SELECT layout, 'narrow' AS box, n, p_min, p_max, s_min, s_max,
+       |    mn AS m, maxp * 2 // 10 AS plo, maxp * 3 // 10 AS phi,
+       |    maxs * 2 // 10 AS slo, maxs * 3 // 10 AS shi
+       |  FROM shards CROSS JOIN maxes
+       |  UNION ALL
+       |  SELECT layout, 'wide', n, p_min, p_max, s_min, s_max,
+       |    mw, maxp * 2 // 10, maxp * 5 // 10,
+       |    maxs * 2 // 10, maxs * 5 // 10
+       |  FROM shards CROSS JOIN maxes),
+       |rep AS (SELECT layout, box, count(*) AS shards_total,
+       |    CAST(sum(CASE WHEN p_max > plo AND p_min <= phi
+       |      AND s_max > slo AND s_min <= shi THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS shards_scanned,
+       |    CAST(sum(n) AS BIGINT) AS rows_total,
+       |    CAST(sum(CASE WHEN p_max > plo AND p_min <= phi
+       |      AND s_max > slo AND s_min <= shi THEN n ELSE 0 END) AS BIGINT)
+       |      AS rows_scanned,
+       |    CAST(sum(m) AS BIGINT) AS rows_match
+       |  FROM boxed GROUP BY 1, 2)
+       |SELECT layout, box, shards_total, shards_scanned, rows_total,
+       |  rows_scanned, rows_match,
+       |  CASE WHEN rows_scanned = 0 THEN 1.0
+       |    ELSE round(CAST(rows_match AS DOUBLE) / rows_scanned, 6)
+       |  END AS scan_efficiency
+       |FROM rep ORDER BY layout, box""".stripMargin
+  }
 }

@@ -243,4 +243,98 @@ object CorpusOps {
        |  round(coalesce(k_toks, 0) * 100.0 / t_toks, 4) AS token_pct
        |FROM grid g LEFT JOIN kept ON g.min_tokens = kept.min_tokens, tot
        |ORDER BY min_tokens""".stripMargin
+
+  /** Candidate context lengths audited by [[contextLenSweep]] —
+    * power-of-two training sequence lengths spanning the corpus's
+    * document-length distribution. */
+  val ContextLengths: Seq[Int] = Seq(64, 128, 256, 512, 1024)
+
+  /** §2.309 `context_len_sweep`: max-sequence-length cost table for
+    * training-batch construction — for each candidate context length L
+    * in [[ContextLengths]], what the two standard packing regimes cost:
+    * truncate-and-pad (one doc per sequence — docs longer than L lose
+    * their tail, shorter ones pay padding) vs concat-and-chunk (the
+    * GPT-style token stream — no loss, no padding, but documents cross
+    * sequence boundaries). §2.38 EXECUTES a packing at one fixed L;
+    * this is the sweep that picks L, priced on the corpus it will pack
+    * — the truncation-share and padding-share columns are the two
+    * numbers a pretraining run trades off, read in ONE pass instead of
+    * re-tokenizing 100 TB per candidate.
+    *
+    * Scale shape: the corpus collapses to doc-grain token counts in
+    * one scan; the constant |L|-grid explodes THAT frame (the §2.199
+    * doc-grain-fanout convention), one map-side-combined groupBy per
+    * grid cell; totals are a 1-row broadcast. Grid LEFT join so a
+    * degenerate candidate reports 0, not a missing row.
+    *
+    * Determinism: all-integer — truncation/padding are min/max of
+    * integers, sequence counts are ceil by integer arithmetic; the two
+    * shares are rounded HALF-UP at 6 dp in pure INTEGER arithmetic
+    * ((x·2·10⁶ + d) div 2d) because the round denominators
+    * (t_docs·max_len) land exact ties where float round() diverges
+    * cross-engine. */
+  def contextLenSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docToks = Tables.documents(spark, dir)
+      .select(size(tokens(col("text"))).cast("long").as("n_toks"))
+    val totals = docToks.agg(count(lit(1)).as("t_docs"),
+      sum("n_toks").as("t_toks"))
+    val cells = docToks
+      .select(col("n_toks"),
+        explode(array(ContextLengths.map(l => lit(l.toLong)): _*)).as("max_len"))
+      .groupBy("max_len").agg(
+        sum(when(col("n_toks") > col("max_len"), 1L).otherwise(0L))
+          .as("docs_truncated"),
+        sum(greatest(lit(0L), col("n_toks") - col("max_len")))
+          .as("tokens_truncated"),
+        sum(col("max_len") - least(col("n_toks"), col("max_len")))
+          .as("pad_tokens"))
+    import spark.implicits._
+    ContextLengths.map(_.toLong).toDF("max_len")
+      .join(cells, Seq("max_len"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("tt", coalesce(col("tokens_truncated"), lit(0L)))
+      .withColumn("pt", coalesce(col("pad_tokens"), lit(0L)))
+      // shares rounded HALF-UP in pure integer arithmetic: the round
+      // denominators (t_docs·max_len) make exact 7th-digit-5 ties
+      // common, where the engines' float round() disagree
+      .select(col("max_len"),
+        coalesce(col("docs_truncated"), lit(0L)).as("docs_truncated"),
+        (expr("(tt * 2000000 + t_toks) div (2 * t_toks)")
+          .cast("double") / 1000000.0).as("trunc_token_share"),
+        (expr("(pt * 2000000 + t_docs * max_len) div " +
+          "(2 * t_docs * max_len)").cast("double") / 1000000.0)
+          .as("pad_share"),
+        col("t_docs").as("seqs_padded"),
+        expr("(t_toks + max_len - 1) div max_len").as("seqs_concat"),
+        col("t_toks").as("tokens_total"))
+      .orderBy("max_len")
+  }
+
+  val contextLenSweepSql: String =
+    s"""WITH dt AS (SELECT CAST(len(${tokensSql("text")}) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |tot AS (SELECT count(*) AS t_docs, CAST(sum(n_toks) AS BIGINT)
+       |    AS t_toks FROM dt),
+       |grid AS (SELECT CAST(unnest([${ContextLengths.mkString(", ")}])
+       |  AS BIGINT) AS max_len),
+       |cells AS (SELECT g.max_len AS max_len,
+       |    CAST(sum(CASE WHEN n_toks > g.max_len THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS docs_truncated,
+       |    CAST(sum(greatest(0, n_toks - g.max_len)) AS BIGINT)
+       |      AS tokens_truncated,
+       |    CAST(sum(g.max_len - least(n_toks, g.max_len)) AS BIGINT)
+       |      AS pad_tokens
+       |  FROM dt CROSS JOIN grid g
+       |  GROUP BY 1)
+       |SELECT g.max_len AS max_len,
+       |  coalesce(docs_truncated, 0) AS docs_truncated,
+       |  CAST((coalesce(tokens_truncated, 0) * 2000000 + t_toks)
+       |    // (2 * t_toks) AS DOUBLE) / 1000000.0 AS trunc_token_share,
+       |  CAST((coalesce(pad_tokens, 0) * 2000000 + t_docs * g.max_len)
+       |    // (2 * t_docs * g.max_len) AS DOUBLE) / 1000000.0 AS pad_share,
+       |  t_docs AS seqs_padded,
+       |  (t_toks + g.max_len - 1) // g.max_len AS seqs_concat,
+       |  t_toks AS tokens_total
+       |FROM grid g LEFT JOIN cells ON g.max_len = cells.max_len, tot
+       |ORDER BY max_len""".stripMargin
 }
