@@ -891,6 +891,86 @@ object Eval {
        |FROM cells""".stripMargin
   }
 
+  /** §2.310 `slice_auc`: the §2.203 ROC-AUC computed per corpus slice
+    * (documents.source) PLUS the pooled 'ALL' row — the
+    * Simpson's-paradox audit for model evaluation: a score can rank
+    * well pooled and badly inside every slice (or the reverse) when
+    * slice base rates differ, and at 100 TB eval sets are always
+    * slice mixtures. Read next to §2.226's slice metric gaps; this is
+    * the ranking-quality version.
+    *
+    * Scale shape: ONE scan with a 2-way slice fanout (source + 'ALL'
+    * — the §2.199 constant fanout on the doc-grain frame), one
+    * map-side-combined groupBy to (slice, 4 dp-grid score) cells —
+    * ≤(|slices|+1)·10⁴ rows whatever the corpus — and the §2.203
+    * rank-sum arithmetic as a PER-SLICE window over that bounded
+    * frame.
+    *
+    * Determinism: the §2.203 convention verbatim — 2·R⁺ carried as
+    * pure BIGINT, one final division of identical integers; a
+    * single-class slice (n⁺·n⁻ = 0) yields NULL via an INTEGER
+    * gate. */
+  def sliceAuc(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.text.TextQueries.qualityFrame(Tables.documents(spark, dir))
+      .select((round(col("quality_score") * 10000) / 10000.0).as("s"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        col("source"))
+      .select(col("s"), col("y"),
+        explode(array(col("source"), lit("ALL"))).as("slice"))
+    val cells = f.groupBy("slice", "s").agg(
+      sum("y").as("np"), (count(lit(1)) - sum(col("y"))).as("nn"))
+    val w = Window.partitionBy("slice").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("cum",
+        sum(col("np") + col("nn")).over(w) - (col("np") + col("nn")))
+      .withColumn("rs2",
+        col("np") * (col("cum") * 2 + col("np") + col("nn") + 1))
+    ranked.groupBy("slice").agg(
+      sum("np").as("n_pos"), sum("nn").as("n_neg"), sum("rs2").as("rs2"))
+      .select(col("slice"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") * col("n_neg") === 0L, lit(null).cast("double"))
+          .otherwise(
+            round((col("rs2") - col("n_pos") * (col("n_pos") + 1))
+              .cast("double") /
+              (col("n_pos") * col("n_neg") * 2).cast("double"), 6))
+          .as("auc"))
+      .orderBy("slice")
+  }
+
+  val sliceAucSql: String = {
+    import graft.text.TextQueries.stopListSql
+    s"""WITH f0 AS (SELECT
+       |    round(round(0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text))
+       |      + 0.4 * (1.0 - abs(len(list_filter(_toks, t -> t IN ($stopListSql))) / n_tokens - 0.3))
+       |      + 0.2 * least(1.0, n_tokens / 100.0), 6) * 10000) / 10000.0 AS s,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, source
+       |  FROM (SELECT lang, source, text,
+       |          string_split_regex(trim(text), '\\s+') AS _toks,
+       |          CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens
+       |        FROM documents) t),
+       |f AS (SELECT s, y, source AS slice FROM f0
+       |  UNION ALL SELECT s, y, 'ALL' FROM f0),
+       |cells AS (SELECT slice, s, CAST(sum(y) AS BIGINT) AS np,
+       |    CAST(count(*) - sum(y) AS BIGINT) AS nn
+       |  FROM f GROUP BY slice, s),
+       |ranked AS (SELECT slice, np, nn,
+       |    CAST(sum(np + nn) OVER (PARTITION BY slice ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - (np + nn) AS BIGINT) AS cum
+       |  FROM cells),
+       |agg AS (SELECT slice, CAST(sum(np) AS BIGINT) AS n_pos,
+       |    CAST(sum(nn) AS BIGINT) AS n_neg,
+       |    CAST(sum(np * (cum * 2 + np + nn + 1)) AS BIGINT) AS rs2
+       |  FROM ranked GROUP BY slice)
+       |SELECT slice, n_pos, n_neg,
+       |  CASE WHEN n_pos * n_neg = 0 THEN NULL
+       |    ELSE round(CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+       |      / CAST(n_pos * n_neg * 2 AS DOUBLE), 6)
+       |  END AS auc
+       |FROM agg ORDER BY slice""".stripMargin
+  }
+
   /** §2.306 `brier_decomposition`: Murphy (1973) decomposition of the
     * Brier score of the §2.29 quality score read as P(lang = en) —
     * BS, and over the §2.225 10-bin reliability table the REL

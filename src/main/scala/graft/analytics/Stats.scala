@@ -1067,4 +1067,267 @@ object Stats {
        |  round($adjA - $adjB, 6) AS diff_adj
        |FROM one""".stripMargin
   }
+
+  /** §2.311 `strata_adjust`: post-stratification treatment-effect
+    * adjustment (the observational twin of §2.288's CUPED): exposure =
+    * "user's error-event count above the corpus median" (organic and
+    * activity-correlated — NOT randomized; more events means more
+    * errors, so exposure confounds with activity by construction),
+    * outcome = per-user purchase cents, strata = activity deciles by
+    * click count. Per stratum the arm means and gap; then the naive
+    * pooled difference vs the stratum-size-weighted adjusted
+    * difference Σ(n_s/n_valid)·(ȳ_t,s − ȳ_c,s) over strata carrying
+    * BOTH arms — the Simpson's-paradox correction, and the first
+    * causal adjustment anyone runs on 100 TB of logs where treatment
+    * was never assigned.
+    *
+    * Scale shape: ONE user-grain map-side-combined groupBy; both the
+    * decile assignment and the exposure median reuse §2.289's integer
+    * boundary rule over VALUE-grain frames (clicks/errors per user
+    * are small-integer grids, so both frames are bounded) joined back
+    * by value — broadcasts of grids, not data-sized dims; then one
+    * groupBy to ≤10 stratum cells, windows over those.
+    *
+    * Determinism: counts/cents exact BIGINTs; decile boundaries and
+    * the median by INTEGER arithmetic (cum_below·10 div n; smallest
+    * value with cum·2 ≥ n); arm means single divisions guarded by
+    * INTEGER compares (an empty arm yields NULL, never an ANSI
+    * divide-by-zero); each adjusted addend is one fixed-sequence
+    * float of exact integers rounded 6 dp before the ≤10-addend
+    * sum. */
+  def strataAdjust(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val users = ev.groupBy("user_id").agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("clicks"),
+      sum(when(col("event_type") === "error", 1L).otherwise(0L))
+        .as("errs"),
+      sum(when(col("event_type") === "purchase",
+        expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+        .as("cents"))
+    val wAll = Window.partitionBy(lit(1))
+    val medErr = users.groupBy("errs").agg(count(lit(1)).as("ec"))
+      .withColumn("cum", sum("ec").over(Window.orderBy("errs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nu", sum("ec").over(wAll))
+      .agg(min(when(col("cum") * 2 >= col("nu"), col("errs")))
+        .as("med_err"))
+    val grid = users.groupBy("clicks").agg(count(lit(1)).as("gc"))
+    val wCum = Window.orderBy("clicks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deciled = grid
+      .withColumn("cum_below", sum("gc").over(wCum) - col("gc"))
+      .withColumn("n_users", sum("gc").over(wAll))
+      .withColumn("stratum",
+        least(expr("cum_below * 10 div n_users"), lit(9L)))
+      .select("clicks", "stratum")
+    val cells = users.join(broadcast(deciled), "clicks")
+      .crossJoin(broadcast(medErr))
+      .withColumn("treated", when(col("errs") > col("med_err"), 1L)
+        .otherwise(0L))
+      .groupBy("stratum").agg(
+        sum(when(col("treated") === 1L, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treated") === 0L, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("treated") === 1L, col("cents")).otherwise(0L))
+          .as("cents_t"),
+        sum(when(col("treated") === 0L, col("cents")).otherwise(0L))
+          .as("cents_c"))
+    def d(c: Column) = c.cast("double")
+    val valid = col("n_t") > 0L && col("n_c") > 0L
+    val meanT = d(col("cents_t")) / 100.0 / d(col("n_t"))
+    val meanC = d(col("cents_c")) / 100.0 / d(col("n_c"))
+    val marked = cells
+      .withColumn("mean_t", when(col("n_t") === 0L, lit(null))
+        .otherwise(round(meanT, 6)))
+      .withColumn("mean_c", when(col("n_c") === 0L, lit(null))
+        .otherwise(round(meanC, 6)))
+      .withColumn("diff", when(valid, round(meanT - meanC, 6)))
+      .withColumn("n_valid",
+        sum(when(valid, col("n_t") + col("n_c")).otherwise(0L)).over(wAll))
+      .withColumn("adj_term", when(valid, round(
+        d(col("n_t") + col("n_c")) / d(col("n_valid")) *
+          (meanT - meanC), 6)).otherwise(lit(0.0)))
+    marked
+      .withColumn("naive_diff", when(
+        sum("n_t").over(wAll) === 0L || sum("n_c").over(wAll) === 0L,
+        lit(null).cast("double")).otherwise(round(
+        sum("cents_t").over(wAll).cast("double") / 100.0 /
+          d(sum("n_t").over(wAll)) -
+          sum("cents_c").over(wAll).cast("double") / 100.0 /
+            d(sum("n_c").over(wAll)), 6)))
+      .withColumn("adjusted_diff", round(sum("adj_term").over(wAll), 6))
+      .withColumn("n_strata_valid",
+        sum(when(valid, 1L).otherwise(0L)).over(wAll))
+      .select(col("stratum"), col("n_t"), col("n_c"), col("mean_t"),
+        col("mean_c"), col("diff"), col("naive_diff"),
+        col("adjusted_diff"), col("n_strata_valid"))
+      .orderBy("stratum")
+  }
+
+  val strataAdjustSql: String =
+    """WITH users AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS clicks,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS errs,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1),
+      |med AS (SELECT min(CASE WHEN cum * 2 >= nu THEN errs END) AS med_err
+      |  FROM (SELECT errs,
+      |      CAST(sum(ec) OVER (ORDER BY errs
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |        AS cum,
+      |      CAST(sum(ec) OVER () AS BIGINT) AS nu
+      |    FROM (SELECT errs, count(*) AS ec FROM users GROUP BY 1) g) m),
+      |grid AS (SELECT clicks, count(*) AS gc FROM users GROUP BY 1),
+      |deciled AS (SELECT clicks,
+      |    least((CAST(sum(gc) OVER (ORDER BY clicks
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      - gc) * 10 // CAST(sum(gc) OVER () AS BIGINT), 9) AS stratum
+      |  FROM grid),
+      |cells AS (SELECT d.stratum,
+      |    CAST(sum(CASE WHEN u.errs > med.med_err THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_t,
+      |    CAST(sum(CASE WHEN u.errs > med.med_err THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS n_c,
+      |    CAST(sum(CASE WHEN u.errs > med.med_err THEN u.cents ELSE 0 END)
+      |      AS BIGINT) AS cents_t,
+      |    CAST(sum(CASE WHEN u.errs > med.med_err THEN 0 ELSE u.cents END)
+      |      AS BIGINT) AS cents_c
+      |  FROM users u JOIN deciled d ON u.clicks = d.clicks CROSS JOIN med
+      |  GROUP BY 1),
+      |marked AS (SELECT stratum, n_t, n_c, cents_t, cents_c,
+      |    CASE WHEN n_t = 0 THEN NULL
+      |      ELSE round(CAST(cents_t AS DOUBLE) / 100.0 / n_t, 6)
+      |    END AS mean_t,
+      |    CASE WHEN n_c = 0 THEN NULL
+      |      ELSE round(CAST(cents_c AS DOUBLE) / 100.0 / n_c, 6)
+      |    END AS mean_c,
+      |    CASE WHEN n_t > 0 AND n_c > 0 THEN round(
+      |      CAST(cents_t AS DOUBLE) / 100.0 / n_t
+      |        - CAST(cents_c AS DOUBLE) / 100.0 / n_c, 6) END AS diff,
+      |    CAST(sum(CASE WHEN n_t > 0 AND n_c > 0 THEN n_t + n_c ELSE 0 END)
+      |      OVER () AS BIGINT) AS n_valid,
+      |    CAST(sum(n_t) OVER () AS BIGINT) AS tot_nt,
+      |    CAST(sum(n_c) OVER () AS BIGINT) AS tot_nc,
+      |    CAST(sum(cents_t) OVER () AS BIGINT) AS tot_ct,
+      |    CAST(sum(cents_c) OVER () AS BIGINT) AS tot_cc
+      |  FROM cells),
+      |terms AS (SELECT *,
+      |    CASE WHEN n_t > 0 AND n_c > 0 THEN round(
+      |      CAST(n_t + n_c AS DOUBLE) / n_valid
+      |        * (CAST(cents_t AS DOUBLE) / 100.0 / n_t
+      |           - CAST(cents_c AS DOUBLE) / 100.0 / n_c), 6)
+      |      ELSE 0.0 END AS adj_term
+      |  FROM marked)
+      |SELECT stratum, n_t, n_c, mean_t, mean_c, diff,
+      |  CASE WHEN tot_nt = 0 OR tot_nc = 0 THEN NULL
+      |    ELSE round(CAST(tot_ct AS DOUBLE) / 100.0 / tot_nt
+      |      - CAST(tot_cc AS DOUBLE) / 100.0 / tot_nc, 6) END AS naive_diff,
+      |  round(sum(adj_term) OVER (), 6) AS adjusted_diff,
+      |  CAST(sum(CASE WHEN n_t > 0 AND n_c > 0 THEN 1 ELSE 0 END)
+      |    OVER () AS BIGINT) AS n_strata_valid
+      |FROM terms ORDER BY stratum""".stripMargin
+
+  /** §2.312 `spearman_corr`: Spearman rank correlation between two
+    * per-item engagement metrics — click count vs purchase cents —
+    * with Pearson on the raw values alongside: ρ_s asks "does MORE
+    * clicked mean MORE bought" monotonically, immune to the heavy
+    * right tails that dominate r (§2.16 measures linear association
+    * on lineitem; this is the rank-based twin on the catalog, the
+    * robust default for skewed engagement data).
+    *
+    * Scale shape: the corpus collapses to the item grain (catalog-
+    * bounded) in ONE map-side-combined groupBy; average ranks come
+    * from TWO windows over that bounded frame (rank() + tie count —
+    * no value-grain join-back needed at catalog scale); the moment
+    * reduction is one row.
+    *
+    * Determinism: average ranks with ties are half-integers, carried
+    * ×2 as exact integers (u = 2·rank_min + tie_cnt − 1, the §2.203
+    * convention); ALL five moments are DECIMAL(38,0) ≡ HUGEINT sums
+    * of integer products; ρ and r are single fixed-sequence
+    * expressions (sqrt on identical doubles — the one libm call both
+    * engines agree on). */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val items = Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("item"),
+        col("event_type"), col("value"))
+      .filter(col("item").isNotNull)
+      .groupBy("item").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("y"))
+    def u2(c: String): Column =
+      rank().over(Window.orderBy(col(c))).cast("long") * 2 +
+        count(lit(1)).over(Window.partitionBy(col(c))) - 1
+    val ranked = items
+      .withColumn("u", u2("x")).withColumn("v", u2("y"))
+    def m(a: Column, b: Column) = sum((a.cast(dec) * b.cast(dec)).cast(dec))
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      m(col("u"), lit(1L)).as("su"), m(col("v"), lit(1L)).as("sv"),
+      m(col("u"), col("u")).as("su2"), m(col("v"), col("v")).as("sv2"),
+      m(col("u"), col("v")).as("suv"),
+      m(col("x"), lit(1L)).as("sx"), m(col("y"), lit(1L)).as("sy"),
+      m(col("x"), col("x")).as("sx2"), m(col("y"), col("y")).as("sy2"),
+      m(col("x"), col("y")).as("sxy"))
+    def d(c: Column) = c.cast("double")
+    def corr(n: Column, s1: Column, s2: Column, q1: Column, q2: Column,
+             s12: Column): Column =
+      round((d(n) * d(s12) - d(s1) * d(s2)) /
+        sqrt((d(n) * d(q1) - d(s1) * d(s1)) *
+          (d(n) * d(q2) - d(s2) * d(s2))), 6)
+    agg.select(col("n").as("n_items"),
+      corr(col("n"), col("su"), col("sv"), col("su2"), col("sv2"),
+        col("suv")).as("spearman_rho"),
+      corr(col("n"), col("sx"), col("sy"), col("sx2"), col("sy2"),
+        col("sxy")).as("pearson_r"))
+  }
+
+  val spearmanCorrSql: String =
+    """WITH items AS (SELECT
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS y
+      |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |  GROUP BY 1),
+      |ranked AS (SELECT x, y,
+      |    CAST(rank() OVER (ORDER BY x) AS BIGINT) * 2
+      |      + CAST(count(*) OVER (PARTITION BY x) AS BIGINT) - 1 AS u,
+      |    CAST(rank() OVER (ORDER BY y) AS BIGINT) * 2
+      |      + CAST(count(*) OVER (PARTITION BY y) AS BIGINT) - 1 AS v
+      |  FROM items),
+      |agg AS (SELECT count(*) AS n,
+      |    sum(CAST(u AS HUGEINT)) AS su, sum(CAST(v AS HUGEINT)) AS sv,
+      |    sum(CAST(u AS HUGEINT) * u) AS su2,
+      |    sum(CAST(v AS HUGEINT) * v) AS sv2,
+      |    sum(CAST(u AS HUGEINT) * v) AS suv,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sx2,
+      |    sum(CAST(y AS HUGEINT) * y) AS sy2,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM ranked)
+      |SELECT n AS n_items,
+      |  round((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
+      |      - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(su2 AS DOUBLE)
+      |        - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE)
+      |        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6)
+      |    AS spearman_rho,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS pearson_r
+      |FROM agg""".stripMargin
 }
