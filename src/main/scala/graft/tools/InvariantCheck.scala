@@ -966,12 +966,184 @@ object InvariantCheck {
       r15, r16, r17)
   }
 
+  def checkRound8c(spark: SparkSession, dir: String): Seq[Res] = {
+    // power_analysis: n shrinks as the MDE grows; n_total doubles n_arm
+    val pa = graft.analytics.Stats.powerAnalysis(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    val nArm = pa.map(_.getLong(3))
+    val r1 = res("power_monotone",
+      nArm.zip(nArm.tail).count { case (a, b) => b >= a }.toLong,
+      "required n_per_arm strictly decreases in the MDE")
+    val r2 = res("power_doubling",
+      pa.count(r => r.getLong(4) != r.getLong(3) * 2).toLong,
+      "n_total = 2 * n_per_arm")
+
+    // mm_shard_plan: tar arithmetic + byte/member conservation vs docs
+    val msp = graft.multimodal.Multimodal.mmShardPlan(spark, dir).collect()
+    val r3 = res("mmshard_tar_bounds", msp.count { r =>
+      r.getLong(4) < r.getLong(3) + r.getLong(2) * 512L + 1024L ||
+        r.getLong(4) % 512L != 0L
+    }.toLong, "archive >= payload + headers + terminator; 512-aligned")
+    val r4 = res("mmshard_doc_order",
+      msp.count(r => r.getLong(5) > r.getLong(6)).toLong,
+      "first_doc <= last_doc in every shard")
+
+    // logrank_test: chi2 = z^2; observed totals conserve; E_A+E_B = O
+    val lr = graft.analytics.Survival.logrankTest(spark, dir).head()
+    val r5 = res("logrank_chi2",
+      (if (math.abs(lr.getDouble(8) -
+        lr.getDouble(7) * lr.getDouble(7)) < 1e-4) 0 else 1).toLong,
+      "chi2 = z^2")
+    val r6 = res("logrank_exp_conserves",
+      (if (math.abs(lr.getDouble(4) + lr.getDouble(5) -
+        (lr.getLong(2) + lr.getLong(3))) < 1e-3) 0 else 1).toLong,
+      "E_A + E_B = total observed conversions")
+
+    // mrr_eval: hits nest; mrr bounded by the hit rate
+    val mr = graft.analytics.Eval.mrrEval(spark, dir).head()
+    val r7 = res("mrr_nesting",
+      (if (mr.getLong(3) <= mr.getLong(4) && mr.getLong(4) <= mr.getLong(5)
+        && mr.getLong(5) <= mr.getLong(1) && mr.getLong(1) <= mr.getLong(0))
+        0 else 1).toLong,
+      "hits@1 <= hits@3 <= hits@5 <= n_hit <= n_users")
+    val r8 = res("mrr_bounds",
+      (if (mr.getDouble(6) <= mr.getDouble(2) + 1e-9 &&
+        mr.getDouble(6) >= 0.0) 0 else 1).toLong,
+      "0 <= MRR@10 <= hit_rate@10")
+
+    // degree_dist: CCDF non-increasing per kind; n_ge(min deg) = kind total
+    val dd = graft.graph.Graph.degreeDist(spark, dir).collect()
+    val r9 = res("degree_ccdf_monotone",
+      dd.groupBy(_.getString(0)).map { case (_, rows) =>
+        val s = rows.sortBy(_.getLong(1)).map(_.getLong(3))
+        s.zip(s.tail).count { case (a, b) => b > a }.toLong
+      }.sum, "P(deg >= d) non-increasing in d per kind")
+    val r10 = res("degree_ccdf_head",
+      dd.groupBy(_.getString(0)).count { case (_, rows) =>
+        val srt = rows.sortBy(_.getLong(1))
+        srt.head.getLong(3) != rows.map(_.getLong(2)).sum
+      }.toLong, "n_ge at the smallest degree equals the kind's node count")
+
+    // split_balance: observed margins conserve; chi2 >= 0 and constant
+    val sb = graft.pipeline.Splits.splitBalance(spark, dir).collect()
+    val r11 = res("splitbal_chi2",
+      sb.count(r => r.getDouble(5) < 0.0 ||
+        r.getDouble(5) != sb.head.getDouble(5)).toLong,
+      "chi2_total >= 0 and identical on every row")
+    val r12 = res("splitbal_expected",
+      (if (math.abs(sb.map(_.getDouble(3)).sum -
+        sb.map(_.getLong(2)).sum) < 1e-3) 0 else 1).toLong,
+      "sum of expected = sum of observed")
+
+    // bpe_fertility: a word is >= 1 symbol; single-symbol share in [0,1]
+    val bf = graft.text.TextQueries.bpeFertility(spark, dir).collect()
+    val r13 = res("fertility_floor", bf.count { r =>
+      r.getDouble(4) < 1.0 - 1e-9 || r.getDouble(6) < 0.0 ||
+        r.getDouble(6) > 1.0
+    }.toLong, "fertility >= 1; single_sym_share in [0,1]")
+
+    // cohens_kappa: cells conserve; kappa <= 1; po/pe in [0,1]
+    val ck = graft.analytics.Eval.cohensKappa(spark, dir).head()
+    val r14 = res("kappa_conserves",
+      math.abs(ck.getLong(1) + ck.getLong(2) + ck.getLong(3) +
+        ck.getLong(4) - ck.getLong(0)),
+      "2x2 cells partition the corpus")
+    val r15 = res("kappa_bounds",
+      (if (ck.isNullAt(7) || ck.getDouble(7) <= 1.0 + 1e-9) 0 else 1).toLong,
+      "kappa <= 1")
+
+    // brier_decomposition: Murphy identity closes through the gap
+    val bd = graft.analytics.Eval.brierDecomposition(spark, dir).head()
+    val r16 = res("brier_identity",
+      (if (math.abs(bd.getDouble(2) - (bd.getDouble(4) - bd.getDouble(5) +
+        bd.getDouble(3) + bd.getDouble(6))) < 1e-6) 0 else 1).toLong,
+      "BS = REL - RES + UNC + gap")
+    val r17 = res("brier_unc_bound",
+      (if (bd.getDouble(3) >= 0.0 && bd.getDouble(3) <= 0.25) 0 else 1).toLong,
+      "uncertainty = ybar(1-ybar) in [0, 0.25]")
+
+    // gini_lorenz: bounds + revenue conservation against orders
+    val gl = graft.analytics.Mining.giniLorenz(spark, dir).collect()
+    val r18 = res("gini_bounds", gl.count { r =>
+      r.getDouble(3) < 0.0 || r.getDouble(3) >= 1.0 ||
+        r.getDouble(4) > 0.5 + 1e-9 || r.getDouble(5) < 0.1 - 1e-9
+    }.toLong, "gini in [0,1); bottom50 <= 1/2; top10 >= 1/10")
+    val totCents = graft.Tables.orders(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(o_totalprice * 100) AS BIGINT)"))).head().getLong(0)
+    val r19 = res("gini_conservation",
+      math.abs(gl.map(_.getLong(2)).sum - totCents),
+      "segment revenue sums to the orders total")
+
+    // zorder_stats: same box matches same rows under every layout;
+    // the interleave never scans more than natural
+    val zs = graft.etl.Layout.zorderStats(spark, dir).collect()
+    val r20 = res("zorder_match_invariant",
+      zs.groupBy(_.getString(1)).count { case (_, rows) =>
+        rows.map(_.getLong(6)).distinct.length != 1
+      }.toLong, "rows_match identical across layouts per box")
+    val r21 = res("zorder_prunes",
+      zs.groupBy(_.getString(1)).count { case (_, rows) =>
+        val m = rows.map(r => r.getString(0) -> r.getLong(5)).toMap
+        m("zorder") > m("natural")
+      }.toLong, "zorder scans <= natural for every box")
+
+    // context_len_sweep: shares monotone in L; token totals constant
+    val cs = graft.text.CorpusOps.contextLenSweep(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    val r22 = res("ctx_monotone",
+      (cs.map(_.getDouble(2)).sliding(2).count(w => w(1) > w(0) + 1e-9) +
+        cs.map(_.getDouble(3)).sliding(2).count(w => w(1) < w(0) - 1e-9))
+        .toLong,
+      "trunc share non-increasing, pad share non-decreasing in L")
+    val r23 = res("ctx_totals",
+      cs.count(_.getLong(6) != cs.head.getLong(6)).toLong,
+      "tokens_total identical across candidates")
+
+    // slice_auc: slice positives partition the pooled row; AUC in [0,1]
+    val sa = graft.analytics.Eval.sliceAuc(spark, dir).collect()
+    val all = sa.filter(_.getString(0) == "ALL").head
+    val parts = sa.filter(_.getString(0) != "ALL")
+    val r24 = res("sliceauc_partition",
+      math.abs(parts.map(_.getLong(1)).sum - all.getLong(1)) +
+        math.abs(parts.map(_.getLong(2)).sum - all.getLong(2)),
+      "slice pos/neg counts sum to the pooled row")
+    val r25 = res("sliceauc_bounds", sa.count { r =>
+      !r.isNullAt(3) && (r.getDouble(3) < 0.0 || r.getDouble(3) > 1.0)
+    }.toLong, "AUC in [0,1] on every slice")
+
+    // strata_adjust: adjusted diff is a convex combination of the
+    // valid per-stratum diffs
+    val st8 = graft.analytics.Stats.strataAdjust(spark, dir).collect()
+    val diffs = st8.filter(r => !r.isNullAt(5)).map(_.getDouble(5))
+    val adj = st8.head.getDouble(7)
+    val r26 = res("strata_convex",
+      (if (diffs.nonEmpty && adj >= diffs.min - 1e-4 &&
+        adj <= diffs.max + 1e-4) 0 else 1).toLong,
+      "adjusted diff inside [min, max] of valid stratum diffs")
+    val r27 = res("strata_valid_count",
+      math.abs(st8.head.getLong(8) - diffs.length.toLong),
+      "n_strata_valid = strata with both arms")
+
+    // spearman_corr: both coefficients bounded
+    val sc = graft.analytics.Stats.spearmanCorr(spark, dir).head()
+    val r28 = res("spearman_bounds",
+      (if (math.abs(sc.getDouble(1)) <= 1.0 + 1e-9 &&
+        math.abs(sc.getDouble(2)) <= 1.0 + 1e-9) 0 else 1).toLong,
+      "|rho| <= 1 and |r| <= 1")
+
+    Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15,
+      r16, r17, r18, r19, r20, r21, r22, r23, r24, r25, r26, r27, r28)
+  }
+
   def runAll(spark: SparkSession, dir: String): Seq[Res] =
     checkClusters(spark, dir) ++ checkIvf(spark, dir) ++ checkBpe(spark, dir) ++
       checkSemantic(spark, dir) ++ checkGraph(spark, dir) ++
       checkBitext(spark, dir) ++ checkIvfPq(spark, dir) ++ checkBfs(spark, dir) ++
       checkKcore(spark, dir) ++ checkGrowth(spark, dir) ++
-      checkRound8(spark, dir) ++ checkRound8b(spark, dir)
+      checkRound8(spark, dir) ++ checkRound8b(spark, dir) ++
+      checkRound8c(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata/sf1")
