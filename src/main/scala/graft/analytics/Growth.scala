@@ -250,4 +250,76 @@ object Growth {
       |  round(CAST(sum(CASE WHEN cv > 1.5 THEN 1 ELSE 0 END) AS DOUBLE)
       |    / count(*), 6) AS bursty_share
       |FROM cv""".stripMargin
+  /** Rows returned by [[rankMovers]] — the dashboard's "biggest
+    * movers" page size. */
+  val MoversTopK = 20
+
+  /** §2.313 `rank_movers`: week-over-week-style popularity movement —
+    * items ranked by click count in the first vs second calendar half
+    * (the §2.254 floored midpoint), reporting the [[MoversTopK]]
+    * biggest absolute RANK movers with both counts and ranks. Rank
+    * deltas are the trend signal a merchandising/recsys dashboard
+    * actually pages through — count deltas just re-rank the head, rank
+    * deltas surface the riser from position 400.
+    *
+    * Scale shape: ONE corpus scan → item-grain conditional aggregate
+    * (catalog-bounded), the half boundary a 1-row broadcast; the two
+    * rank windows and the top-k order run over the catalog frame.
+    *
+    * Determinism: ranks are row_number over the total order
+    * (count desc, item asc); delta/top-k all-integer with a unique
+    * (|delta| desc, item) tiebreak on both engines. */
+  def rankMovers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("item"),
+        to_date(col("ts")).as("day"))
+      .filter(col("item").isNotNull)
+    val mid = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("d0"),
+        floor(datediff(col("d1"), col("d0")) / 2).cast("int").as("half"))
+    val items = ev.crossJoin(broadcast(mid))
+      .groupBy("item").agg(
+        sum(when(datediff(col("day"), col("d0")) < col("half"), 1L)
+          .otherwise(0L)).as("clicks_h1"),
+        sum(when(datediff(col("day"), col("d0")) < col("half"), 0L)
+          .otherwise(1L)).as("clicks_h2"))
+    val ranked = items
+      .withColumn("rank_h1", row_number().over(
+        Window.orderBy(col("clicks_h1").desc, col("item"))).cast("long"))
+      .withColumn("rank_h2", row_number().over(
+        Window.orderBy(col("clicks_h2").desc, col("item"))).cast("long"))
+      .withColumn("rank_delta", col("rank_h1") - col("rank_h2"))
+    ranked
+      .orderBy(abs(col("rank_delta")).desc, col("item"))
+      .limit(MoversTopK)
+      .select("item", "clicks_h1", "clicks_h2", "rank_h1", "rank_h2",
+        "rank_delta")
+  }
+
+  val rankMoversSql: String =
+    s"""WITH ev AS (SELECT
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+       |  FROM events WHERE event_type = 'click'
+       |    AND json_extract_string(props, '$$.k') IS NOT NULL),
+       |mid AS (SELECT min(day) AS d0,
+       |    CAST((max(day) - min(day)) // 2 AS INTEGER) AS half FROM ev),
+       |items AS (SELECT item,
+       |    CAST(sum(CASE WHEN day - d0 < half THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS clicks_h1,
+       |    CAST(sum(CASE WHEN day - d0 < half THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS clicks_h2
+       |  FROM ev CROSS JOIN mid GROUP BY 1),
+       |ranked AS (SELECT item, clicks_h1, clicks_h2,
+       |    CAST(row_number() OVER (ORDER BY clicks_h1 DESC, item) AS BIGINT)
+       |      AS rank_h1,
+       |    CAST(row_number() OVER (ORDER BY clicks_h2 DESC, item) AS BIGINT)
+       |      AS rank_h2
+       |  FROM items)
+       |SELECT item, clicks_h1, clicks_h2, rank_h1, rank_h2,
+       |  rank_h1 - rank_h2 AS rank_delta
+       |FROM ranked
+       |ORDER BY abs(rank_h1 - rank_h2) DESC, item LIMIT $MoversTopK""".stripMargin
+
 }

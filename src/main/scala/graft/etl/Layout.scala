@@ -696,4 +696,77 @@ object Layout {
        |  END AS scan_efficiency
        |FROM rep ORDER BY layout, box""".stripMargin
   }
+  /** User-hash bucket count for [[upsertAmplification]] — the lake
+    * table's clustering width. */
+  val UpsertBuckets = 32L
+
+  /** §2.315 `upsert_amplification`: copy-on-write write-amplification
+    * audit — the event stream replayed as daily upsert batches into a
+    * [[UpsertBuckets]]-bucket user-clustered table: per ingest day,
+    * the batch size, buckets touched, and the rows a copy-on-write
+    * writer REWRITES (every touched bucket's prior contents + the
+    * batch) vs the rows merge-on-read APPENDS (just the batch), with
+    * the running amplification ratio. §2.6 executes upserts; this
+    * prices the table-format/clustering decision — at 100 TB a daily
+    * batch touching every bucket turns CoW into a full-table rewrite
+    * per day, and THIS table is how you see it before the bill.
+    *
+    * Scale shape: ONE (day, bucket) map-side-combined groupBy — the
+    * cell frame is calendar×[[UpsertBuckets]]-bounded; prior bucket
+    * sizes are per-bucket running windows over that bounded frame;
+    * the day-grain report and the running ratio are windows over it.
+    *
+    * Determinism: all-integer row counts; the two ratios are single
+    * divisions of identical integers, 6 dp. */
+  def upsertAmplification(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"),
+        (col("user_id") % UpsertBuckets).as("b"))
+      .groupBy("day", "b").agg(count(lit(1)).as("c"))
+    val wPrior = Window.partitionBy("b").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = cells
+      .withColumn("prior", coalesce(sum("c").over(wPrior), lit(0L)))
+    val days = marked.groupBy("day").agg(
+      sum("c").as("batch_rows"),
+      count(lit(1)).as("buckets_touched"),
+      sum(col("prior") + col("c")).as("rows_rewritten_cow"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days
+      .withColumn("write_amp_cow", round(
+        col("rows_rewritten_cow").cast("double") / col("batch_rows"), 6))
+      .withColumn("cum_amp_cow", round(
+        sum("rows_rewritten_cow").over(wCum).cast("double") /
+          sum("batch_rows").over(wCum), 6))
+      .select(col("day").cast("timestamp").as("day"), col("batch_rows"),
+        col("buckets_touched"), col("rows_rewritten_cow"),
+        col("write_amp_cow"), col("cum_amp_cow"))
+      .orderBy("day")
+  }
+
+  val upsertAmplificationSql: String =
+    s"""WITH cells AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |    user_id % $UpsertBuckets AS b, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |marked AS (SELECT day, b, c,
+       |    coalesce(CAST(sum(c) OVER (PARTITION BY b ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS prior
+       |  FROM cells),
+       |days AS (SELECT day, CAST(sum(c) AS BIGINT) AS batch_rows,
+       |    count(*) AS buckets_touched,
+       |    CAST(sum(prior + c) AS BIGINT) AS rows_rewritten_cow
+       |  FROM marked GROUP BY 1)
+       |SELECT CAST(day AS TIMESTAMP) AS day, batch_rows, buckets_touched,
+       |  rows_rewritten_cow,
+       |  round(CAST(rows_rewritten_cow AS DOUBLE) / batch_rows, 6)
+       |    AS write_amp_cow,
+       |  round(CAST(sum(rows_rewritten_cow) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / CAST(sum(batch_rows) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 6)
+       |    AS cum_amp_cow
+       |FROM days ORDER BY day""".stripMargin
+
 }

@@ -240,20 +240,24 @@ object Splits {
     val cells = makeSplits(spark, dir).select("doc_id", "split")
       .join(docs, "doc_id")
       .groupBy("split", "source").agg(count(lit(1)).as("n_docs"))
-    val dims = cells.agg(
-      countDistinct("split").as("n_splits"),
-      countDistinct("source").as("n_sources"))
     val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val e = col("row_t").cast("double") * col("col_t") / col("n")
+    // dims come from window collect_sets over the bounded cell frame,
+    // NOT a second cells.agg — a separate aggregate re-traverses the
+    // whole makeSplits subtree (clustering included) in the plan,
+    // which doubled this query's sf1 cost (0.85 -> 10.7 s, round 8)
     cells
       .withColumn("row_t", sum("n_docs").over(org.apache.spark.sql.expressions.Window.partitionBy("split")))
       .withColumn("col_t", sum("n_docs").over(org.apache.spark.sql.expressions.Window.partitionBy("source")))
       .withColumn("n", sum("n_docs").over(all))
+      .withColumn("n_splits",
+        size(collect_set(col("split")).over(all)).cast("long"))
+      .withColumn("n_sources",
+        size(collect_set(col("source")).over(all)).cast("long"))
       .withColumn("chi2_micro",
         round((col("n_docs") - e) * (col("n_docs") - e) / e * 1000000)
           .cast("long"))
       .withColumn("chi2_sum", sum("chi2_micro").over(all))
-      .crossJoin(broadcast(dims))
       .select(col("split"), col("source"), col("n_docs"),
         round(e, 6).as("expected"),
         round((col("n_docs") - e) / sqrt(e), 6).as("std_residual"),

@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import TextFunctions._
@@ -337,4 +338,88 @@ object CorpusOps {
        |  t_toks AS tokens_total
        |FROM grid g LEFT JOIN cells ON g.max_len = cells.max_len, tot
        |ORDER BY max_len""".stripMargin
+  /** §2.314 `loo_source_impact`: leave-one-out data valuation per
+    * corpus source — for each source, the corpus mean quality score
+    * and mean token count WITHOUT that source, and the impact
+    * (overall − leave-one-out: positive = the source pulls the corpus
+    * average UP) — the Shapley-zeroth-order answer to "which feed is
+    * diluting the corpus", priced per source in ONE pass instead of
+    * |S| re-scans of 100 TB (the totals-minus-group identity makes
+    * every LOO aggregate free once the per-source cells exist).
+    *
+    * Scale shape: ONE doc-grain scan → |S| source cells (exact
+    * integer e6-score and token sums); totals are windows over the
+    * bounded cell frame; every LOO mean is arithmetic on those.
+    *
+    * Determinism: the 6 dp score carried as exact e6 BIGINTs (§2.225
+    * convention); all sums integers; means/impacts fixed-sequence
+    * divisions of identical integers, impacts at 8 dp (they sit at
+    * ~10⁻⁴); the single-source degenerate is NULL via an INTEGER
+    * gate. */
+  def looSourceImpact(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.text.TextQueries.qualityFrame(Tables.documents(spark, dir))
+      .select(col("source"),
+        round(col("quality_score") * 1000000).cast("long").as("s_e6"),
+        col("n_tokens").cast("long").as("toks"))
+    val cells = f.groupBy("source").agg(
+      count(lit(1)).as("n"), sum("s_e6").as("ss"), sum("toks").as("st"))
+    val w = Window.partitionBy(lit(1))
+    def d(c: Column) = c.cast("double")
+    val marked = cells
+      .withColumn("tn", sum("n").over(w))
+      .withColumn("ts", sum("ss").over(w))
+      .withColumn("tt", sum("st").over(w))
+    val overallQ = d(col("ts")) / 1000000.0 / d(col("tn"))
+    val looQ = d(col("ts") - col("ss")) / 1000000.0 / d(col("tn") - col("n"))
+    val overallT = d(col("tt")) / d(col("tn"))
+    val looT = d(col("tt") - col("st")) / d(col("tn") - col("n"))
+    marked.select(col("source"), col("n").as("n_docs"),
+      round(d(col("n")) / d(col("tn")), 6).as("doc_share"),
+      round(d(col("ss")) / 1000000.0 / d(col("n")), 6).as("mean_quality"),
+      when(col("tn") === col("n"), lit(null).cast("double"))
+        .otherwise(round(looQ, 6)).as("loo_quality"),
+      when(col("tn") === col("n"), lit(null).cast("double"))
+        .otherwise(round(overallQ - looQ, 8)).as("quality_impact"),
+      round(d(col("st")) / d(col("n")), 6).as("mean_tokens"),
+      when(col("tn") === col("n"), lit(null).cast("double"))
+        .otherwise(round(overallT - looT, 8)).as("token_impact"))
+      .orderBy("source")
+  }
+
+  val looSourceImpactSql: String = {
+    import graft.text.TextQueries.stopListSql
+    s"""WITH f AS (SELECT source,
+       |    CAST(round(round(0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text))
+       |      + 0.4 * (1.0 - abs(len(list_filter(_toks, t -> t IN ($stopListSql))) / n_tokens - 0.3))
+       |      + 0.2 * least(1.0, n_tokens / 100.0), 6) * 1000000) AS BIGINT) AS s_e6,
+       |    CAST(n_tokens AS BIGINT) AS toks
+       |  FROM (SELECT source, text, string_split_regex(trim(text), '\\s+') AS _toks,
+       |          CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens
+       |        FROM documents) t),
+       |cells AS (SELECT source, count(*) AS n,
+       |    CAST(sum(s_e6) AS BIGINT) AS ss, CAST(sum(toks) AS BIGINT) AS st
+       |  FROM f GROUP BY 1),
+       |marked AS (SELECT source, n, ss, st,
+       |    CAST(sum(n) OVER () AS BIGINT) AS tn,
+       |    CAST(sum(ss) OVER () AS BIGINT) AS ts,
+       |    CAST(sum(st) OVER () AS BIGINT) AS tt
+       |  FROM cells)
+       |SELECT source, n AS n_docs,
+       |  round(CAST(n AS DOUBLE) / tn, 6) AS doc_share,
+       |  round(CAST(ss AS DOUBLE) / 1000000.0 / n, 6) AS mean_quality,
+       |  CASE WHEN tn = n THEN NULL ELSE
+       |    round(CAST(ts - ss AS DOUBLE) / 1000000.0 / (tn - n), 6)
+       |  END AS loo_quality,
+       |  CASE WHEN tn = n THEN NULL ELSE
+       |    round(CAST(ts AS DOUBLE) / 1000000.0 / tn
+       |      - CAST(ts - ss AS DOUBLE) / 1000000.0 / (tn - n), 8)
+       |  END AS quality_impact,
+       |  round(CAST(st AS DOUBLE) / n, 6) AS mean_tokens,
+       |  CASE WHEN tn = n THEN NULL ELSE
+       |    round(CAST(tt AS DOUBLE) / tn
+       |      - CAST(tt - st AS DOUBLE) / (tn - n), 8)
+       |  END AS token_impact
+       |FROM marked ORDER BY source""".stripMargin
+  }
+
 }

@@ -1137,13 +1137,58 @@ object InvariantCheck {
       r16, r17, r18, r19, r20, r21, r22, r23, r24, r25, r26, r27, r28)
   }
 
+  def checkRound8d(spark: SparkSession, dir: String): Seq[Res] = {
+    // rank_movers: page size, delta consistency, ordered by |delta|
+    val rm = graft.analytics.Growth.rankMovers(spark, dir).collect()
+    val r1 = res("movers_page",
+      (if (rm.length == graft.analytics.Growth.MoversTopK) 0 else 1).toLong,
+      s"exactly ${graft.analytics.Growth.MoversTopK} movers")
+    val r2 = res("movers_delta",
+      rm.count(r => r.getLong(5) != r.getLong(3) - r.getLong(4)).toLong,
+      "rank_delta = rank_h1 - rank_h2")
+    val deltas = rm.map(r => math.abs(r.getLong(5)))
+    val r3 = res("movers_ordered",
+      deltas.zip(deltas.tail).count { case (a, b) => b > a }.toLong,
+      "|delta| non-increasing down the page")
+
+    // loo_source_impact: shares sum to 1; n-weighted mixture identity
+    val loo = graft.text.CorpusOps.looSourceImpact(spark, dir).collect()
+    val r4 = res("loo_shares",
+      (if (math.abs(loo.map(_.getDouble(2)).sum - 1.0) < 1e-4) 0 else 1)
+        .toLong, "doc shares sum to 1")
+    val tn = loo.map(_.getLong(1)).sum
+    val overall = loo.map(r => r.getDouble(3) * r.getLong(1)).sum / tn
+    val r5 = res("loo_mixture", loo.count { r =>
+      val n = r.getLong(1)
+      math.abs((r.getDouble(4) * (tn - n) + r.getDouble(3) * n) / tn -
+        overall) > 1e-4
+    }.toLong, "n-weighted LOO means recombine to the overall mean")
+
+    // upsert_amplification: amp >= 1; day-1 rewrites its own batch;
+    // the running ratio recombines from the day columns
+    val ua = graft.etl.Layout.upsertAmplification(spark, dir).collect()
+    val r6 = res("upsert_amp_floor",
+      ua.count(_.getDouble(4) < 1.0 - 1e-9).toLong,
+      "CoW write amplification >= 1 every day")
+    val r7 = res("upsert_first_day",
+      math.abs(ua.head.getLong(3) - ua.head.getLong(1)),
+      "day 1 rewrites exactly its own batch")
+    val r8 = res("upsert_cum_recombines",
+      (if (math.abs(ua.last.getDouble(5) -
+        ua.map(_.getLong(3)).sum.toDouble / ua.map(_.getLong(1)).sum)
+        < 1e-5) 0 else 1).toLong,
+      "final cum_amp = total rewritten / total appended")
+
+    Seq(r1, r2, r3, r4, r5, r6, r7, r8)
+  }
+
   def runAll(spark: SparkSession, dir: String): Seq[Res] =
     checkClusters(spark, dir) ++ checkIvf(spark, dir) ++ checkBpe(spark, dir) ++
       checkSemantic(spark, dir) ++ checkGraph(spark, dir) ++
       checkBitext(spark, dir) ++ checkIvfPq(spark, dir) ++ checkBfs(spark, dir) ++
       checkKcore(spark, dir) ++ checkGrowth(spark, dir) ++
       checkRound8(spark, dir) ++ checkRound8b(spark, dir) ++
-      checkRound8c(spark, dir)
+      checkRound8c(spark, dir) ++ checkRound8d(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata/sf1")
