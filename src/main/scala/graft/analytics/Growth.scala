@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -322,4 +322,91 @@ object Growth {
        |FROM ranked
        |ORDER BY abs(rank_h1 - rank_h2) DESC, item LIMIT $MoversTopK""".stripMargin
 
+  /** Error-share SLO for [[sloBurn]] — the budget: up to 25% of events
+    * may be errors before the budget burns (the synthetic stream runs
+    * ~20% errors, so burn hovers near but below 1 and day-level spikes
+    * read as real signal). Production would use 0.001. */
+  val SloErrShare = 0.25
+
+  /** §2.318 `slo_burn`: multi-window error-budget burn-rate table
+    * (the Google-SRE alerting arithmetic): per day, the error share
+    * against the [[SloErrShare]] budget as 1-day, trailing-7-day and
+    * trailing-28-day burn rates (burn = share/budget; 1.0 = spending
+    * exactly the budget), cumulative budget consumed, and the
+    * fast/slow multiwindow alert flags (fast: 1d ≥ 2 AND 7d ≥ 2 —
+    * a real spike, not one bad hour; slow: 7d ≥ 1 AND 28d ≥ 1 — a
+    * slow leak that will exhaust the month). §2.151/231 DETECT
+    * anomalies/changepoints; this op prices reliability against an
+    * explicit budget — the difference between "something changed" and
+    * "we will miss the SLO by the 12th".
+    *
+    * Scale shape: ONE day-grain map-side-combined groupBy (the only
+    * corpus-sized stage); every window is a trailing ROWS frame over
+    * the calendar-bounded day frame. Day spine assumed gapless here
+    * (the corpus is); production composes §2.138's gap fill first.
+    *
+    * Determinism: counts exact; every share/burn is a fixed-sequence
+    * division of identical integers and the shared budget literal;
+    * alert flags compare those identical doubles. */
+  def sloBurn(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("errs"))
+    def trail(c: String, k: Int) = sum(c).over(Window.orderBy("day")
+      .rowsBetween(-(k - 1), Window.currentRow))
+    def d(c: Column) = c.cast("double")
+    val b = lit(SloErrShare)
+    val marked = days
+      .withColumn("n7", trail("n", 7)).withColumn("e7", trail("errs", 7))
+      .withColumn("n28", trail("n", 28))
+      .withColumn("e28", trail("errs", 28))
+      .withColumn("nc", trail("n", 100000))
+      .withColumn("ec", trail("errs", 100000))
+      .withColumn("burn_1d", round(d(col("errs")) / d(col("n")) / b, 6))
+      .withColumn("burn_7d", round(d(col("e7")) / d(col("n7")) / b, 6))
+      .withColumn("burn_28d", round(d(col("e28")) / d(col("n28")) / b, 6))
+    marked.select(col("day").cast("timestamp").as("day"), col("n"),
+      col("errs"), col("burn_1d"), col("burn_7d"), col("burn_28d"),
+      round(d(col("ec")) / (d(col("nc")) * b), 6).as("budget_consumed"),
+      (col("burn_1d") >= 2.0 && col("burn_7d") >= 2.0).as("alert_fast"),
+      (col("burn_7d") >= 1.0 && col("burn_28d") >= 1.0).as("alert_slow"))
+      .orderBy("day")
+  }
+
+  val sloBurnSql: String = {
+    val b = SloErrShare
+    s"""WITH days AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |    count(*) AS n,
+       |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS errs
+       |  FROM events GROUP BY 1),
+       |marked AS (SELECT day, n, errs,
+       |    CAST(sum(n) OVER (ORDER BY day
+       |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7,
+       |    CAST(sum(errs) OVER (ORDER BY day
+       |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS e7,
+       |    CAST(sum(n) OVER (ORDER BY day
+       |      ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT) AS n28,
+       |    CAST(sum(errs) OVER (ORDER BY day
+       |      ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT) AS e28,
+       |    CAST(sum(n) OVER (ORDER BY day
+       |      ROWS BETWEEN 99999 PRECEDING AND CURRENT ROW) AS BIGINT) AS nc,
+       |    CAST(sum(errs) OVER (ORDER BY day
+       |      ROWS BETWEEN 99999 PRECEDING AND CURRENT ROW) AS BIGINT) AS ec
+       |  FROM days),
+       |burns AS (SELECT day, n, errs, nc, ec,
+       |    round(CAST(errs AS DOUBLE) / n / $b, 6) AS burn_1d,
+       |    round(CAST(e7 AS DOUBLE) / n7 / $b, 6) AS burn_7d,
+       |    round(CAST(e28 AS DOUBLE) / n28 / $b, 6) AS burn_28d
+       |  FROM marked)
+       |SELECT CAST(day AS TIMESTAMP) AS day, n, errs,
+       |  burn_1d, burn_7d, burn_28d,
+       |  round(CAST(ec AS DOUBLE) / (CAST(nc AS DOUBLE) * $b), 6)
+       |    AS budget_consumed,
+       |  burn_1d >= 2.0 AND burn_7d >= 2.0 AS alert_fast,
+       |  burn_7d >= 1.0 AND burn_28d >= 1.0 AS alert_slow
+       |FROM burns ORDER BY day""".stripMargin
+  }
 }

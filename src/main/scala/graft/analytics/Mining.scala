@@ -1303,4 +1303,99 @@ object Mining {
       |    AS top10_share
       |FROM terms GROUP BY c_mktsegment, n, sx
       |ORDER BY segment""".stripMargin
+
+  /** §2.317 `tail_risk`: p95 VaR + CVaR (expected shortfall) of
+    * customer revenue per market segment — §2.141's percentile family
+    * answers "where is the tail boundary"; CVaR answers "how bad is it
+    * INSIDE the tail", the coherent risk measure capacity/credit
+    * planning actually uses (two segments can share a p95 and differ
+    * 3× in tail mass). VaR = smallest revenue with cumulative count
+    * covering 95% (percentile_disc convention); CVaR = mean of the
+    * top-5%-by-rank values, straddling value groups split by exact
+    * rank arithmetic (the §2.307 Lorenz trick pointed at the other
+    * tail).
+    *
+    * Scale shape: the §2.307 machinery verbatim — customer-grain
+    * groupBy, shuffle_hash-pinned segment join, per-segment cumulative
+    * window over value-grain cells; no global sort, no collect.
+    *
+    * Determinism: all-integer rank cuts (100·C ≥ 95·n for VaR; tail
+    * ranks > (95·n) div 100 for CVaR) over exact cents; tail sums
+    * DECIMAL(38,0) ≡ HUGEINT; the CVaR/mean divisions single
+    * fixed-sequence expressions. */
+  def tailRisk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rev = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("o_custkey").agg(sum("c").as("cents"))
+    val seg = rev.join(
+      Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        .hint("shuffle_hash"),
+      "o_custkey")
+    val cells = seg.groupBy("c_mktsegment", "cents")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("c_mktsegment").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("c_mktsegment")
+    def d(c: Column) = c.cast("double")
+    val marked = cells
+      .withColumn("cc", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("cp", col("cc") - col("cnt"))
+      .withColumn("r0", expr("(n * 95) div 100"))
+      .withColumn("tail_units",
+        greatest(lit(0L), col("cc") - greatest(col("cp"), col("r0"))))
+      .withColumn("tail_cents",
+        (col("cents").cast(dec) * col("tail_units").cast(dec)).cast(dec))
+    marked.groupBy("c_mktsegment", "n").agg(
+      min(when(col("cc") * 100 >= col("n") * 95, col("cents")))
+        .as("var_cents"),
+      sum("tail_units").as("tail_n"),
+      sum(col("tail_cents").cast(dec)).as("tail_sum"),
+      sum((col("cents").cast(dec) * col("cnt").cast(dec)).cast(dec))
+        .as("all_sum"))
+      .select(col("c_mktsegment").as("segment"),
+        col("n").as("n_customers"),
+        round(d(col("var_cents")) / 100.0, 2).as("var95_dollars"),
+        round(d(col("tail_sum")) / 100.0 / d(col("tail_n")), 4)
+          .as("cvar95_dollars"),
+        col("tail_n").cast("long").as("n_tail"),
+        round(d(col("tail_sum")) / d(col("all_sum")), 6)
+          .as("tail_revenue_share"))
+      .orderBy("segment")
+  }
+
+  val tailRiskSql: String =
+    """WITH rev AS (SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |seg AS (SELECT c.c_mktsegment, r.cents
+      |  FROM rev r JOIN customer c ON c.c_custkey = r.o_custkey),
+      |cells AS (SELECT c_mktsegment, cents, count(*) AS cnt
+      |  FROM seg GROUP BY 1, 2),
+      |marked AS (SELECT c_mktsegment, cents, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cc,
+      |    CAST(sum(cnt) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+      |  FROM cells),
+      |terms AS (SELECT c_mktsegment, cents, cnt, cc, n,
+      |    greatest(0, cc - greatest(cc - cnt, (n * 95) // 100))
+      |      AS tail_units
+      |  FROM marked)
+      |SELECT c_mktsegment AS segment, n AS n_customers,
+      |  round(CAST(min(CASE WHEN cc * 100 >= n * 95 THEN cents END)
+      |    AS DOUBLE) / 100.0, 2) AS var95_dollars,
+      |  round(CAST(sum(CAST(cents AS HUGEINT) * tail_units) AS DOUBLE)
+      |    / 100.0 / CAST(sum(tail_units) AS BIGINT), 4) AS cvar95_dollars,
+      |  CAST(sum(tail_units) AS BIGINT) AS n_tail,
+      |  round(CAST(sum(CAST(cents AS HUGEINT) * tail_units) AS DOUBLE)
+      |    / CAST(sum(CAST(cents AS HUGEINT) * cnt) AS DOUBLE), 6)
+      |    AS tail_revenue_share
+      |FROM terms GROUP BY c_mktsegment, n
+      |ORDER BY segment""".stripMargin
 }

@@ -1288,6 +1288,87 @@ object Stats {
         col("sxy")).as("pearson_r"))
   }
 
+  /** §2.316 `hash_uniformity`: randomization-infrastructure audit —
+    * the user population pushed through the TWO bucketings every
+    * experiment here trusts (the §2.170 parity arms; the §2.159-style
+    * 100-bucket split hash), each tested against uniform: χ² vs
+    * E = n/k, plus max/min bucket shares. §2.167's SRM check audits
+    * ONE experiment's realized arm ratio; this audits the HASH ITSELF
+    * before any experiment runs on it — a biased bucketer silently
+    * invalidates every test downstream, and at 100 TB nobody re-rolls
+    * assignments.
+    *
+    * Scale shape: ONE user-grain map-side-combined groupBy (the only
+    * corpus-sized stage, shared by both configs via a 2-way fanout),
+    * then k-bounded bucket cells; the χ² and shares are windows over
+    * ≤102 rows.
+    *
+    * Determinism: bucket counts exact; E = n/k one division; each χ²
+    * addend is one fixed-sequence float of identical integers rounded
+    * to exact ×10⁶ micro-units before the ≤100-addend sum (§2.203
+    * carry); shares single divisions. */
+  def hashUniformity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions.hash64
+    val users = Tables.events(spark, dir).select("user_id").distinct()
+    val buckets = users.select(
+      explode(array(
+        struct(lit("parity_2").as("config"),
+          (col("user_id") % 2).as("bucket")),
+        struct(lit("hash_100").as("config"),
+          pmod(hash64(concat_ws(":", lit("hu"), col("user_id"))),
+            lit(100)).as("bucket")))).as("cb"))
+      .select(col("cb.config").as("config"), col("cb.bucket").as("bucket"))
+    val cells = buckets.groupBy("config", "bucket")
+      .agg(count(lit(1)).as("o"))
+    val w = Window.partitionBy("config")
+    def d(c: Column) = c.cast("double")
+    val marked = cells
+      .withColumn("n", sum("o").over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("e", d(col("n")) / d(col("k")))
+      .withColumn("chi2_micro", round(
+        (d(col("o")) - col("e")) * (d(col("o")) - col("e")) / col("e") *
+          1000000).cast("long"))
+    marked.groupBy("config", "n", "k").agg(
+      round(sum("chi2_micro") / 1000000.0, 6).as("chi2"),
+      (max("k") - 1).as("df"),
+      round(d(max("o")) / d(max("n")), 6).as("max_share"),
+      round(d(min("o")) / d(max("n")), 6).as("min_share"))
+      .select(col("config"), col("n").as("n_users"),
+        col("k").as("n_buckets"), col("chi2"), col("df"),
+        col("max_share"), col("min_share"))
+      .orderBy("config")
+  }
+
+  val hashUniformitySql: String = {
+    import graft.text.TextFunctions.hash64Sql
+    val h = hash64Sql("concat_ws(':', 'hu', user_id)")
+    s"""WITH users AS (SELECT DISTINCT user_id FROM events),
+       |buckets AS (
+       |  SELECT 'parity_2' AS config, user_id % 2 AS bucket FROM users
+       |  UNION ALL
+       |  SELECT 'hash_100', ((($h) % 100) + 100) % 100 FROM users),
+       |cells AS (SELECT config, bucket, count(*) AS o
+       |  FROM buckets GROUP BY 1, 2),
+       |marked AS (SELECT config, o,
+       |    CAST(sum(o) OVER (PARTITION BY config) AS BIGINT) AS n,
+       |    CAST(count(*) OVER (PARTITION BY config) AS BIGINT) AS k
+       |  FROM cells),
+       |mm AS (SELECT config, o, n, k, CAST(n AS DOUBLE) / k AS e
+       |  FROM marked),
+       |mc AS (SELECT config, o, n, k,
+       |    CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+       |      / e * 1000000) AS BIGINT) AS chi2_micro
+       |  FROM mm)
+       |SELECT config, n AS n_users, k AS n_buckets,
+       |  round(CAST(sum(chi2_micro) AS BIGINT) / 1000000.0, 6) AS chi2,
+       |  CAST(max(k) - 1 AS BIGINT) AS df,
+       |  round(CAST(max(o) AS DOUBLE) / max(n), 6) AS max_share,
+       |  round(CAST(min(o) AS DOUBLE) / max(n), 6) AS min_share
+       |FROM mc GROUP BY config, n, k
+       |ORDER BY config""".stripMargin
+  }
+
   val spearmanCorrSql: String =
     """WITH items AS (SELECT
       |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,

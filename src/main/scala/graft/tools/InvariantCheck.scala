@@ -1182,13 +1182,58 @@ object InvariantCheck {
     Seq(r1, r2, r3, r4, r5, r6, r7, r8)
   }
 
+  def checkRound8e(spark: SparkSession, dir: String): Seq[Res] = {
+    // hash_uniformity: bucket counts conserve; hash chi2 sane for a
+    // uniform 100-bucket hash (not catastrophically skewed)
+    val hu = graft.analytics.Stats.hashUniformity(spark, dir).collect()
+    val r1 = res("hashuni_configs",
+      (if (hu.map(_.getString(0)).sorted.toSeq ==
+        Seq("hash_100", "parity_2")) 0 else 1).toLong,
+      "both bucketing configs present")
+    val r2 = res("hashuni_shares", hu.count { r =>
+      r.getDouble(5) < r.getDouble(6) ||
+        r.getDouble(5) * r.getLong(2) < 1.0 - 1e-6
+    }.toLong, "max_share >= min_share and max_share >= 1/k")
+    val h100 = hu.find(_.getString(0) == "hash_100").get
+    // chi2 ~ chi2(99): mean 99, sd ~14; 5x mean = catastropically biased
+    val r3 = res("hashuni_unbiased",
+      (if (h100.getDouble(3) < 5 * 99.0) 0 else 1).toLong,
+      s"100-bucket hash chi2 ${h100.getDouble(3)} below the bias alarm")
+
+    // tail_risk: CVaR >= VaR per segment; tail counts ~5% of customers
+    val tr = graft.analytics.Mining.tailRisk(spark, dir).collect()
+    val r4 = res("tailrisk_order",
+      tr.count(r => r.getDouble(3) < r.getDouble(2) - 1e-9).toLong,
+      "CVaR >= VaR in every segment")
+    val r5 = res("tailrisk_count", tr.count { r =>
+      val want = r.getLong(1) - (r.getLong(1) * 95L) / 100L
+      r.getLong(4) != want
+    }.toLong, "tail holds exactly n - 95n div 100 customers")
+
+    // slo_burn: budget_consumed is the all-history burn; alerts imply
+    // their component thresholds
+    val sb8 = graft.analytics.Growth.sloBurn(spark, dir).collect()
+    val r6 = res("slo_flags", sb8.count { r =>
+      r.getBoolean(7) != (r.getDouble(3) >= 2.0 && r.getDouble(4) >= 2.0) ||
+        r.getBoolean(8) != (r.getDouble(4) >= 1.0 && r.getDouble(5) >= 1.0)
+    }.toLong, "alert flags recombine from the burn columns")
+    val r7 = res("slo_first_day",
+      (if (math.abs(sb8.head.getDouble(3) - sb8.head.getDouble(4)) < 1e-9 &&
+        math.abs(sb8.head.getDouble(3) - sb8.head.getDouble(6)) < 1e-6)
+        0 else 1).toLong,
+      "day 1: 1d burn = 7d burn = budget consumed")
+
+    Seq(r1, r2, r3, r4, r5, r6, r7)
+  }
+
   def runAll(spark: SparkSession, dir: String): Seq[Res] =
     checkClusters(spark, dir) ++ checkIvf(spark, dir) ++ checkBpe(spark, dir) ++
       checkSemantic(spark, dir) ++ checkGraph(spark, dir) ++
       checkBitext(spark, dir) ++ checkIvfPq(spark, dir) ++ checkBfs(spark, dir) ++
       checkKcore(spark, dir) ++ checkGrowth(spark, dir) ++
       checkRound8(spark, dir) ++ checkRound8b(spark, dir) ++
-      checkRound8c(spark, dir) ++ checkRound8d(spark, dir)
+      checkRound8c(spark, dir) ++ checkRound8d(spark, dir) ++
+      checkRound8e(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata/sf1")
