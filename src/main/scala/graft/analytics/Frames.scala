@@ -88,7 +88,10 @@ object Frames {
       .withColumn("cum", sum("n").over(wCum))
       .withColumn("tot", sum("n").over(wAll))
       .select(col("event_type"), col("cents"), col("n"),
-        round((col("cum") - col("n")).cast("double") / (col("tot") - 1), 6)
+        // tot=1 degenerate: ANSI Spark errors on the 0/0 where DuckDB
+        // yields NULL — integer-gate the division (NULL on both engines)
+        round(when(col("tot") > 1,
+          (col("cum") - col("n")).cast("double") / (col("tot") - 1)), 6)
           .as("pct_rank"),
         round(col("cum").cast("double") / col("tot"), 6).as("cume_dist"))
       .orderBy("event_type", "cents")
@@ -96,7 +99,8 @@ object Frames {
 
   val valueRanksSql: String =
     """SELECT event_type, cents, n,
-      |  round(CAST(cum - n AS DOUBLE) / (tot - 1), 6) AS pct_rank,
+      |  round(CASE WHEN tot > 1
+      |    THEN CAST(cum - n AS DOUBLE) / (tot - 1) END, 6) AS pct_rank,
       |  round(CAST(cum AS DOUBLE) / tot, 6) AS cume_dist
       |FROM (SELECT event_type, cents, n,
       |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY cents

@@ -700,11 +700,15 @@ object Stats {
       (col("sx").cast(dec) * col("sx").cast(dec))
     val theta = when(degen, lit(0.0)).otherwise(cxy / cxx)
     val r2 = when(degen, lit(0.0)).otherwise(cxy * cxy / (cxx * cyy))
-    def meanD(s: String, nn: String) = d(s) / 100.0 / col(nn)
-    val adjA = (d("sy_a") / col("n_a") -
-      theta * (d("sx_a") / col("n_a") - d("sx") / col("n"))) / 100.0
-    val adjB = (d("sy_b") / col("n_b") -
-      theta * (d("sx_b") / col("n_b") - d("sx") / col("n"))) / 100.0
+    // empty-arm guard (ANSI Spark errors on /0 where DuckDB yields
+    // NULL): integer-gate every per-arm division, NULL propagates to
+    // the diffs on both engines (the strataAdjust pattern)
+    def meanD(s: String, nn: String) =
+      when(col(nn) > 0, d(s) / 100.0 / col(nn))
+    val adjA = when(col("n_a") > 0, (d("sy_a") / col("n_a") -
+      theta * (d("sx_a") / col("n_a") - d("sx") / col("n"))) / 100.0)
+    val adjB = when(col("n_b") > 0, (d("sy_b") / col("n_b") -
+      theta * (d("sx_b") / col("n_b") - d("sx") / col("n"))) / 100.0)
     one.select(
       col("n_a"), col("n_b"),
       round(meanD("sy_a", "n_a"), 6).as("mean_a"),
@@ -845,17 +849,27 @@ object Stats {
       .withColumn("cs", sum("s").over(wCum))
       .withColumn("cs2", sum("s2").over(wCum))
     def d(c: Column) = c.cast("double")
+    // cn=1 degenerate: the (cn-1) sample-variance divisor is an ANSI
+    // divide-by-zero on Spark where DuckDB yields NULL — integer-gate
+    // it (NULL variance → NULL z → crossed falls to the ELSE arm on
+    // both engines, the strataAdjust pattern)
     def side(a: String) = cum.filter(col("arm") === a)
       .select(col("look"), col("cn").as(s"n_$a"),
         (d(col("cs")) / 100.0 / col("cn")).as(s"m_$a"),
-        (((d(col("cs2")) - d(col("cs")) * d(col("cs")) / col("cn")) /
-          (col("cn") - 1)) / 10000.0).as(s"v_$a"))
+        when(col("cn") > 1,
+          ((d(col("cs2")) - d(col("cs")) * d(col("cs")) / col("cn")) /
+            (col("cn") - 1)) / 10000.0).as(s"v_$a"))
     val bounds = spark.sql("SELECT * FROM VALUES " +
       ObfZ.zipWithIndex.map { case (b, i) =>
         s"($i, CAST($b AS DOUBLE))" }.mkString(",") + " AS t(look, obf_z)")
+    // zero-variance-sum guard for the z denominator: both variances
+    // identically 0.0 (all-equal cents) would be 0/0 under ANSI; the
+    // > 0 compare is on identical fixed-sequence doubles cross-engine
     val z = side("A").join(side("B"), "look")
-      .withColumn("z_stat", round((col("m_A") - col("m_B")) /
-        sqrt(col("v_A") / col("n_A") + col("v_B") / col("n_B")), 4))
+      .withColumn("z_stat", round(
+        when(col("v_A") / col("n_A") + col("v_B") / col("n_B") > 0,
+          (col("m_A") - col("m_B")) /
+            sqrt(col("v_A") / col("n_A") + col("v_B") / col("n_B"))), 4))
       .join(broadcast(bounds), "look")
       .withColumn("crossed", abs(col("z_stat")) >= col("obf_z"))
     val wSoFar = Window.orderBy("look")
@@ -894,14 +908,17 @@ object Stats {
        |    a.cn AS n_a, b.cn AS n_b,
        |    CAST(a.cs AS DOUBLE) / 100.0 / a.cn AS m_a,
        |    CAST(b.cs AS DOUBLE) / 100.0 / b.cn AS m_b,
-       |    ((CAST(a.cs2 AS DOUBLE) - CAST(a.cs AS DOUBLE) * CAST(a.cs AS DOUBLE) / a.cn)
-       |      / (a.cn - 1)) / 10000.0 AS v_a,
-       |    ((CAST(b.cs2 AS DOUBLE) - CAST(b.cs AS DOUBLE) * CAST(b.cs AS DOUBLE) / b.cn)
-       |      / (b.cn - 1)) / 10000.0 AS v_b
+       |    CASE WHEN a.cn > 1 THEN
+       |      ((CAST(a.cs2 AS DOUBLE) - CAST(a.cs AS DOUBLE) * CAST(a.cs AS DOUBLE) / a.cn)
+       |      / (a.cn - 1)) / 10000.0 END AS v_a,
+       |    CASE WHEN b.cn > 1 THEN
+       |      ((CAST(b.cs2 AS DOUBLE) - CAST(b.cs AS DOUBLE) * CAST(b.cs AS DOUBLE) / b.cn)
+       |      / (b.cn - 1)) / 10000.0 END AS v_b
        |  FROM (SELECT * FROM cum WHERE arm = 'A') a
        |  JOIN (SELECT * FROM cum WHERE arm = 'B') b ON a.look = b.look),
        |z AS (SELECT look, n_a, n_b, m_a, m_b,
-       |    round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS z_stat
+       |    round(CASE WHEN v_a / n_a + v_b / n_b > 0
+       |      THEN (m_a - m_b) / sqrt(v_a / n_a + v_b / n_b) END, 4) AS z_stat
        |  FROM sides),
        |j AS (SELECT z.*, c.obf_z, abs(z.z_stat) >= c.obf_z AS crossed
        |  FROM z JOIN (VALUES $bounds) c(lk, obf_z) ON c.lk = z.look)
@@ -1028,10 +1045,10 @@ object Stats {
     val degen = "(sxx * CAST(n AS HUGEINT) = CAST(sx AS HUGEINT) * sx)"
     val theta = s"(CASE WHEN $degen THEN 0.0 ELSE $cxy / $cxx END)"
     val r2 = s"(CASE WHEN $degen THEN 0.0 ELSE $cxy * $cxy / ($cxx * $cyy) END)"
-    val adjA = s"((CAST(sy_a AS DOUBLE) / n_a - $theta * " +
-      "(CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n)) / 100.0)"
-    val adjB = s"((CAST(sy_b AS DOUBLE) / n_b - $theta * " +
-      "(CAST(sx_b AS DOUBLE) / n_b - CAST(sx AS DOUBLE) / n)) / 100.0)"
+    val adjA = s"(CASE WHEN n_a > 0 THEN (CAST(sy_a AS DOUBLE) / n_a - $theta * " +
+      "(CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n)) / 100.0 END)"
+    val adjB = s"(CASE WHEN n_b > 0 THEN (CAST(sy_b AS DOUBLE) / n_b - $theta * " +
+      "(CAST(sx_b AS DOUBLE) / n_b - CAST(sx AS DOUBLE) / n)) / 100.0 END)"
     s"""WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
        |mid AS (SELECT min(day) AS d0,
@@ -1056,14 +1073,18 @@ object Stats {
        |    CAST(sum(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS BIGINT) AS sy_b
        |  FROM users)
        |SELECT n_a, n_b,
-       |  round(CAST(sy_a AS DOUBLE) / 100.0 / n_a, 6) AS mean_a,
-       |  round(CAST(sy_b AS DOUBLE) / 100.0 / n_b, 6) AS mean_b,
+       |  round(CASE WHEN n_a > 0
+       |    THEN CAST(sy_a AS DOUBLE) / 100.0 / n_a END, 6) AS mean_a,
+       |  round(CASE WHEN n_b > 0
+       |    THEN CAST(sy_b AS DOUBLE) / 100.0 / n_b END, 6) AS mean_b,
        |  round($theta, 6) AS theta,
        |  round($r2, 6) AS var_reduction,
        |  round($adjA, 6) AS adj_mean_a,
        |  round($adjB, 6) AS adj_mean_b,
-       |  round(CAST(sy_a AS DOUBLE) / 100.0 / n_a
-       |    - CAST(sy_b AS DOUBLE) / 100.0 / n_b, 6) AS diff_raw,
+       |  round(CASE WHEN n_a > 0
+       |      THEN CAST(sy_a AS DOUBLE) / 100.0 / n_a END
+       |    - CASE WHEN n_b > 0
+       |      THEN CAST(sy_b AS DOUBLE) / 100.0 / n_b END, 6) AS diff_raw,
        |  round($adjA - $adjB, 6) AS diff_adj
        |FROM one""".stripMargin
   }

@@ -150,10 +150,12 @@ object Layout {
     // full rows are interchangeable for run counting)
     val ord = Seq("l_orderkey", "l_linenumber") ++ cols
     val w = Window.partitionBy("rg").orderBy(ord.map(col): _*)
+    // null-safe run break (<=> mirrors the oracle's IS DISTINCT FROM):
+    // a NULL current value must break/extend runs identically on both
+    // engines, not collapse to the isNull||=!= form's NULL-comparison gap
     val flagged = cols.foldLeft(li) { (df, c) =>
       df.withColumn(s"${c}_brk",
-        when(lag(col(c), 1).over(w).isNull ||
-          lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L))
+        when(!(lag(col(c), 1).over(w) <=> col(c)), 1L).otherwise(0L))
     }
     val agg = flagged.agg(
       count(lit(1)).as("n_rows"),
