@@ -9,11 +9,101 @@ package graft
   * `bench_out.json` so a truncated log tail can't lose queries.
   */
 object Bench {
+
+  /** Fork-per-family mode (`SPARK_GRAFT_FORK=<queries-per-fork>`):
+    * runs the surface as alphabetical chunks, each in a FRESH child
+    * JVM, and merges the per-chunk artifacts into the one-line
+    * contract. Exists because a 275-query same-JVM sweep accumulates
+    * codegen-cache/GC pressure that made round-8's shared-227 subset
+    * read ~20% slower than round 7 with zero plan changes — fork
+    * isolation makes surface growth unable to masquerade as
+    * regression. `SPARK_GRAFT_FORK_XMX` overrides the child heap
+    * (default: the parent's SPARK_DRIVER_MEM convention, 8g), which
+    * doubles as the memory-bounded scale proof: a sweep at an
+    * explicit small heap shows no op silently relies on the sandbox's
+    * 128 GiB. */
+  private def runForked(ordered: Seq[String], chunk: Int, sfDir: String,
+                        cpus: String, reps: Int): Unit = {
+    val xmx = sys.env.getOrElse("SPARK_GRAFT_FORK_XMX",
+      sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val javaBin = new java.io.File(new java.io.File(
+      sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val families = ordered.grouped(chunk).toSeq
+    val results = scala.collection.mutable.Map.empty[String, Double]
+    var failed = Set.empty[String]
+    for ((fam, i) <- families.zipWithIndex) {
+      val out = java.nio.file.Files.createTempFile(s"bench_fork_$i", ".json")
+      val cmd = (Seq(javaBin, s"-Xmx$xmx") ++ opens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", sys.props("java.class.path"), "graft.Bench")).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment.remove("SPARK_GRAFT_FORK")
+      pb.environment.put("SPARK_GRAFT_ONLY", fam.mkString(","))
+      pb.environment.put("SPARK_GRAFT_OUT", out.toString)
+      pb.environment.put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment.put("SPARK_GRAFT_CPUS", cpus)
+      pb.environment.put("SPARK_GRAFT_BENCH_REPS", reps.toString)
+      pb.inheritIO()
+      val code = pb.start().waitFor()
+      val text = if (java.nio.file.Files.exists(out))
+        java.nio.file.Files.readString(out) else ""
+      if (code != 0 || !text.contains("\"queries\":")) {
+        System.err.println(s"BENCH FORK $i exit=$code — marking family failed")
+        failed ++= fam
+      } else {
+        val qBlock = text.substring(text.indexOf("\"queries\":{") + 11)
+        val pairs = "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
+        pairs.findAllMatchIn(qBlock.substring(0, qBlock.indexOf('}')))
+          .foreach { m =>
+            val v = m.group(2).toDouble
+            if (v < 0) failed += m.group(1) else results(m.group(1)) = v
+          }
+        fam.filterNot(q => results.contains(q) || failed.contains(q))
+          .foreach(failed += _)
+      }
+      java.nio.file.Files.deleteIfExists(out)
+    }
+    val med = ordered.map(n =>
+      n -> (if (failed.contains(n)) -1.0 else results(n)))
+    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedJson = med.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = math.rint(med.collect { case (_, v) if v >= 0 => v }.sum * 1e4) / 1e4
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failedJson,"sf":"$sfDir","reps":$reps,""" +
+      s""""fork":$chunk,"xmx":"$xmx"}"""
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")), line + "\n")
+    val slowest = med.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${med.size},""" +
+      s""""failed":$failedJson,"slowest":$slowest,"sf":"$sfDir","reps":$reps,""" +
+      s""""fork":$chunk,"xmx":"$xmx","full":"bench_out.json"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    sys.env.get("SPARK_GRAFT_FORK").map(_.toInt).filter(_ > 0).foreach { chunk =>
+      val only = sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
+      val ordered = SparkEntry.queries.keys.toSeq.sorted
+        .filter(name => only.forall(_.contains(name)))
+      runForked(ordered, chunk, sfDir, cpus, reps)
+      return
+    }
     // single config point: tuned defaults + the §5 shuffle-sizing rule
     val spark = GraftSession.build(s"local[$cpus]", "graft-bench",
       dataDir = Some(sfDir), cores = cpus.toInt)
@@ -73,10 +163,16 @@ object Bench {
     val failedJson = med.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = math.rint(med.collect { case (_, v) if v >= 0 => v }.sum * 1e4) / 1e4
+    // the artifact records the driver heap: every sweep is implicitly a
+    // memory-bounded proof (run/fork JVMs get -Xmx from SPARK_DRIVER_MEM,
+    // default 8g — NOT the sandbox's 128 GiB)
+    val xmx = java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getMax / (1024L * 1024L)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps,"heap_mb":$xmx}"""
     println(line)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")), line + "\n")
     // The driver's artifact keeps only a fixed 2000-char stdout TAIL
     // (sbt's epilogue included), so the full 118-query line above is
     // front-truncated there and has parsed as null since round 1. Print
