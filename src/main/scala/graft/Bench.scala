@@ -113,6 +113,20 @@ object Bench {
     try {
       graft.Tables.names.foreach(n => graft.Tables.load(spark, sfDir, n).count())
     } catch { case _: Throwable => () }
+    // Persisted-label mode (SPARK_GRAFT_LABELS_TABLE=<name>): write the
+    // cluster-label table ONCE (the once-per-crawl production shape,
+    // timed and reported on its own line) and point the session at it,
+    // so the four label-consuming gate queries time TABLE READS — the
+    // plan a 100 TB pipeline actually runs — instead of re-deriving
+    // MinHash+CC per query. Unset (the driver default), behavior is
+    // unchanged: every query still times its full computation.
+    sys.env.get("SPARK_GRAFT_LABELS_TABLE").foreach { tbl =>
+      val t0 = System.nanoTime()
+      graft.pipeline.Pipeline.writeLabels(spark, sfDir, tbl)
+      spark.conf.set("spark.graft.labels.table", tbl)
+      val sec = math.rint((System.nanoTime() - t0) / 1e9 * 1e4) / 1e4
+      println(s"""{"metric":"labels_write","value":$sec,"unit":"sec","table":"$tbl"}""")
+    }
     // deterministic alphabetical order: hash-map iteration order would
     // shuffle which queries absorb residual warm-up round to round
     // (dev convenience: SPARK_GRAFT_ONLY=a,b,c times a subset — the

@@ -253,4 +253,38 @@ object EtlQueries {
       |  count(DISTINCT user_id) AS distinct_keys,
       |  min(ts) AS min_ts, max(ts) AS max_ts
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** §2.319 `gold_rollup`: the gold-layer materialization the
+    * reference's medallion stops short of ("no Gold layer" —
+    * /root/reference/README.md §5 dashboards aggregate silver live):
+    * per (event_type, day) event count, exact revenue cents, and the
+    * derived average. This batch definition IS the contract for
+    * [[graft.streaming.Streaming.goldIncrementalStream]] — the
+    * foreachBatch-maintained incremental twin must equal this
+    * recompute after any micro-batch prefix (spec-pinned, including
+    * across a restart and a replayed batch).
+    *
+    * Scale shape: one map-side-combined groupBy; output is bounded by
+    * |event types| × calendar days, not the corpus.
+    *
+    * Determinism: counts/cents exact BIGINTs; avg_value is ONE
+    * division of identical integers rounded 6 dp. */
+  def goldRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("value_cents"),
+        round(col("value_cents").cast("double") / 100.0 / col("n_events"), 6)
+          .as("avg_value"))
+      .orderBy("event_type", "day")
+
+  val goldRollupSql: String =
+    """SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+      |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 / count(*), 6) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
 }

@@ -388,8 +388,32 @@ object Pipeline {
   private val labelsCache =
     new graft.MemoCache[DataFrame](4)(_.unpersist(blocking = false))
   def dedupClustersCached(spark: SparkSession, dir: String): DataFrame =
-    labelsCache.getOrElseUpdate(spark, dir)(dedupClusters(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    persistedLabels(spark).getOrElse(
+      labelsCache.getOrElseUpdate(spark, dir)(dedupClusters(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+
+  /** The §2.108 persisted-bucketed contract applied to cluster labels:
+    * a crawl-scale pipeline runs MinHash + CC ONCE per crawl and
+    * persists the label table; every downstream gate (make_splits,
+    * cluster_size_dist, quality_dup_bias, dedup_keep_best) then reads
+    * a doc_id-bucketed parquet table instead of re-deriving the whole
+    * chain per run — at sf5 that chain was ~110 s of the sweep
+    * re-paid four times. Opt-in via the `spark.graft.labels.table`
+    * conf (set after [[writeLabels]]): the driver gate never sets it,
+    * so oracle runs still verify the full computation; a parity spec
+    * pins persisted == recomputed. */
+  def persistedLabels(spark: SparkSession): Option[DataFrame] =
+    spark.conf.getOption("spark.graft.labels.table")
+      .filter(spark.catalog.tableExists)
+      .map(spark.table)
+
+  /** Compute the label table once and persist it bucketed by doc_id
+    * (8 buckets — the band-index convention), so label⋈doc joins can
+    * run exchange-free on the label side as the table accretes. */
+  def writeLabels(spark: SparkSession, dir: String,
+      table: String = "graft_labels", numBuckets: Int = 8): Unit =
+    graft.etl.Loader.writeBucketed(
+      dedupClusters(spark, dir), table, Seq("doc_id"), numBuckets)
 
   /** §2.39 duplicate-cluster resolution: connected components over the
     * MinHash near-dup pair graph by iterative min-label propagation —
@@ -431,10 +455,22 @@ object Pipeline {
     }
     edges.unpersist()
     prevCached = None
+    // rounds-to-converge surfaced for the scale audit (VERDICT r08 #8):
+    // propagation cost grows with component diameter, so InvariantCheck
+    // records the count at every SF and asserts the diameter bound
+    lastPropagationRounds = if (converged) iter else -1
     labels.select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("is_canonical"))
       .orderBy("doc_id")
   }
+
+  /** Rounds the last [[dedupClusters]] propagation loop took to reach
+    * its fixed point (−1 = hit the iteration cap unconverged). Debug
+    * observability only — never feeds results. */
+  @volatile var lastPropagationRounds: Int = -1
+
+  /** Rounds the last [[dedupClustersStar]] run took (−1 = not run). */
+  @volatile var lastStarRounds: Int = -1
 
   /** §2.84 the end-to-end corpus-construction capstone: everything a
     * training-data job runs, composed — corpus_filter survivors
@@ -571,7 +607,8 @@ object Pipeline {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val pairs = graft.dedup.Dedup.minhashPairs(Tables.documents(spark, dir))
       .select("id_a", "id_b")
-    val (labels, _) = ccBigSmallStar(pairs)
+    val (labels, rounds) = ccBigSmallStar(pairs)
+    lastStarRounds = rounds
     docs.join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"),

@@ -295,6 +295,76 @@ object Streaming {
       }
       .start()
 
+  /** §2.319b incremental gold-layer maintenance: a foreachBatch-
+    * maintained materialized rollup — per (event_type, day) count and
+    * exact revenue cents — with EXACTLY-ONCE merge semantics, the
+    * composition of §2.57's upsert sink and §2.67's AvailableNow
+    * catch-up that the reference's roadmap ("batch processing every
+    * date at designated time") points at. Each micro-batch collapses
+    * to per-key ADDITIVE deltas (map-side combine eats the batch),
+    * then merges into the persisted gold table: old ∪ delta → one
+    * groupBy over a frame bounded by |event types| × calendar days —
+    * never the corpus. Contract: after any micro-batch prefix the
+    * table equals [[graft.etl.EtlQueries.goldRollup]]'s batch
+    * recompute over the same events (spec-pinned, incl. restart).
+    *
+    * Exactly-once: foreachBatch re-runs a batch after failure, and an
+    * additive merge would double-count a replay — so every row
+    * carries `_last_batch` (the highest batchId merged) and
+    * [[mergeGoldBatch]] SKIPS any batchId ≤ the stored watermark. The
+    * temp-dir + rename swap makes watermark and data move together
+    * atomically (same local-FS caveat as [[foreachBatchUpsert]];
+    * production fences identically via a table format's atomic
+    * commit). */
+  def goldIncrementalStream(events: DataFrame, goldDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeGoldBatch(batch, batchId, goldDir)
+      }
+      .start()
+
+  /** One gold merge step (factored out so the replay fence is directly
+    * testable): aggregate `batch` to (event_type, day) deltas and fold
+    * them into the table at `goldDir`, unless `batchId` was already
+    * applied. */
+  def mergeGoldBatch(batch: DataFrame, batchId: Long, goldDir: String): Unit = {
+    val spark = batch.sparkSession
+    val delta = batch.select(col("event_type"),
+        date_trunc("day", col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
+    val target = new java.io.File(goldDir)
+    val merged =
+      if (target.exists()) {
+        val base = spark.read.parquet(goldDir)
+        val applied = base.agg(max("_last_batch")).head().getLong(0)
+        if (applied >= batchId) return // replayed batch: already merged
+        base.drop("_last_batch").unionByName(delta)
+          .groupBy("event_type", "day")
+          .agg(sum("n_events").as("n_events"),
+            sum("value_cents").as("value_cents"))
+      } else delta
+    val tmp = goldDir + "_tmp"
+    merged.withColumn("_last_batch", lit(batchId))
+      .write.mode("overwrite").parquet(tmp)
+    if (target.exists()) org.apache.commons.io.FileUtils.deleteDirectory(target)
+    new java.io.File(tmp).renameTo(target)
+    ()
+  }
+
+  /** Read the gold table in the [[graft.etl.EtlQueries.goldRollup]]
+    * shape (derives avg_value, drops the merge watermark). */
+  def readGold(spark: SparkSession, goldDir: String): DataFrame =
+    spark.read.parquet(goldDir)
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("value_cents"),
+        round(col("value_cents").cast("double") / 100.0 / col("n_events"), 6)
+          .as("avg_value"))
+      .orderBy("event_type", "day")
+
   /** §2.122 streaming incremental dedup — the daily-crawl loop as a
     * stream, closing the §2.87/108/114 triangle: each micro-batch of
     * arriving documents is checked against the PERSISTED bkey-bucketed

@@ -91,7 +91,26 @@ object InvariantCheck {
     val k2 = kb.select("doc_id", "cluster_id")
     val badKbLab = k2.exceptAll(p2).count() + p2.exceptAll(k2).count()
 
-    val out = Seq(
+    // rounds-to-converge audit (VERDICT r08 #8): propagation rounds are
+    // bounded by the largest cluster's size (rounds ≤ diameter+1 <
+    // size+1), star rounds by the Kiveris O(log n) shape — recorded at
+    // every SF so cluster-diameter growth can't silently blow the loop
+    val propRounds = graft.pipeline.Pipeline.lastPropagationRounds
+    val starRounds = graft.pipeline.Pipeline.lastStarRounds
+    val maxClusterSize = prop.groupBy("cluster_id").count()
+      .agg(max("count")).head().getLong(0)
+    val logBound = math.ceil(math.log(math.max(nDocs, 2).toDouble)
+      / math.log(2)).toInt + 2
+    val roundsOk = Seq(
+      Res("cc_propagation_rounds",
+        propRounds >= 1 && propRounds <= maxClusterSize + 1,
+        s"rounds=$propRounds (converged, bound=max_cluster_size+1=" +
+          s"${maxClusterSize + 1})"),
+      Res("cc_star_rounds",
+        starRounds >= 0 && starRounds <= logBound,
+        s"rounds=$starRounds (converged, bound=ceil(log2(n))+2=$logBound)"))
+
+    val out = roundsOk ++ Seq(
       partitionOk,
       res("cc_edges_fixed_point", badEdge, s"${pairs.count()} minhash edges"),
       res("cc_label_is_min_member", badMin, "per-cluster min(doc_id)=cluster_id"),
