@@ -927,39 +927,78 @@ object Queries {
     * replication, per-cell populations stay data-proportional, and
     * the plan survives any scale-up that keeps span bounded. */
   def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val cell = 64L * 86400L // grid cell (s); ≥ max transit span (50 d)
-    val li = Tables.lineitem(spark, dir).select(
-      col("l_suppkey"),
-      // (orderkey, linenumber) packed into one long (linenumber < 8,
-      // so *8 preserves the lexicographic order): the in-loop pair
-      // tie-break becomes a primitive comparison instead of building
-      // and comparing two structs per candidate
-      (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
-      // NTZ → LTZ is identity under the session's UTC timezone
-      col("l_shipdate").cast("timestamp").cast("long").as("t0"),
-      (col("l_shipdate").cast("timestamp").cast("long")
-        + col("l_quantity").cast("long") * 86400L).as("t1"))
-    // start cell precomputed per ROW so the count-once test is a
-    // greatest-of-two-longs per PAIR, not a division per pair
-    val binned = li.withColumn("sc", floor(col("t0") / cell))
-      .withColumn("cell",
-        explode(sequence(col("sc"), floor(col("t1") / cell))))
-    val a = binned.alias("a")
-    // Pin SHUFFLE_HASH: both sides are the SAME corpus-sized frame, but
-    // its narrow schema reads as broadcastable at small SF and the
-    // planner then enumerates every pair at the probe scan's few input
-    // partitions (measured 5.7 s at 2-3 threads; 0.9 s hash-partitioned
-    // across 32). At real scale a corpus-sized broadcast is an OOM, so
-    // the shuffle join is also the only plan that survives scale-up.
-    val b = binned.hint("shuffle_hash").alias("b")
-    a.join(b,
-        col("a.l_suppkey") === col("b.l_suppkey") &&
-        col("a.cell") === col("b.cell") &&
-        col("a.id") < col("b.id") &&
-        col("a.t0") <= col("b.t1") && col("b.t0") <= col("a.t1") &&
-        col("a.cell") === greatest(col("a.sc"), col("b.sc")))
-      .groupBy(col("a.l_suppkey").as("suppkey"))
-      .agg(count(lit(1)).as("n_overlaps"))
+    // Sweep-line counting, NOT pair enumeration (round-9 rework): the
+    // output is per-supplier overlap COUNTS, and counts never need the
+    // pair set materialized. For closed intervals sorted per supplier
+    // by (start, id), every overlapping pair is counted exactly once
+    // at its later-ordered member b as "a before b whose end reaches
+    // b's start": t1_a ≥ t0_b (given t0_a ≤ t0_b the other overlap
+    // inequality holds automatically). Summing over b:
+    //   Σ_b #{before b} − #{a : t1_a < t0_b}  =  n(n−1)/2 − Σ_b ends_before(b)
+    // and ends_before is one running sum over the starts∪ends event
+    // stream (ends sort AFTER starts at equal value, so an end exactly
+    // at a start does not count — the boundary stays inclusive).
+    //
+    // Scale shape: ONE hash exchange on l_suppkey + one per-supplier
+    // window over 2n events. The previous grid-cell self-join was
+    // already equi-join + bounded replication, but it materialized the
+    // answer's WORTH of pairs (186 M rows at sf5, 37 M at sf1 — probe-
+    // measured) just to count them; its join stage degraded ~36%/row
+    // as the working set outgrew cache (the round-8 "7.6×" — candidate
+    // volume itself was exactly linear, 5.01× on the 5× step). The
+    // sweep carries no pair intermediate at ANY scale, so the dense-
+    // calendar blow-up class is gone by construction.
+    val li = Tables.lineitem(spark, dir)
+      // NULL-bound intervals fell out of the pair join via NULL
+      // comparisons; the sweep must drop them explicitly or their
+      // events would miscount neighbors
+      .filter(col("l_shipdate").isNotNull && col("l_quantity").isNotNull)
+      .select(
+        col("l_suppkey"),
+        // (orderkey, linenumber) packed into one long (linenumber < 8 so
+        // *8 preserves lexicographic order). The pair contract excludes
+        // same-id pairs (strict id <) and the dirty corpus DUPLICATES
+        // ids, so intra-id overlaps are swept separately and subtracted.
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+        // NTZ → LTZ is identity under the session's UTC timezone
+        col("l_shipdate").cast("timestamp").cast("long").as("t0"),
+        (col("l_shipdate").cast("timestamp").cast("long")
+          + col("l_quantity").cast("long") * 86400L).as("t1"))
+    val events = li.select(col("l_suppkey"), col("id"), col("t0").as("val"),
+        lit(0L).as("is_end"))
+      .unionByName(li.select(col("l_suppkey"), col("id"),
+        col("t1").as("val"), lit(1L).as("is_end")))
+    val wAll = Window.partitionBy("l_suppkey").orderBy("val", "is_end")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wId = Window.partitionBy("l_suppkey", "id").orderBy("val", "is_end")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per START row b: (preceding starts) − (preceding ends) counts b's
+    // live ordered-before partners; the same two running sums at
+    // (suppkey, id) grain count b's SAME-ID partners (excluded by the
+    // pair contract's strict id<). Both "n(n−1)/2" terms become
+    // row-level preceding-starts sums, so the whole query is windows +
+    // ONE groupBy(suppkey) — no intermediate aggregate at the 30 M-
+    // distinct id grain (probe-measured 10× of the runtime at sf5).
+    // ONE window function per spec, by algebra: live partners before b
+    // = preceding starts − preceding ends = Σ_preceding (1 − 2·is_end).
+    // Both windows share the one suppkey exchange (the id sort is a
+    // within-partition re-sort). Measured at sf5 (stage CPU metrics):
+    // window-stage CPU is linear per row modulo cache tier — 34.3 s at
+    // 12 M events vs 230 s at 60 M (6.7× on 5×, the excess being
+    // per-task sort working sets growing 375 k → 1.6 M rows as the
+    // partition floor stops binding); wall adds 38-task/32-thread wave
+    // quantization. No pair intermediate exists at any scale.
+    val sweep = lit(1L) - lit(2L) * col("is_end")
+    events
+      .withColumn("live_all", coalesce(sum(sweep).over(wAll), lit(0L)))
+      .withColumn("live_id", coalesce(sum(sweep).over(wId), lit(0L)))
+      .filter(col("is_end") === 0L)
+      .groupBy("l_suppkey")
+      .agg(sum(col("live_all") - col("live_id")).as("n_overlaps"))
+      // inner-join parity with the oracle's pair formulation: a
+      // supplier with zero overlapping pairs emits no row
+      .filter(col("n_overlaps") > 0L)
+      .select(col("l_suppkey").as("suppkey"), col("n_overlaps"))
       .orderBy("suppkey")
   }
 
