@@ -48,10 +48,24 @@ object Fuzzy {
   /** Customer pairs with levenshtein(name) ≤ 1, found without any
     * all-pairs comparison. */
   def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    // repartition the NARROW pre-explosion rows: the customer file
+    // reads as a handful of splits, and without this the ×len key
+    // explosion + shuffle write run at scan parallelism (3 tasks at
+    // sf5) — one cheap exchange of (id, name) unlocks full width
     val c = Tables.customer(spark, dir).select(
       col("c_custkey").as("id"), col("c_name").as("name"))
+      .repartition()
     val keys = withDeletionKeys(c, "name")
-    val cand = keys.alias("a").join(keys.alias("b"), Seq("bkey"))
+    // Pin SHUFFLE_HASH: the key frame is corpus-sized (n·len rows) but
+    // derives its stats from the narrow customer scan, so the planner
+    // broadcasts it at every tested SF — a 12 M-row broadcast at sf5
+    // (OOM at real scale) whose probe side then runs at the SCAN's
+    // parallelism (3 tasks; 75 s of the measured 77 s). Hash-
+    // partitioning both sides restores full-width parallelism and is
+    // the only plan that survives scale-up (the interval_overlap /
+    // dedup_containment trap class).
+    val cand = keys.alias("a")
+      .join(keys.hint("shuffle_hash").alias("b"), Seq("bkey"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("key_a"), col("b.id").as("key_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"))
