@@ -179,9 +179,13 @@ object Stats {
       .withColumn("w", thresholds.map(t => when(col("u") >= t, 1).otherwise(0))
         .reduce(_ + _).cast("long"))
       .groupBy("rep").agg(
-        round(sum(col("w") * col("value")) / sum("w"), 6).as("rep_mean"))
+        // all-zero Poisson weights (possible on a tiny corpus): NULL
+        // rep mean on both engines, never an ANSI divide-by-zero
+        round(when(sum("w") > 0, sum(col("w") * col("value")) / sum("w")), 6)
+          .as("rep_mean"))
+    // NULLS LAST explicitly: DuckDB's ASC default — Spark's is first
     val ranked = reps.withColumn("rk",
-      row_number().over(Window.orderBy(col("rep_mean"), col("rep"))))
+      row_number().over(Window.orderBy(col("rep_mean").asc_nulls_last, col("rep"))))
     val full = base.agg(
       count(lit(1)).as("n_rows"), round(avg("value"), 6).as("mean_full"))
     full.crossJoin(
@@ -209,10 +213,11 @@ object Stats {
        |  FROM hashed b CROSS JOIN
        |    (SELECT unnest(generate_series(0, ${B - 1})) AS rep) g),
        |wtd AS (SELECT rep, value, $caseW AS w FROM reps),
-       |rm AS (SELECT rep, round(sum(w * value) / sum(w), 6) AS rep_mean
+       |rm AS (SELECT rep, round(CASE WHEN sum(w) > 0
+       |    THEN sum(w * value) / sum(w) END, 6) AS rep_mean
        |  FROM wtd GROUP BY 1),
        |rk AS (SELECT rep_mean,
-       |    row_number() OVER (ORDER BY rep_mean, rep) AS rk FROM rm),
+       |    row_number() OVER (ORDER BY rep_mean NULLS LAST, rep) AS rk FROM rm),
        |f AS (SELECT count(*) AS n_rows, round(avg(value), 6) AS mean_full
        |  FROM base)
        |SELECT f.n_rows, f.mean_full,

@@ -214,7 +214,9 @@ object Embed {
       val w = Array.tabulate(dim)(j =>
         (0 until dim).foldLeft(0.0)((acc, k) => acc + c(j)(k) * v(k)))
       val norm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
-      v = w.map(_ / norm)
+      // zero-covariance degenerate (all-equal or single vector): the
+      // iterate is the fixed point — 0/0 would NaN the loadings
+      if (norm > 0.0) v = w.map(_ / norm)
     }
     val cv = Array.tabulate(dim)(j =>
       (0 until dim).foldLeft(0.0)((acc, k) => acc + c(j)(k) * v(k)))
@@ -228,7 +230,7 @@ object Embed {
     // §2.224 trap); this helper matches the oracle by construction
     def r6(x: Double): Double = new java.math.BigDecimal(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    val share = r6(lambda / trace)
+    val share = r6(if (trace == 0.0) 0.0 else lambda / trace)
     import spark.implicits._
     (0 until dim).map(j => (j, r6(sg * v(j)), share))
       .toDF("dim", "loading", "explained_share")
@@ -246,8 +248,10 @@ object Embed {
          |n$t AS MATERIALIZED (SELECT
          |    sqrt(list_sum(list(wv * wv ORDER BY j))) AS nm
          |  FROM w$t),
-         |v$t AS MATERIALIZED (SELECT j, wv / nm AS val
-         |  FROM w$t CROSS JOIN n$t)"""
+         |v$t AS MATERIALIZED (SELECT w$t.j,
+         |    CASE WHEN nm > 0 THEN wv / nm ELSE v${t - 1}.val END AS val
+         |  FROM w$t CROSS JOIN n$t
+         |  JOIN v${t - 1} ON v${t - 1}.j = w$t.j)"""
         .stripMargin
     }.mkString(",\n")
     s"""WITH q AS (SELECT vec_id, list_transform(embedding,
@@ -276,7 +280,8 @@ object Embed {
        |sg AS (SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS s
        |  FROM v$PcaIters ORDER BY abs(val) DESC, j LIMIT 1)
        |SELECT v.j AS dim, round(sg.s * v.val, 6) AS loading,
-       |  round(lam.l / tr.t, 6) AS explained_share
+       |  round(CASE WHEN tr.t = 0 THEN 0.0 ELSE lam.l / tr.t END, 6)
+       |    AS explained_share
        |FROM v$PcaIters v CROSS JOIN sg CROSS JOIN lam CROSS JOIN tr
        |ORDER BY dim""".stripMargin
   }

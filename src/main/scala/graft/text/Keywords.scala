@@ -51,7 +51,12 @@ object Keywords {
     tl.join(broadcast(termTot), "term")
       .join(broadcast(langTot), "lang")
       .crossJoin(broadcast(n))
-      .withColumn("chi2_raw", chi2)
+      // all-integer degenerate gate: a term in EVERY token or a lang
+      // holding the whole corpus zeroes a margin factor — χ² is
+      // undefined there; both engines emit 0.0 instead of dividing
+      .withColumn("chi2_raw",
+        when(col("term_total") === col("nn") ||
+          col("lang_total") === col("nn"), lit(0.0)).otherwise(chi2))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("lang"), col("rk"), col("term"), col("a").as("n"),
@@ -141,13 +146,15 @@ object Keywords {
        |lt AS (SELECT lang, sum(a) AS lang_total FROM tl GROUP BY 1),
        |n AS (SELECT sum(a) AS nn FROM tl),
        |scored AS (SELECT lang, term, a,
+       |    CASE WHEN term_total = nn OR lang_total = nn THEN 0.0 ELSE
        |    CAST(nn AS DOUBLE) *
        |      (CAST(a AS DOUBLE) * CAST(nn - term_total - lang_total + a AS DOUBLE)
        |        - CAST(term_total - a AS DOUBLE) * CAST(lang_total - a AS DOUBLE)) *
        |      (CAST(a AS DOUBLE) * CAST(nn - term_total - lang_total + a AS DOUBLE)
        |        - CAST(term_total - a AS DOUBLE) * CAST(lang_total - a AS DOUBLE)) /
        |      (CAST(term_total AS DOUBLE) * CAST(nn - term_total AS DOUBLE) *
-       |       CAST(lang_total AS DOUBLE) * CAST(nn - lang_total AS DOUBLE)) AS chi2_raw
+       |       CAST(lang_total AS DOUBLE) * CAST(nn - lang_total AS DOUBLE))
+       |    END AS chi2_raw
        |  FROM tl JOIN tt USING (term) JOIN lt USING (lang) CROSS JOIN n),
        |ranked AS (SELECT lang, term, a, chi2_raw,
        |    row_number() OVER (PARTITION BY lang
