@@ -409,4 +409,52 @@ object Growth {
        |  burn_7d >= 1.0 AND burn_28d >= 1.0 AS alert_slow
        |FROM burns ORDER BY day""".stripMargin
   }
+
+  /** §2.325 `dau_mau_stickiness`: per calendar month, average daily
+    * active users over monthly active users — the engagement ratio
+    * ("what fraction of the month's users show up on a given day")
+    * every growth team tracks beside §2.150's rolling actives and
+    * §2.249's accounting identities. DAU/MAU ≈ 1 means daily-habit
+    * usage; ≈ 1/30 means once-a-month.
+    *
+    * Scale shape: corpus → distinct (user, day) grain (one map-side-
+    * combined distinct — the §2.150 user-day spine), then bounded
+    * month-grain aggregates: Σ daily-distinct counts and the exact
+    * per-month distinct, both over the user-day frame.
+    *
+    * Determinism: all counts exact BIGINTs; stickiness is ONE
+    * division sum_dau/(n_days·mau) of identical integers, 6 dp. */
+  def dauMauStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        date_trunc("month", col("ts")).as("month"))
+      .distinct()
+    val daily = ud.groupBy("month", "day").agg(count(lit(1)).as("dau"))
+      .groupBy("month").agg(count(lit(1)).as("n_days"),
+        sum("dau").as("sum_dau"))
+    val monthly = ud.groupBy("month")
+      .agg(countDistinct("user_id").as("mau"))
+    daily.join(monthly, "month")
+      .select(col("month"), col("n_days"), col("sum_dau"), col("mau"),
+        round(col("sum_dau").cast("double") /
+          (col("n_days") * col("mau")).cast("double"), 6).as("stickiness"))
+      .orderBy("month")
+  }
+
+  val dauMauStickinessSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    date_trunc('month', CAST(ts AS TIMESTAMP)) AS month
+      |  FROM events),
+      |daily AS (SELECT month, count(*) AS n_days,
+      |    CAST(sum(dau) AS BIGINT) AS sum_dau
+      |  FROM (SELECT month, day, count(*) AS dau FROM ud GROUP BY 1, 2) d
+      |  GROUP BY 1),
+      |monthly AS (SELECT month, count(DISTINCT user_id) AS mau FROM ud
+      |  GROUP BY 1)
+      |SELECT daily.month, n_days, sum_dau, mau,
+      |  round(CAST(sum_dau AS DOUBLE) / CAST(n_days * mau AS DOUBLE), 6)
+      |    AS stickiness
+      |FROM daily JOIN monthly ON daily.month = monthly.month
+      |ORDER BY 1""".stripMargin
 }

@@ -129,4 +129,78 @@ object Drift {
        |    * ln(greatest(n_a / CAST(ta AS DOUBLE), $Eps)
        |       / greatest(n_b / CAST(tb AS DOUBLE), $Eps)), 6) AS psi_term
        |FROM agg CROSS JOIN tot ORDER BY bin""".stripMargin
+
+  /** §2.324 `js_drift`: Jensen–Shannon divergence between each
+    * source's document-length distribution and the corpus — the
+    * symmetric, bounded [0,1]-bit drift score next to §2.80's PSI
+    * (which explodes on empty bins) and §2.157's KS (max-gap only,
+    * insensitive to multi-modal shifts). The per-source "does this
+    * feed still look like the corpus" number a 100 TB ingest
+    * dashboard tracks per crawl.
+    *
+    * Scale shape: one map-side-combined groupBy to (source, bin)
+    * cells (bins = n_chars div 100 — bounded by max doc length);
+    * the |sources|×|bins| grid, the folds, and the report are all
+    * bounded frames.
+    *
+    * Determinism: every log argument is an exact BIGINT product
+    * (2aT, 2tA, aT+tA — the §2.95 integer-log-args convention, so
+    * both engines evaluate ln on identical doubles); each bin term is
+    * one fixed-sequence float; per-source terms are summed by an
+    * ORDERED fold over bin (the §2.241 rule). a=0 bins contribute
+    * only their q-term (the p·ln p → 0 limit), gated by an INTEGER
+    * compare. */
+  def jsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), expr("n_chars div 100").as("bin"))
+    val cells = docs.groupBy("source", "bin").agg(count(lit(1)).as("a"))
+    val srcs = cells.groupBy("source").agg(sum("a").as("aa"))
+    val bins = cells.groupBy("bin").agg(sum("a").as("t"))
+    val tot = cells.agg(sum("a").as("tt"))
+    val grid = srcs.crossJoin(broadcast(bins))
+      .join(cells, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("a"))
+      .crossJoin(broadcast(tot))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val denomLn = log(d(col("a") * col("tt") + col("t") * col("aa")))
+    val termP = when(col("a") > 0,
+      (d(col("a")) / d(col("aa"))) *
+        (log(d(lit(2L) * col("a") * col("tt"))) - denomLn)).otherwise(lit(0.0))
+    val termQ = (d(col("t")) / d(col("tt"))) *
+      (log(d(lit(2L) * col("t") * col("aa"))) - denomLn)
+    grid
+      .withColumn("term", termP + termQ)
+      .groupBy("source", "aa")
+      .agg(sort_array(collect_list(struct(col("bin"), col("term"))))
+        .as("terms"))
+      .select(col("source"), col("aa").as("n_docs"),
+        round(expr(
+          "aggregate(terms, CAST(0 AS DOUBLE), (acc, t) -> acc + t.term)")
+          * 0.5 / log(lit(2.0)), 6).as("jsd_bits"))
+      .orderBy("source")
+  }
+
+  val jsDriftSql: String =
+    """WITH cells AS (SELECT source, n_chars // 100 AS bin, count(*) AS a
+      |  FROM documents GROUP BY 1, 2),
+      |s AS (SELECT source, CAST(sum(a) AS BIGINT) AS aa FROM cells GROUP BY 1),
+      |b AS (SELECT bin, CAST(sum(a) AS BIGINT) AS t FROM cells GROUP BY 1),
+      |tt AS (SELECT CAST(sum(a) AS BIGINT) AS tt FROM cells),
+      |grid AS (SELECT s.source, s.aa, b.bin, b.t,
+      |    CAST(coalesce(c.a, 0) AS BIGINT) AS a, tt.tt
+      |  FROM s CROSS JOIN b
+      |  LEFT JOIN cells c ON c.source = s.source AND c.bin = b.bin
+      |  CROSS JOIN tt),
+      |terms AS (SELECT source, aa, bin,
+      |    (CASE WHEN a > 0 THEN (CAST(a AS DOUBLE) / aa) *
+      |        (ln(CAST(2 * a * tt AS DOUBLE))
+      |         - ln(CAST(a * tt + t * aa AS DOUBLE))) ELSE 0.0 END)
+      |    + (CAST(t AS DOUBLE) / tt) *
+      |        (ln(CAST(2 * t * aa AS DOUBLE))
+      |         - ln(CAST(a * tt + t * aa AS DOUBLE))) AS term
+      |  FROM grid)
+      |SELECT source, aa AS n_docs,
+      |  round(list_sum(list(term ORDER BY bin)) * 0.5 / ln(2.0), 6)
+      |    AS jsd_bits
+      |FROM terms GROUP BY source, aa ORDER BY source""".stripMargin
 }
