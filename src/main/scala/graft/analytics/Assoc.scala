@@ -202,6 +202,62 @@ object Assoc {
         (col("runs").cast("double") - mu) / sqrt(sig2)), 6).as("z"))
   }
 
+  /** §2.328 `mann_kendall`: Mann–Kendall monotone-trend test on the
+    * daily-revenue series — S = Σ_{i<j} sign(x_j − x_i) over the
+    * time-ordered days, tie-corrected Var(S) = (n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5))/18, continuity-corrected z. Completes the
+    * §2.321/323 triptych: runs_test asks "random?", kendall_tau asks
+    * "associated with the other series?", this asks "trending?" —
+    * the standard pre-model trend detector (Mann 1945, Kendall 1975).
+    *
+    * Scale shape: corpus → day grain map-side; the pairwise count and
+    * the tie groups both live on calendar-bounded frames (§2.253).
+    *
+    * Determinism: S and both variance numerators exact BIGINTs;
+    * z = (S∓1)/√(num/18) ONE fixed-sequence float, the all-tied
+    * num=0 degenerate INTEGER-gated to NULL; z=0 exactly at S=0. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val a = days.alias("a")
+    val b = days.alias("b")
+    val s = a.join(broadcast(b), col("a.day") < col("b.day"))
+      .agg(sum(signum(col("b.cents") - col("a.cents")).cast("long")).as("s"))
+    val ties = days.groupBy("cents").agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    val n = days.agg(count(lit(1)).as("n"))
+    s.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .withColumn("var_num",
+        expr("n * (n - 1) * (2 * n + 5) - tie_term"))
+      .select(col("n").as("n_days"), col("s"), col("var_num"),
+        round(when(col("var_num") > 0,
+          when(col("s") > 0, (col("s") - 1).cast("double"))
+            .when(col("s") < 0, (col("s") + 1).cast("double"))
+            .otherwise(lit(0.0)) /
+            sqrt(col("var_num").cast("double") / 18.0)), 6).as("z"))
+  }
+
+  val mannKendallSql: String =
+    """WITH days AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |s AS (SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+      |    WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s
+      |  FROM days a JOIN days b ON a.day < b.day),
+      |ties AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+      |    AS tie_term
+      |  FROM (SELECT count(*) AS t FROM days GROUP BY cents) g),
+      |n AS (SELECT count(*) AS n FROM days)
+      |SELECT n.n AS n_days, s.s,
+      |  CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var_num,
+      |  round(CASE WHEN n * (n - 1) * (2 * n + 5) - tie_term > 0 THEN
+      |    (CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+      |          WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) ELSE 0.0 END) /
+      |    sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+      |    END, 6) AS z
+      |FROM s CROSS JOIN n CROSS JOIN ties""".stripMargin
+
   val runsTestSql: String =
     """WITH days AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -112,6 +112,30 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mann_kendall = brute pairwise S, tie-corrected variance, z") {
+    val byDay = events.groupBy(e => dayOf(e._2))
+      .view.mapValues(_.map(e => cents(e._5)).sum).toSeq.sortBy(_._1)
+      .map(_._2)
+    val n = byDay.length
+    var s = 0L
+    for (i <- 0 until n; j <- i + 1 until n)
+      s += java.lang.Long.signum(byDay(j) - byDay(i))
+    val tieTerm = byDay.groupBy(identity).values
+      .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val varNum = n.toLong * (n - 1) * (2L * n + 5) - tieTerm
+    val z =
+      if (varNum <= 0) None
+      else Some((if (s > 0) s - 1.0 else if (s < 0) s + 1.0 else 0.0) /
+        math.sqrt(varNum / 18.0))
+    val r = Assoc.mannKendall(spark, sf).collect().head
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == s)
+    assert(r.getLong(2) == varNum)
+    z match {
+      case Some(zz) => assert(math.abs(r.getDouble(3) - zz) < 1e-5)
+      case None => assert(r.isNullAt(3))
+    }
+  }
+
   test("dau_mau_stickiness = brute user-day ratio, within (0, 1]") {
     val ud = events.map(e => (e._3,
       e._2.toLocalDateTime.toLocalDate)).distinct
