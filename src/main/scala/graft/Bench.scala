@@ -61,7 +61,10 @@ object Bench {
         failed ++= fam
       } else {
         val qBlock = text.substring(text.indexOf("\"queries\":{") + 11)
-        val pairs = "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
+        // exponent-aware: Scala prints sub-1e-3 doubles in scientific
+        // notation (5.0E-4) — a mantissa-only regex would record that
+        // as 5.0 s, a 10,000x inflation (ADVICE r9)
+        val pairs = "\"([A-Za-z0-9_]+)\":(-?[0-9.]+(?:[Ee][+-]?[0-9]+)?)".r
         pairs.findAllMatchIn(qBlock.substring(0, qBlock.indexOf('}')))
           .foreach { m =>
             val v = m.group(2).toDouble

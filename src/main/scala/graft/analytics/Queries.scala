@@ -951,8 +951,15 @@ object Queries {
     val li = Tables.lineitem(spark, dir)
       // NULL-bound intervals fell out of the pair join via NULL
       // comparisons; the sweep must drop them explicitly or their
-      // events would miscount neighbors
-      .filter(col("l_shipdate").isNotNull && col("l_quantity").isNotNull)
+      // events would miscount neighbors. The sweep additionally
+      // REQUIRES t1 >= t0 (a negative-span "interval" breaks the
+      // start-before-end event ordering) and non-null id components —
+      // enforced here AND in the oracle's iv CTE so both engines
+      // evaluate the identical precondition instead of assuming it
+      // (ADVICE r9; real lineitem data always satisfies it).
+      .filter(col("l_shipdate").isNotNull && col("l_quantity").isNotNull
+        && col("l_quantity") >= 0
+        && col("l_orderkey").isNotNull && col("l_linenumber").isNotNull)
       .select(
         col("l_suppkey"),
         // (orderkey, linenumber) packed into one long (linenumber < 8 so
@@ -1007,7 +1014,9 @@ object Queries {
       |    CAST(epoch(l_shipdate) AS BIGINT) AS t0,
       |    CAST(epoch(l_shipdate) AS BIGINT)
       |      + CAST(l_quantity AS BIGINT) * 86400 AS t1
-      |  FROM lineitem)
+      |  FROM lineitem
+      |  WHERE l_shipdate IS NOT NULL AND l_quantity >= 0
+      |    AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
       |SELECT a.l_suppkey AS suppkey, count(*) AS n_overlaps
       |FROM iv a JOIN iv b
       |  ON a.l_suppkey = b.l_suppkey

@@ -340,7 +340,12 @@ object Streaming {
     val merged =
       if (target.exists()) {
         val base = spark.read.parquet(goldDir)
-        val applied = base.agg(max("_last_batch")).head().getLong(0)
+        // a zero-row gold table (possible after an empty first batch)
+        // makes max(_last_batch) NULL — treat as "nothing applied yet"
+        // instead of NPE-ing the stream (ADVICE r9)
+        val appliedRow = base.agg(max("_last_batch")).head()
+        val applied = if (appliedRow.isNullAt(0)) Long.MinValue
+                      else appliedRow.getLong(0)
         if (applied >= batchId) return // replayed batch: already merged
         base.drop("_last_batch").unionByName(delta)
           .groupBy("event_type", "day")
@@ -350,8 +355,21 @@ object Streaming {
     val tmp = goldDir + "_tmp"
     merged.withColumn("_last_batch", lit(batchId))
       .write.mode("overwrite").parquet(tmp)
-    if (target.exists()) org.apache.commons.io.FileUtils.deleteDirectory(target)
-    new java.io.File(tmp).renameTo(target)
+    // Swap via stage-aside, not delete-then-rename: the old table is
+    // only deleted AFTER the new one is in place, and every rename's
+    // return value is checked so a failed swap fails the batch loudly
+    // (foreachBatch will retry it) instead of silently losing the gold
+    // table (ADVICE r9).
+    val bak = new java.io.File(goldDir + "_old")
+    if (bak.exists()) org.apache.commons.io.FileUtils.deleteDirectory(bak)
+    if (target.exists() && !target.renameTo(bak))
+      sys.error(s"gold merge: failed to stage aside existing $goldDir")
+    if (!new java.io.File(tmp).renameTo(target)) {
+      if (bak.exists()) bak.renameTo(target) // restore previous table
+      sys.error(s"gold merge: rename $tmp -> $goldDir failed; " +
+        "previous table restored")
+    }
+    if (bak.exists()) org.apache.commons.io.FileUtils.deleteDirectory(bak)
     ()
   }
 

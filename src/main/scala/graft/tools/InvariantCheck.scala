@@ -99,16 +99,24 @@ object InvariantCheck {
     val starRounds = graft.pipeline.Pipeline.lastStarRounds
     val maxClusterSize = prop.groupBy("cluster_id").count()
       .agg(max("count")).head().getLong(0)
-    val logBound = math.ceil(math.log(math.max(nDocs, 2).toDouble)
-      / math.log(2)).toInt + 2
+    val log2n = math.ceil(math.log(math.max(nDocs, 2).toDouble)
+      / math.log(2)).toInt
+    // big-star/small-star's PROVEN worst case is O(log^2 n) rounds
+    // (Kiveris et al.); the observed shape on these corpora is ~log n,
+    // but gating at ceil(log2 n)+2 could flag a legal adversarial
+    // cluster that converged slowly (ADVICE r9). Gate at the proven
+    // quadratic bound and keep the observed count in the message so
+    // drift stays visible without false positives.
+    val starBound = math.max(log2n * log2n, log2n + 2)
     val roundsOk = Seq(
       Res("cc_propagation_rounds",
         propRounds >= 1 && propRounds <= maxClusterSize + 1,
         s"rounds=$propRounds (converged, bound=max_cluster_size+1=" +
           s"${maxClusterSize + 1})"),
       Res("cc_star_rounds",
-        starRounds >= 0 && starRounds <= logBound,
-        s"rounds=$starRounds (converged, bound=ceil(log2(n))+2=$logBound)"))
+        starRounds >= 0 && starRounds <= starBound,
+        s"rounds=$starRounds (converged, typical~ceil(log2 n)+2=" +
+          s"${log2n + 2}, gate=log2(n)^2=$starBound)"))
 
     val out = roundsOk ++ Seq(
       partitionOk,

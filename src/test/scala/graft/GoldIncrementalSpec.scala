@@ -71,6 +71,22 @@ class GoldIncrementalSpec extends AnyFunSuite {
       .agg(max("_last_batch")).head().getLong(0) == wm + 1)
   }
 
+  test("zero-row gold table (empty first batch) does not NPE the merge " +
+       "and the next real batch still lands") {
+    val base = java.nio.file.Files.createTempDirectory("graft-gold3").toString
+    val goldDir = s"$base/gold"
+    val ev = Tables.events(spark, sf)
+    // batch 0 is empty → gold table exists with ZERO rows, so
+    // max(_last_batch) is NULL; pre-fix this threw NPE on the next merge
+    Streaming.mergeGoldBatch(ev.limit(0).toDF(), 0L, goldDir)
+    assert(spark.read.parquet(goldDir).count() == 0L)
+    Streaming.mergeGoldBatch(ev.toDF(), 1L, goldDir)
+    assert(goldOf(goldDir) == rollupOf(ev),
+      "merge after empty first batch != batch recompute")
+    assert(spark.read.parquet(goldDir)
+      .agg(max("_last_batch")).head().getLong(0) == 1L)
+  }
+
   test("gold_rollup oracle twin matches readGold after full maintenance") {
     val base = java.nio.file.Files.createTempDirectory("graft-gold2").toString
     val ev = Tables.events(spark, sf)
