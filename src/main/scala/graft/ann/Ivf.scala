@@ -156,7 +156,7 @@ object Ivf {
     * inverted-list CTE. Returns (CTE body, final-centroid CTE name) so
     * both [[ivfTopKSql]] and [[SemDedup.semanticDedupSql]] replay the
     * SAME training. */
-  private[ann] def lloydPrefixSql: (String, String) = {
+  private[graft] def lloydPrefixSql: (String, String) = {
     val vSql =
       s"""SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
          |    ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nrm

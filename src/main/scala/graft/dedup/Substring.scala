@@ -175,6 +175,115 @@ object Substring {
        |FROM documents d LEFT JOIN per_doc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** §2.331 `dup_spans_cut`: the CUT LIST [[dupSpans]] stops short of
+    * — production span-level dedup (ExactSubstr, Lee et al. "Dedup-
+    * licating Training Data Makes Language Models Better") doesn't
+    * report coverage, it REMOVES the duplicated ranges. Per document
+    * with duplicated spans: each maximal span as an explicit 1-based
+    * token range [cut_start, cut_end] (ordered, `span_idx`), plus the
+    * post-cut document summarized exactly — kept-token count and a
+    * residual fingerprint (sum of the kept tokens' poly hashes —
+    * order-free, exact BIGINT: ≤ doc_len · 1e9+7 ≪ 2^63) so a
+    * downstream writer can verify the cut doc it materializes.
+    *
+    * Token coverage is NOT a token×span range join: dup gram starts
+    * land back on the token stream via one (doc_id, p) equi-join, and
+    * "token q is covered" becomes "some dup start lies in
+    * [q−k+1, q]" — a rows-window max over the DENSE position stream
+    * (every token has a row, so ROWS offsets ≡ position offsets).
+    * Scale shape: the gram machinery is [[dupSpans]]'s; on top ride
+    * one corpus-sized equi-join, one doc-partitioned window (shared
+    * sort class), and a doc-grain join of the bounded span frame. */
+  def dupSpansCut(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(col("doc_id"),
+      graft.functions.native.token_poly_hashes(col("text")).as("th"))
+    val g = base.select(col("doc_id"),
+        posexplode(graft.functions.native.shingle_hashes(col("th"), GramK)))
+      .toDF("doc_id", "p", "h")
+    val totals = g.groupBy("h").agg(count(lit(1)).as("total"))
+      .filter(col("total") >= 2)
+    val dupStarts = g.join(totals, Seq("h"), "leftsemi").select("doc_id", "p")
+    // maximal spans (gaps-and-islands, exactly dupSpans's assignment)
+    val wPrev = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spans = dupStarts
+      .withColumn("new_island",
+        when(col("p") > coalesce(max(col("p") + lit(GramK - 1)).over(wPrev),
+          lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum("new_island").over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(min("p").as("s"), max(col("p") + lit(GramK - 1)).as("e"))
+    // post-cut doc: covered iff a dup start lies within the last k
+    // token positions (dense stream → ROWS window ≡ position window)
+    val toks = base.select(col("doc_id"), size(col("th")).as("n_tokens"),
+        posexplode(col("th"))).toDF("doc_id", "n_tokens", "p", "tok_h")
+    val wCov = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(GramK - 1), 0)
+    val kept = toks
+      .join(dupStarts.withColumn("is_start", lit(1)), Seq("doc_id", "p"), "left")
+      .withColumn("covered",
+        max(when(col("is_start") === 1, col("p"))).over(wCov).isNotNull)
+      .groupBy("doc_id")
+      .agg(any_value(col("n_tokens")).as("n_tokens"),
+        sum(when(!col("covered"), 1L).otherwise(0L)).as("kept_tokens"),
+        coalesce(sum(when(!col("covered"), col("tok_h"))), lit(0L))
+          .as("residual_fp"))
+    val wIdx = Window.partitionBy("doc_id").orderBy("s")
+    spans.join(kept, "doc_id")
+      .select(col("doc_id"),
+        row_number().over(wIdx).cast("long").as("span_idx"),
+        (col("s") + 1).cast("long").as("cut_start"),
+        (col("e") + 1).cast("long").as("cut_end"),
+        (col("e") - col("s") + 1).cast("long").as("span_tokens"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("kept_tokens"), col("residual_fp"))
+      .orderBy("doc_id", "span_idx")
+  }
+
+  val dupSpansCutSql: String =
+    s"""WITH grams AS ($gramsSql),
+       |totals AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+       |dup AS (SELECT g.doc_id, g.p FROM grams g
+       |        WHERE g.h IN (SELECT h FROM totals)),
+       |isl AS (SELECT doc_id, p,
+       |    CAST(sum(new_island) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+       |  FROM (SELECT doc_id, p,
+       |      CASE WHEN p > coalesce(max(p + ${GramK - 1}) OVER (
+       |          PARTITION BY doc_id ORDER BY p
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |        THEN 1 ELSE 0 END AS new_island
+       |    FROM dup) t),
+       |spans AS (SELECT doc_id, island, min(p) AS s, max(p + ${GramK - 1}) AS e
+       |  FROM isl GROUP BY 1, 2),
+       |toks AS (SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+       |    generate_subscripts(th, 1) AS p, unnest(th) AS tok_h
+       |  FROM (SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents) t),
+       |cov AS (SELECT t.doc_id, t.n_tokens, t.p, t.tok_h,
+       |    max(CASE WHEN d.p IS NOT NULL THEN t.p END) OVER (
+       |      PARTITION BY t.doc_id ORDER BY t.p
+       |      ROWS BETWEEN ${GramK - 1} PRECEDING AND CURRENT ROW) IS NOT NULL
+       |      AS covered
+       |  FROM toks t LEFT JOIN dup d ON t.doc_id = d.doc_id AND t.p = d.p),
+       |kept AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+       |    CAST(sum(CASE WHEN NOT covered THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS kept_tokens,
+       |    CAST(coalesce(sum(CASE WHEN NOT covered THEN tok_h END), 0) AS BIGINT)
+       |      AS residual_fp
+       |  FROM cov GROUP BY doc_id)
+       |SELECT s.doc_id,
+       |  CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.s) AS BIGINT)
+       |    AS span_idx,
+       |  CAST(s.s AS BIGINT) AS cut_start, CAST(s.e AS BIGINT) AS cut_end,
+       |  CAST(s.e - s.s + 1 AS BIGINT) AS span_tokens,
+       |  k.n_tokens, k.kept_tokens, k.residual_fp
+       |FROM spans s JOIN kept k ON s.doc_id = k.doc_id
+       |ORDER BY s.doc_id, span_idx""".stripMargin
+
   /** CDC boundary divisor: a token opens a new chunk when its compiled
     * poly hash ≡ 0 (mod this), giving ~[[CdcDivisor]]-token expected
     * chunks — the content-defined analogue of fixed windows. */

@@ -207,6 +207,95 @@ object Pipeline {
        |FROM cap CROSS JOIN cs
        |ORDER BY lang""".stripMargin
 
+  /** §2.332 `corpus_mix_topic`: the cluster-balanced mixture —
+    * [[corpusMix]]'s capped-allocation arithmetic re-keyed from
+    * language to TOPIC, where topic = the §2.73 IVF coarse-quantizer
+    * cell of the document's embedding (deterministic k-means: first-K
+    * init, fixed Lloyd rounds, 6-dp-rounded centroids — the exact
+    * chain the oracle replays). This is the topic-balance knob real
+    * pretraining mixtures tune (web crawl ≫ reference text in volume;
+    * capping a topic's share is how the tail topics keep signal) —
+    * language gives it no purchase because language is metadata while
+    * topic must be DERIVED from content.
+    *
+    * Docs join their embedding row on doc_id = vec_id (the corpus
+    * convention; docs without an embedding — the scale corpora embed a
+    * subset — simply aren't mixture candidates, matching a pipeline
+    * that mixes over the embedded pool). Allocation stays exact
+    * BIGINT: capped numerator over the common denominator, integer
+    * `div` for tokens (the [[corpusMix]] argument verbatim).
+    *
+    * Scale shape: centroid training is the §2.73 broadcast-Lloyd
+    * chain (K·dim stats driver-side per round); assignment is one
+    * broadcast-centroid scan; the doc↔vec join is one hash join on
+    * the id; everything after is K-row arithmetic with 1-row
+    * broadcast totals. */
+  /** Topic-mixture cap = exactly 1/K: with K clusters summing to 1,
+    * some share is >= 1/K and some is <= 1/K unless the distribution
+    * is perfectly uniform — so unlike reusing the 0.3 language cap
+    * (which no 8-cluster share ever reaches), this cap provably BINDS
+    * on the head topics at every SF, keeping the capping arithmetic
+    * live in the oracle (the check-constants-against-the-distribution
+    * rule). */
+  val TopicCapNum = 1L
+  val TopicCapDen: Long = graft.ann.Ivf.K.toLong
+
+  def corpusMixTopic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ann.Ivf
+    val emb = Tables.embeddings(spark, dir)
+    val cent = Ivf.trainCentroids(emb)
+    val assigned = Ivf.assignNearest(Ivf.vecsD(emb), cent)
+      .select(col("vec_id").as("doc_id"), col("cid"))
+    val per = Tables.documents(spark, dir)
+      .withColumn("n_tokens",
+        size(graft.functions.native.token_poly_hashes(col("text"))).cast("long"))
+      .join(assigned, "doc_id")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("topic_tokens"))
+    val total = per.agg(sum("topic_tokens").as("total_tokens"))
+    val capped = least(col("topic_tokens") * TopicCapDen,
+      col("total_tokens") * TopicCapNum)
+    val capSum = per.crossJoin(broadcast(total))
+      .agg(sum(capped).as("cap_sum"))
+    per.crossJoin(broadcast(total)).crossJoin(broadcast(capSum))
+      .withColumn("cap_num", capped)
+      .withColumn("alloc_tokens", expr(s"cap_num * $MixBudget div cap_sum"))
+      .withColumn("epochs_raw",
+        col("alloc_tokens").cast("double") / col("topic_tokens"))
+      .select(col("cid").as("topic_id"), col("n_docs"), col("topic_tokens"),
+        round(col("topic_tokens").cast("double") / col("total_tokens"), 6)
+          .as("natural_share"),
+        round(col("cap_num").cast("double") / col("cap_sum"), 6).as("mix_weight"),
+        col("alloc_tokens"),
+        round(least(lit(1.0), col("epochs_raw")), 6).as("sampling_rate"),
+        round(col("epochs_raw"), 6).as("epochs"))
+      .orderBy("topic_id")
+  }
+
+  val corpusMixTopicSql: String = {
+    val (lloyd, _) = graft.ann.Ivf.lloydPrefixSql
+    s"""WITH $lloyd,
+       |per AS (SELECT a.cid, count(*) AS n_docs,
+       |    CAST(sum(len(${tokenHashesSql("d.text")})) AS BIGINT) AS topic_tokens
+       |  FROM assigned a JOIN documents d ON d.doc_id = a.vec_id
+       |  GROUP BY a.cid),
+       |tot AS (SELECT CAST(sum(topic_tokens) AS BIGINT) AS total_tokens FROM per),
+       |cap AS (SELECT cid, n_docs, topic_tokens, total_tokens,
+       |    least(topic_tokens * $TopicCapDen, total_tokens * $TopicCapNum) AS cap_num
+       |  FROM per CROSS JOIN tot),
+       |cs AS (SELECT CAST(sum(cap_num) AS BIGINT) AS cap_sum FROM cap)
+       |SELECT cid AS topic_id, n_docs, topic_tokens,
+       |  round(topic_tokens / CAST(total_tokens AS DOUBLE), 6) AS natural_share,
+       |  round(cap_num / CAST(cap_sum AS DOUBLE), 6) AS mix_weight,
+       |  cap_num * $MixBudget // cap_sum AS alloc_tokens,
+       |  round(least(1.0, (cap_num * $MixBudget // cap_sum)
+       |    / CAST(topic_tokens AS DOUBLE)), 6) AS sampling_rate,
+       |  round((cap_num * $MixBudget // cap_sum)
+       |    / CAST(topic_tokens AS DOUBLE), 6) AS epochs
+       |FROM cap CROSS JOIN cs
+       |ORDER BY topic_id""".stripMargin
+  }
+
   /** §2.38 sequence packing for a context window: assign docs (in
     * deterministic stream order per language) to bins by cumulative
     * token count div capacity — the shuffle-light approximation of
