@@ -278,8 +278,11 @@ object Mining {
     * Scale shape: ONE hash exchange on user_id (the lead window —
     * the §2.134/137 shared-sort family), then row-local weight
     * arithmetic and a map-side-combined per-user aggregation. Weights
-    * are exact integer seconds on both engines; the weighted sum is
-    * double with engine-local summation order, 4 dp rounding. */
+    * are exact integer seconds; values ride as exact CENTS so both
+    * numerators are order-free BIGINT sums (the float `sum(value*wt)`
+    * flipped last 4 dp digits at sf0.1 — round-10 full-surface
+    * check), and each reported float is ONE integer-HALF-UP division
+    * of identical integers. */
   def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(spark, dir)
@@ -287,12 +290,20 @@ object Mining {
       .filter(col("next_ts").isNotNull)
       .withColumn("wt",
         (col("next_ts").cast("long") - col("ts").cast("long")))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_intervals"),
         sum("wt").as("span_s"),
-        round(sum(col("value") * col("wt")) / sum("wt"), 4).as("twa"),
-        round(avg("value"), 4).as("plain_avg"))
+        sum(col("cents") * col("wt")).as("_cw"),
+        sum("cents").as("_c"))
       .filter(col("span_s") > 0)
+      // HALF-UP 4 dp of _cw/(100·span) and _c/(100·n): (num·2e4 + den)
+      // div (2·den), one exact integer grid point, then /1e4
+      .select(col("user_id"), col("n_intervals"), col("span_s"),
+        (expr("(_cw * 20000 + 100 * span_s) div (200 * span_s)")
+          .cast("double") / 1e4).as("twa"),
+        (expr("(_c * 20000 + 100 * n_intervals) div (200 * n_intervals)")
+          .cast("double") / 1e4).as("plain_avg"))
       .orderBy("user_id")
   }
 
@@ -302,13 +313,18 @@ object Mining {
       |      date_diff('second', CAST(ts AS TIMESTAMP),
       |        lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
       |          ORDER BY ts, event_id)) AS wt
-      |    FROM events) t WHERE wt IS NOT NULL)
-      |SELECT user_id, count(*) AS n_intervals,
-      |  CAST(sum(wt) AS BIGINT) AS span_s,
-      |  round(sum(value * wt) / sum(wt), 4) AS twa,
-      |  round(avg(value), 4) AS plain_avg
-      |FROM iv GROUP BY user_id HAVING sum(wt) > 0
-      |ORDER BY user_id""".stripMargin
+      |    FROM events) t WHERE wt IS NOT NULL),
+      |agg AS (SELECT user_id, count(*) AS n_intervals,
+      |    CAST(sum(wt) AS BIGINT) AS span_s,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT) * wt) AS BIGINT) AS cw,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM iv GROUP BY user_id HAVING sum(wt) > 0)
+      |SELECT user_id, n_intervals, span_s,
+      |  CAST((cw * 20000 + 100 * span_s) // (200 * span_s) AS DOUBLE) / 1e4
+      |    AS twa,
+      |  CAST((c * 20000 + 100 * n_intervals) // (200 * n_intervals)
+      |    AS DOUBLE) / 1e4 AS plain_avg
+      |FROM agg ORDER BY user_id""".stripMargin
 
   /** §2.145 session journey paths: the top-20 most common
     * within-session event-type sequences (the "user journey" report —
@@ -412,15 +428,25 @@ object Mining {
       .withColumn("n_touch", count(lit(1)).over(byP))
       .withColumn("rn", row_number().over(
         byP.orderBy(desc("c_ts"), desc("c_id"))))
+      // INTEGER micro-credits, not per-addend float rounding: the r7
+      // round-before-sum trick still summed ~500 not-exactly-on-grid
+      // doubles per item, and at sf0.1 the engine-local addition order
+      // flipped the final 1e-4 digit on a third of the items (round-10
+      // full-surface sf0.1 check). Each share is now a HALF-UP integer
+      // division — micro-units of 1e-6 (credit) / 1e-6 dollars (value)
+      // — so the sums are exact BIGINTs in ANY order on both engines
+      // and the only float op is the final display division.
+      .withColumn("p_cents",
+        expr("CAST(round(p_value * 100) AS BIGINT)"))
+      .withColumn("micro_lin", expr("(2000000 + n_touch) div (2 * n_touch)"))
+      .withColumn("micro_val",
+        expr("(2 * p_cents * 10000 + n_touch) div (2 * n_touch)"))
       .groupBy("item")
-      // per-addend rounding BEFORE the sum: each share becomes an exact
-      // multiple of the display precision, so the ideal sum is too, and
-      // engine-local addition order (error ~1e-9) can no longer flip the
-      // final rounding — the one place a plain round(sum(...)) differed
       .agg(count(lit(1)).as("touches"),
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("last_touch_wins"),
-        round(sum(round(lit(1.0) / col("n_touch"), 6)), 6).as("linear_credit"),
-        round(sum(round(col("p_value") / col("n_touch"), 4)), 4).as("value_linear"))
+        round(sum("micro_lin").cast("double") / 1e6, 6).as("linear_credit"),
+        (expr("(sum(micro_val) + 50) div 100").cast("double") / 1e4)
+          .as("value_linear"))
       .orderBy("item")
   }
 
@@ -437,14 +463,17 @@ object Mining {
        |    AND c.c_ts <= p.p_ts
        |    AND c.c_ts >= p.p_ts - INTERVAL $AttributionLookbackDays DAY),
        |x AS (SELECT item, p_value,
+       |    CAST(round(p_value * 100) AS BIGINT) AS p_cents,
        |    count(*) OVER (PARTITION BY p_id) AS n_touch,
        |    row_number() OVER (PARTITION BY p_id
        |      ORDER BY c_ts DESC, c_id DESC) AS rn
        |  FROM t)
        |SELECT item, count(*) AS touches,
        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch_wins,
-       |  round(sum(round(CAST(1.0 AS DOUBLE) / n_touch, 6)), 6) AS linear_credit,
-       |  round(sum(round(p_value / n_touch, 4)), 4) AS value_linear
+       |  round(CAST(sum((2000000 + n_touch) // (2 * n_touch)) AS DOUBLE) / 1e6, 6)
+       |    AS linear_credit,
+       |  CAST((CAST(sum((2 * p_cents * 10000 + n_touch) // (2 * n_touch))
+       |      AS BIGINT) + 50) // 100 AS DOUBLE) / 1e4 AS value_linear
        |FROM x GROUP BY item ORDER BY item""".stripMargin
 
   /** §2.264 `attribution_decay`: time-decay multi-touch attribution

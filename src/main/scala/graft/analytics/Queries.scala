@@ -1125,12 +1125,14 @@ object Queries {
     * sketch-family completion (KMV distincts, SpaceSaving heavy
     * hitters, Bloom membership now have their quantile sibling).
     *
-    * Exact-at-sketch-cost oracle (the heavy_hitters pattern): k=32768
-    * exceeds every sf0.01 return-flag group (~20 k rows), so the
-    * sketch never compacts, answers are exact order statistics under
-    * ANY partitioning/merge order, and DuckDB's quantile_disc replays
-    * them (verified equivalent to the pinned min-v-with-cume_dist≥q
-    * convention). At 100 TB the same plan runs with k controlling a
+    * Exact-at-sketch-cost oracle (the heavy_hitters pattern):
+    * k=262144 exceeds every ORACLE-SF return-flag group (sf0.01
+    * ~20 k, sf0.1 ~200 k rows — the original 32768 left the exact
+    * regime at sf0.1 and merge-order noise surfaced in the round-10
+    * full-surface check), so the sketch never compacts, answers are
+    * exact order statistics under ANY partitioning/merge order, and
+    * DuckDB's quantile_disc replays them (verified equivalent to the
+    * pinned min-v-with-cume_dist≥q convention). At 100 TB the same plan runs with k controlling a
     * ±n/k rank error and O(k·log(n/k)) state per group — no sort, no
     * GK buffer churn, and day-partitioned sketches merge
     * associatively for incremental rollups (KllQuantileSpec pins the
@@ -1139,7 +1141,7 @@ object Queries {
     * arithmetic can diverge between engines. */
   def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
     val qcol = graft.functions.KllQuantile.kll_quantile(
-      col("l_extendedprice"), 32768, Seq(0.25, 0.5, 0.75, 0.95))
+      col("l_extendedprice"), 262144, Seq(0.25, 0.5, 0.75, 0.95))
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(qcol.as("qs"))

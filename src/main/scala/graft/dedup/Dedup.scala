@@ -114,13 +114,25 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** §2.21 exact dedup: canonical = min doc_id per content hash. */
+  /** §2.21 exact dedup: canonical = min doc_id per content hash.
+    *
+    * Window formulation, not groupBy + join-back (round-10 triage,
+    * tools/TriageDedupExact): the join-back self-joins a DERIVED
+    * frame, so Spark re-evaluates the md5+normalize scan on BOTH
+    * sides (the scan is the expensive part — 35 s of the 143 s stage
+    * CPU at sf5) and then pays a second corpus shuffle for the join.
+    * Group-min/count over a content_hash window computes the hash
+    * ONCE and shuffles ONCE (the window sort is within-partition);
+    * measured at sf5: 39.0 → 8.7 s wall, 143 → 31 s stage CPU,
+    * identical output. This was VERDICT r9's one untriaged scale
+    * outlier — the 6.5× on the 5× step was the duplicated scan +
+    * join build growing out of cache, both gone by construction. */
   def exactDedup(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"),
-      hash64(normalize(col("text"))).as("content_hash"))
-    val canon = hashed.groupBy("content_hash")
-      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
-    hashed.join(canon, "content_hash")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("content_hash")
+    docs.select(col("doc_id"), hash64(normalize(col("text"))).as("content_hash"))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
       .select(col("doc_id"), col("content_hash"), col("canonical_id"),
         col("group_size"), (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
       .orderBy("doc_id")

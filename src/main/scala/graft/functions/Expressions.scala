@@ -719,9 +719,38 @@ case class ShingleStrings(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): ShingleStrings = copy(c)
 }
 
+/** text → lowercased alnum-only canonical form — the compiled twin of
+  * `regexp_replace(lower(s), '[^a-z0-9 ]', '')` (the [[TokenPolyHashes]]
+  * lowercase convention: Java toLowerCase, ASCII-identical to both
+  * engines' lower() on this corpus). One char loop, one output buffer;
+  * replaces the java.util.regex scan that dominated dedup_exact's sf5
+  * cost (round-10 triage: the regex pass was 31 s of a 35 s scan, and
+  * its per-thread CPU inflated ~5× under 32-thread contention from
+  * match-state allocation — the char loop allocates one builder per
+  * row and nothing per char). */
+case class NormalizeAscii(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = StringType
+  override def compute(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ')
+        sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): NormalizeAscii = copy(c)
+}
+
 object native {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def token_poly_hashes(c: Column): Column = column(TokenPolyHashes(expression(c)))
+  def normalize_ascii(c: Column): Column = column(NormalizeAscii(expression(c)))
   def shingle_strings(c: Column, k: Int): Column = column(ShingleStrings(expression(c), k))
   def shingle_hashes(c: Column, k: Int): Column = column(ShinglePolyHashes(expression(c), k))
   def minhash_signature(c: Column, n: Int): Column = column(MinHashSignature(expression(c), n))

@@ -24,9 +24,14 @@ object TextFunctions {
 
   def tokensSql(e: String): String = s"string_split_regex(trim($e), '\\s+')"
 
-  /** Lowercased alnum-only normalization (dedup canonical form). */
+  /** Lowercased alnum-only normalization (dedup canonical form).
+    * Compiled char-loop kernel ≡ regexp_replace(lower(c),'[^a-z0-9 ]','')
+    * — the round-10 triage found the java.util.regex pass dominates
+    * every hash64(normalize(text)) corpus scan (31 of 35 s CPU at sf5)
+    * and contention-inflates ~5× at 32 threads; the kernel is
+    * allocation-free per char and keeps the stage in codegen. */
   def normalize(c: Column): Column =
-    regexp_replace(lower(c), "[^a-z0-9 ]", "")
+    graft.functions.native.normalize_ascii(c)
 
   def normalizeSql(e: String): String =
     s"regexp_replace(lower($e), '[^a-z0-9 ]', '', 'g')"

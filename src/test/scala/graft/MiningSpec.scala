@@ -393,18 +393,21 @@ class MiningSpec extends AnyFunSuite {
     val purchases = evs.filter(_._4 == "purchase")
     val clicks = evs.filter(_._4 == "click").groupBy(_._3)
     val lookbackUs = Mining.AttributionLookbackDays * 86400L * 1000000L
-    def r4(x: Double) = math.rint(x * 1e4) / 1e4
-    def r6(x: Double) = math.rint(x * 1e6) / 1e6
-    val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Double, Double)]
+    // integer micro-credit replay (the op's round-10 convention: each
+    // share is a HALF-UP integer division, sums exact BIGINTs)
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long)]
     purchases.foreach { case (_, pts, user, _, pval, _) =>
       val touches = clicks.getOrElse(user, Array.empty)
         .filter(c => c._2 <= pts && c._2 >= pts - lookbackUs)
       if (touches.nonEmpty) {
         val last = touches.maxBy(c => (c._2, c._1))
+        val n = touches.length.toLong
+        val pCents = math.round(pval * 100)
         touches.foreach { c =>
-          val (t, l, lin, v) = acc.getOrElse(c._6, (0L, 0L, 0.0, 0.0))
+          val (t, l, lin, v) = acc.getOrElse(c._6, (0L, 0L, 0L, 0L))
           acc(c._6) = (t + 1, l + (if (c eq last) 1L else 0L),
-            lin + r6(1.0 / touches.length), v + r4(pval / touches.length))
+            lin + (2000000L + n) / (2 * n),
+            v + (2 * pCents * 10000L + n) / (2 * n))
         }
       }
     }
@@ -413,8 +416,9 @@ class MiningSpec extends AnyFunSuite {
     got.foreach { r =>
       val (t, l, lin, v) = acc(r.getString(0))
       assert(r.getLong(1) == t && r.getLong(2) == l, s"counts for ${r.getString(0)}")
-      assert(math.abs(r.getDouble(3) - lin) < 1e-5, s"linear for ${r.getString(0)}")
-      assert(math.abs(r.getDouble(4) - v) < 1e-3, s"value for ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - lin / 1e6) < 1e-9, s"linear for ${r.getString(0)}")
+      assert(math.abs(r.getDouble(4) - ((v + 50) / 100) / 1e4) < 1e-9,
+        s"value for ${r.getString(0)}")
     }
   }
 
