@@ -478,8 +478,18 @@ object Pipeline {
     new graft.MemoCache[DataFrame](4)(_.unpersist(blocking = false))
   def dedupClustersCached(spark: SparkSession, dir: String): DataFrame =
     persistedLabels(spark).getOrElse(
-      labelsCache.getOrElseUpdate(spark, dir)(dedupClusters(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+      // EAGER localCheckpoint, not persist(): round-10 profiling showed
+      // every REFERENCE to the lazily-persisted frame re-executing its
+      // plan (~2.7 s/ref at sf1, ~10 s at sf5 — host_quality paid 104 s
+      // through 2 self-join references plus consumers; warm labels.count
+      // alone re-paid 2.7 s). The checkpoint materializes the label
+      // table ONCE at build and truncates lineage, so a consumer scan
+      // physically cannot recompute the MinHash+CC chain — the honest
+      // in-process stand-in for the §2.320 persisted table (which stays
+      // the cross-session/cluster-grade path; localCheckpoint blocks
+      // are executor-local and die with the session).
+      labelsCache.getOrElseUpdate(spark, dir)(
+        dedupClusters(spark, dir).localCheckpoint()))
 
   /** The §2.108 persisted-bucketed contract applied to cluster labels:
     * a crawl-scale pipeline runs MinHash + CC ONCE per crawl and
