@@ -291,6 +291,16 @@ object Mining {
       .withColumn("wt",
         (col("next_ts").cast("long") - col("ts").cast("long")))
       .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      // HALF-UP precondition (ADVICE r10): the `div` identities below
+      // assume non-negative numerators — Spark's div truncates toward
+      // zero while DuckDB's // floors, so they agree only for cents,
+      // weights >= 0 (wt >= 0 holds by construction: lead over an
+      // ascending ts order). The generator keeps value non-negative;
+      // this filter ENFORCES it (mirrored in the oracle SQL) the way
+      // interval_overlap guards its precondition, so a future negative
+      // value is excluded identically on both engines instead of
+      // silently diverging on the division grid.
+      .filter(col("cents") >= 0)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_intervals"),
         sum("wt").as("span_s"),
@@ -313,7 +323,8 @@ object Mining {
       |      date_diff('second', CAST(ts AS TIMESTAMP),
       |        lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
       |          ORDER BY ts, event_id)) AS wt
-      |    FROM events) t WHERE wt IS NOT NULL),
+      |    FROM events) t
+      |  WHERE wt IS NOT NULL AND round(value * 100) >= 0),
       |agg AS (SELECT user_id, count(*) AS n_intervals,
       |    CAST(sum(wt) AS BIGINT) AS span_s,
       |    CAST(sum(CAST(round(value * 100) AS BIGINT) * wt) AS BIGINT) AS cw,

@@ -101,7 +101,8 @@ case class TokenPolyHashes(child: Expression)
   import HashConstants.M
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def compute(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val s = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var h = 0L
     var inTok = false
@@ -693,7 +694,7 @@ case class ShingleStrings(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def compute(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].toString
-      .toLowerCase.trim.split("\\s+")
+      .toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
     val n = toks.length - (k - 1)
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](math.max(16, n * 2))
@@ -721,7 +722,7 @@ case class ShingleStrings(child: Expression, k: Int)
 
 /** text → lowercased alnum-only canonical form — the compiled twin of
   * `regexp_replace(lower(s), '[^a-z0-9 ]', '')` (the [[TokenPolyHashes]]
-  * lowercase convention: Java toLowerCase, ASCII-identical to both
+  * lowercase convention: Java toLowerCase(Locale.ROOT), ASCII-identical to both
   * engines' lower() on this corpus). One char loop, one output buffer;
   * replaces the java.util.regex scan that dominated dedup_exact's sf5
   * cost (round-10 triage: the regex pass was 31 s of a 35 s scan, and
@@ -732,7 +733,8 @@ case class NormalizeAscii(child: Expression)
     extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = StringType
   override def compute(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val s = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     val n = s.length
     val sb = new java.lang.StringBuilder(n)
     var i = 0

@@ -474,8 +474,12 @@ object Pipeline {
     * Keyed by (session, dir) and bounded — eviction unpersists (see
     * [[graft.MemoCache]]); Bench clears all memo caches between reps
     * so the benchmark times label computation, not cache hits. */
+  // eviction releases the localCheckpoint blocks, not just persist()
+  // cache entries — plain unpersist is a no-op on checkpoint blocks
+  // and would leak them for the session lifetime (ADVICE r10)
   private val labelsCache =
-    new graft.MemoCache[DataFrame](4)(_.unpersist(blocking = false))
+    new graft.MemoCache[DataFrame](4)(
+      org.apache.spark.sql.graftbridge.Bridge.releaseStorage)
   def dedupClustersCached(spark: SparkSession, dir: String): DataFrame =
     persistedLabels(spark).getOrElse(
       // EAGER localCheckpoint, not persist(): round-10 profiling showed

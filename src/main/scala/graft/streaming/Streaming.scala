@@ -337,6 +337,17 @@ object Streaming {
       .groupBy("event_type", "day")
       .agg(count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
     val target = new java.io.File(goldDir)
+    // Crash-window recovery (ADVICE r10): a crash between the
+    // stage-aside rename and the tmp->target rename leaves the table
+    // only at goldDir+"_old". Deleting it here (as the pre-swap
+    // cleanup used to) would rebuild gold from this delta alone and
+    // silently discard all prior history — so if the target is gone
+    // but the stage-aside exists, restore it FIRST and merge on top.
+    val orphanBak = new java.io.File(goldDir + "_old")
+    if (!target.exists() && orphanBak.exists() &&
+        !orphanBak.renameTo(target))
+      sys.error(s"gold merge: failed to restore staged-aside $goldDir" +
+        "_old after an interrupted swap")
     val merged =
       if (target.exists()) {
         val base = spark.read.parquet(goldDir)
@@ -365,9 +376,15 @@ object Streaming {
     if (target.exists() && !target.renameTo(bak))
       sys.error(s"gold merge: failed to stage aside existing $goldDir")
     if (!new java.io.File(tmp).renameTo(target)) {
-      if (bak.exists()) bak.renameTo(target) // restore previous table
+      // restore the previous table, and say honestly whether it worked —
+      // a failed restore is still recoverable (the entry-path orphan
+      // check above picks _old up on the retry), but the operator
+      // should know which state the table is in (ADVICE r10)
+      val restored = bak.exists() && bak.renameTo(target)
       sys.error(s"gold merge: rename $tmp -> $goldDir failed; " +
-        "previous table restored")
+        (if (restored) "previous table restored"
+         else s"previous table left at ${goldDir}_old (next merge " +
+           "restores it)"))
     }
     if (bak.exists()) org.apache.commons.io.FileUtils.deleteDirectory(bak)
     ()

@@ -35,6 +35,33 @@ class CachesSpec extends AnyFunSuite {
     assert(d2.storageLevel == StorageLevel.NONE, "clear() must unpersist")
   }
 
+  test("releaseStorage frees localCheckpoint blocks on eviction " +
+       "(plain unpersist is a no-op on them — ADVICE r10)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val cache = new MemoCache[org.apache.spark.sql.DataFrame](1)(
+      Bridge.releaseStorage)
+    // a localCheckpointed RDD lives in sc.getPersistentRDDs until ITS
+    // unpersist runs; RDD.unpersist drops the registry entry
+    // synchronously even with blocking=false, so the registry size is
+    // a deterministic release signal (Dataset.unpersist — the old
+    // evictor — never reaches that RDD and would leave it registered)
+    def registered() = spark.sparkContext.getPersistentRDDs.size
+    // quiesce: drop anything left persisted by sibling tests
+    Caches.clearAll()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    assert(registered() == 0)
+    def put(dir: String, n: Int) = cache.getOrElseUpdate(spark, dir)(
+      spark.range(n).toDF("v").localCheckpoint())
+    put("c1", 1000)
+    assert(registered() == 1, "localCheckpoint RDD not registered?")
+    put("c2", 2000) // evicts c1 (capacity 1) → releaseStorage runs
+    assert(registered() == 1,
+      "evicted localCheckpoint RDD still registered — blocks leaked")
+    cache.clear()
+    assert(registered() == 0, "clear() must release checkpoint blocks")
+  }
+
   test("entries are keyed by session identity, not dir alone") {
     val cache = new MemoCache[String](4)(_ => ())
     val other = spark.newSession()

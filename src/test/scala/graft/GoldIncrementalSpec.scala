@@ -87,6 +87,27 @@ class GoldIncrementalSpec extends AnyFunSuite {
       .agg(max("_last_batch")).head().getLong(0) == 1L)
   }
 
+  test("interrupted swap (table only at _old) is restored on the next " +
+       "merge instead of history being discarded") {
+    val base = java.nio.file.Files.createTempDirectory("graft-gold4").toString
+    val goldDir = s"$base/gold"
+    val ev = Tables.events(spark, sf)
+    val half = ev.filter(col("event_id") % 2 === 0)
+    Streaming.mergeGoldBatch(half.toDF(), 0L, goldDir)
+    // simulate a crash between target.renameTo(bak) and
+    // tmp.renameTo(target): the table exists ONLY at goldDir_old
+    assert(new java.io.File(goldDir).renameTo(
+      new java.io.File(goldDir + "_old")))
+    // pre-fix, this merge rebuilt gold from the delta alone (dropping
+    // batch 0's history) and deleted _old; post-fix it restores _old
+    // first, so the result equals the full-corpus recompute
+    Streaming.mergeGoldBatch(
+      ev.filter(col("event_id") % 2 =!= 0).toDF(), 1L, goldDir)
+    assert(goldOf(goldDir) == rollupOf(ev),
+      "history from before the interrupted swap was discarded")
+    assert(!new java.io.File(goldDir + "_old").exists())
+  }
+
   test("gold_rollup oracle twin matches readGold after full maintenance") {
     val base = java.nio.file.Files.createTempDirectory("graft-gold2").toString
     val ev = Tables.events(spark, sf)

@@ -1,13 +1,20 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [only] [--json out.json]
+       [--timeout-s N]
 
 For each query dumped by graft.Verify, runs the oracle SQL in DuckDB over
 the same parquet tables and compares: schema (column names), row count,
 and a hash over values with columns sorted by name and rows sorted.
+
+--json writes a CORRECTNESS_r{N}.json-shaped artifact (status per query).
+--timeout-s interrupts any oracle query running longer than N seconds and
+records it as "skip" (oracle-infeasible at this SF), not a failure — the
+standing sf1 gate uses this to bound the DuckDB side objectively instead
+of curating a skip list by hand (VERDICT r10 item 1).
 """
-import sys, json, glob, os
+import sys, json, glob, os, threading
 import duckdb
 import pandas as pd
 
@@ -30,8 +37,28 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+def run_with_timeout(con, sql, timeout_s):
+    """Execute sql; raise TimeoutError if it exceeds timeout_s (DuckDB
+    interrupt from a timer thread)."""
+    if not timeout_s:
+        return con.execute(sql).df()
+    timer = threading.Timer(timeout_s, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).df()
+    except duckdb.InterruptException:
+        raise TimeoutError(f"oracle exceeded {timeout_s}s")
+    finally:
+        timer.cancel()
+
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = sys.argv[1:]
+    json_out = flags[flags.index("--json") + 1] if "--json" in flags else None
+    timeout_s = (float(flags[flags.index("--timeout-s") + 1])
+                 if "--timeout-s" in flags else None)
+    sf_dir, out_dir = args[0], args[1]
+    results = {}
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -39,21 +66,29 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-    n_pass = n_fail = 0
+    only = set(args[2].split(",")) if len(args) > 2 else None
+    n_pass = n_fail = n_skip = 0
     for name in sorted(oracle):
         if only is not None and name not in only:
             continue
+        def record(status, msg=None):
+            results[name] = {"status": status, "err": msg}
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1
+            record("fail", "no spark output"); continue
         got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
         try:
-            exp = norm(con.execute(oracle[name]).df())
+            exp = norm(run_with_timeout(con, oracle[name], timeout_s))
+        except TimeoutError as e:
+            print(f"SKIP {name}: {e}"); n_skip += 1
+            record("skip", str(e)); continue
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1
+            record("fail", f"oracle error: {e}"); continue
         if list(got.columns) != list(exp.columns):
-            print(f"FAIL {name}: cols {list(got.columns)} vs {list(exp.columns)}"); n_fail += 1; continue
+            print(f"FAIL {name}: cols {list(got.columns)} vs {list(exp.columns)}"); n_fail += 1
+            record("fail", "column mismatch"); continue
         # The driver's hash is dtype-sensitive: DuckDB sum() over ints
         # returns HUGEINT which pandas converts to float64 -> hash
         # mismatch vs Spark's int64 even when values are equal. Fail on
@@ -67,16 +102,25 @@ def main():
             print(f"FAIL {name}: dtype kind mismatch "
                   + ", ".join(f"{c}: spark={got[c].dtype} oracle={exp[c].dtype}"
                               for c in kind_bad))
-            n_fail += 1; continue
+            n_fail += 1; record("fail", "dtype kind mismatch"); continue
         if len(got) != len(exp):
-            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1
+            record("fail", f"rows {len(got)} vs {len(exp)}"); continue
         try:
             pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                           check_exact=False, rtol=0, atol=1e-9)
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            record("pass")
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch: {str(e)[:500]}"); n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+            record("fail", f"value mismatch: {str(e)[:300]}")
+    print(f"\n{n_pass} pass, {n_fail} fail" +
+          (f", {n_skip} skip (oracle timeout)" if n_skip else ""))
+    if json_out:
+        summary = {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                   "n_skip": n_skip, "queries": results}
+        json.dump(summary, open(json_out, "w"), indent=1)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
