@@ -124,11 +124,21 @@ object Bench {
     // MinHash+CC per query. Unset (the driver default), behavior is
     // unchanged: every query still times its full computation.
     sys.env.get("SPARK_GRAFT_LABELS_TABLE").foreach { tbl =>
-      val t0 = System.nanoTime()
-      graft.pipeline.Pipeline.writeLabels(spark, sfDir, tbl)
+      // SPARK_GRAFT_LABELS_REUSE=1: skip the write when the table
+      // already exists — the fork-mode shape, where the table is
+      // written ONCE up front and every family JVM only reads it
+      // (per-child rewrites would charge the once-per-crawl cost to
+      // every family). The caller owns table-name↔SF hygiene: a label
+      // table is only reusable for the SF dir it was built from.
+      val reuse = sys.env.get("SPARK_GRAFT_LABELS_REUSE").contains("1") &&
+        spark.catalog.tableExists(tbl)
+      if (!reuse) {
+        val t0 = System.nanoTime()
+        graft.pipeline.Pipeline.writeLabels(spark, sfDir, tbl)
+        val sec = math.rint((System.nanoTime() - t0) / 1e9 * 1e4) / 1e4
+        println(s"""{"metric":"labels_write","value":$sec,"unit":"sec","table":"$tbl"}""")
+      }
       spark.conf.set("spark.graft.labels.table", tbl)
-      val sec = math.rint((System.nanoTime() - t0) / 1e9 * 1e4) / 1e4
-      println(s"""{"metric":"labels_write","value":$sec,"unit":"sec","table":"$tbl"}""")
     }
     // deterministic alphabetical order: hash-map iteration order would
     // shuffle which queries absorb residual warm-up round to round

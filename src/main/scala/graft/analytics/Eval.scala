@@ -300,13 +300,29 @@ object Eval {
       .join(top10.groupBy("item").agg(count(lit(1)).as("x")),
         Seq("item"), "left")
       .na.fill(0L, Seq("x"))
-    val ranked = exposure.withColumn("i",
-      row_number().over(Window.orderBy(col("x").asc, col("item").asc)))
+    // Gini rank sum WITHOUT a catalog-wide global sort (VERDICT r10:
+    // row_number() over the whole catalog is a single-partition
+    // WindowExec — a ceiling at a 10⁸-item catalog). The ranks i are
+    // ordered by (x asc, item asc); items tied on x occupy a
+    // CONTIGUOUS rank block [c+1, c+g] (c = items with smaller x,
+    // g = block size), and within the block every item contributes the
+    // same x, so Σ i·x over the block collapses to
+    // x·(g·c + g(g+1)/2) — the item tiebreak affects which item gets
+    // which rank but not the sum. The global window therefore only
+    // needs the per-x GROUP frame (the auc_eval gridded-rank pattern):
+    // groupBy(x) is map-side combined and its output is bounded by
+    // |distinct exposure counts| ≤ max top-10 appearances, orders of
+    // magnitude below catalog size.
+    val byX = exposure.groupBy("x").agg(count(lit(1)).as("g"))
+    val cumBefore = Window.orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byX
+      .withColumn("c", coalesce(sum("g").over(cumBefore), lit(0L)))
     ranked.agg(
-      count(lit(1)).as("n_catalog"),
-      sum(when(col("x") > 0, 1L).otherwise(0L)).as("n_recommended"),
-      sum("x").as("total_exposures"),
-      sum(col("i") * col("x")).as("rank_sum"))
+      sum("g").as("n_catalog"),
+      sum(when(col("x") > 0, col("g")).otherwise(0L)).as("n_recommended"),
+      sum(col("x") * col("g")).as("total_exposures"),
+      sum(expr("x * (g * c + (g * (g + 1)) div 2)")).as("rank_sum"))
       .select(col("n_catalog"), col("n_recommended"),
         round(col("n_recommended").cast("double") / col("n_catalog"), 6)
           .as("coverage"),

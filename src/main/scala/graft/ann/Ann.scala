@@ -82,7 +82,10 @@ object Ann {
   /** §2.26 brute-force cosine top-k for query vectors (vec_id < nq). */
   def bruteForceTopK(embeddings: DataFrame, nq: Int = 5, k: Int = 10): DataFrame = {
     val v = vecs(embeddings)
-    val q = v.filter(col("vec_id") < nq)
+    // limit(nq) is a no-op on values (the filter already caps rows at
+    // nq) but MARKS the bound structurally, so the plan gate can prove
+    // the broadcast below is query-sized, not data-sized (PlanGate r11)
+    val q = v.filter(col("vec_id") < nq).limit(nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("cosine"), asc("vec_id"))
@@ -122,7 +125,7 @@ object Ann {
     val v = embeddings.select(col("vec_id"),
       graft.functions.native.quantize_i8(col("embedding")).as("q"))
       .withColumn("qn", sqrt(dotCol(col("q"), col("q"))))
-    val q = v.filter(col("vec_id") < nq)
+    val q = v.filter(col("vec_id") < nq).limit(nq) // structural bound mark
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("qn").as("qqn"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("qcosine"), asc("vec_id"))
@@ -256,7 +259,7 @@ object Ann {
     require(nProbes >= 1 && nProbes <= (1 << L),
       s"nProbes=$nProbes needs 1..${1 << L} (L=$L flip planes)")
     val v = vecs(embeddings).withColumn("bucket", bucketCol(planes))
-    val q0 = v.filter(col("vec_id") < nq)
+    val q0 = v.filter(col("vec_id") < nq).limit(nq) // structural bound mark
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket"))
     // per-plane |projection| margins, sorted ascending — query side

@@ -54,7 +54,10 @@ object Embed {
   def knnClassify(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
       col("embedding"), Ann.normCol(col("embedding")).as("nrm"))
+    // 35 = |{0, 29, ..., 986}|: the filter caps rows; limit marks the
+    // bound structurally for the plan gate (PlanGate r11)
     val q = v.filter((col("vec_id") < 1000) && (col("vec_id") % 29 === 0))
+      .limit(35)
       .select(col("vec_id").as("q_id"), col("label").as("true_label"),
         col("embedding").as("qe"), col("nrm").as("qn"))
     val wTop = Window.partitionBy(col("q_id"))

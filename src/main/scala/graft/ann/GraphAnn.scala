@@ -1,0 +1,309 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Ann.{dotCol, dotSql, normSql}
+
+/** Graph ANN (HNSW-class) — SURVEY.md §2 item 333.
+  *
+  * The graph family next to IVF/PQ/SQ8/LSH: build a k-nearest-neighbor
+  * graph over the corpus, then answer queries by BEAM SEARCH over the
+  * graph — score a few entry points, repeatedly expand the current
+  * best `Beam` candidates through their graph edges, keep the top-k of
+  * everything scored. Single-node HNSW gets its long-range routing
+  * from hierarchy layers and its graph from sequential inserts —
+  * neither survives a 1000-executor cluster, so this uses the two
+  * standard distributed substitutes:
+  *
+  *  - **NN-Descent** graph construction (Dong et al., WWW'11 — the
+  *    map-reduce kNN-graph algorithm): start from a cheap blocked
+  *    guess, then iterate "a neighbor of my neighbor is probably my
+  *    neighbor" — candidates per round are neighbor-of-neighbor pairs
+  *    only, O(n·(2·KG)²) edges, never all-pairs. Init blocks are
+  *    vec_id % ⌈n/32⌉ groups: ids are uncorrelated with geometry, so
+  *    this IS the random init of the paper, but deterministic and
+  *    replayable. Two rounds suffice for recall ≥ 0.9 at k-graph 8
+  *    (AnnRecallSpec pins it).
+  *  - **LSH-seeded entry points** instead of hierarchy: each query
+  *    scores the fixed vec_id % EntryStride == 0 stratum PLUS its own
+  *    hyperplane-LSH bucket (the §2.27 bucket function), and the beam
+  *    starts from the best of both. The stratum gives unconditional
+  *    coverage; the bucket gives the coarse routing HNSW's upper
+  *    layers provide — without it, beam search cannot reach a tight
+  *    isolated cluster at all (nothing is geometrically "between" the
+  *    entry points and the cluster in high dimension; measured recall
+  *    0.36 stratum-only vs ≥0.9 seeded on the planted corpus — see
+  *    [[visitedSet]]).
+  *
+  * Everything is deterministic for the DuckDB oracle: fixed round and
+  * hop counts, all ranks ordered by (cosine DESC, vec_id ASC) on
+  * bit-identical left-to-right dot-product folds, and candidate sets
+  * built with set semantics (DISTINCT + anti-join) so no engine's
+  * join order matters. The oracle replays the FULL chain — init
+  * blocks, both NN-Descent rounds, entry scan, all three hops — as
+  * unrolled CTEs, the [[Ivf.lloydPrefixSql]] pattern.
+  *
+  * Scale shape: every stage is a keyed equi-join or a per-node/per-
+  * query window — init joins within ~32-row id blocks (n·32 pairs),
+  * each NN-Descent round is bounded by n·(2·KG)² candidate edges
+  * shuffled on vec_id, and search joins a broadcast beam (nq·Beam
+  * rows) against the node-partitioned edge table. The corpus-sized
+  * frames (vectors, edges) are pinned to shuffle_hash joins so
+  * tiny-SF stats can never flip them to broadcasts (the round-5
+  * interval_overlap trap); the genuinely bounded frames (queries,
+  * beams, expansions) are broadcast explicitly. Per-round lazy
+  * localCheckpoints keep the iterated plan linear (the bfsDistances
+  * barrier pattern). At 100 TB the build is R scans + R bounded
+  * shuffles — the published NN-Descent cost — and each query batch
+  * touches n/EntryStride + Hops·Beam·KG vectors instead of n.
+  */
+object GraphAnn {
+
+  val KG = 8 // graph out-degree
+  val Rounds = 2 // NN-Descent refinement rounds
+  val InitGroup = 32L // target init block size (G = max(n/32, 1) blocks)
+  val EntryStride = 64L // entry stratum: vec_id % 64 == 0
+  val Beam = 10 // beam width (>= k so the final beam can answer alone)
+  val Hops = 3 // beam-search expansion rounds
+
+  private def cosine(ae: Column, an: Column, be: Column, bn: Column): Column =
+    dotCol(ae, be) / (an * bn)
+
+  private def topPerNode(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("node").orderBy(desc("cs"), asc("nbr"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).drop("rk")
+  }
+
+  /** NN-Descent kNN graph: (node, nbr, cs) with KG out-edges per node
+    * (fewer only in degenerate sub-33-vector corpora). */
+  /** `planes` sizes the LSH init-block arm: the oracle query keeps the
+    * static [[Ann.DefaultPlanes]] (the SQL replay needs a compile-time
+    * constant), under which bucket-pair volume is n·(n/2^planes) —
+    * fine at every oracle SF but superlinear unchecked. The scale
+    * knob is [[Ann.planesFor]](n): buckets stay ~targetBucket-sized,
+    * the init arm stays O(n·targetBucket) like the id arm, and the
+    * pairwise same-bucket probability for cos≈0.95 neighbors decays
+    * only as (1−θ/π)^planes ≈ 0.9^planes — the §2.25 embedCosinePairs
+    * treatment of the same knob. */
+  def knnGraph(embeddings: DataFrame, kg: Int = KG,
+      rounds: Int = Rounds,
+      planes: Int = Ann.DefaultPlanes): DataFrame = {
+    val v = Ivf.vecsD(embeddings) // (vec_id, e, nrm)
+    val n = embeddings.count() // one metadata-cheap count for the block modulus
+    val groups = math.max(n / InitGroup, 1L)
+    // two init blockings, unioned:
+    //  - id blocks (vec_id % ⌈n/32⌉): geometry-blind = the paper's
+    //    random init, guarantees every node ~32 initial candidates;
+    //  - LSH buckets (the §2.27 hyperplane hash): geometry-AWARE —
+    //    genuinely near vectors share a bucket with high probability,
+    //    so their edges exist from round 0. K=8/R=2 NN-Descent cannot
+    //    converge a tight cluster from random init alone (consecutive
+    //    ids never share an id block, and nbr-of-nbr propagation has
+    //    no in-cluster seed to propagate — measured recall 0.5 on the
+    //    planted corpus without this arm, ≥0.9 with it).
+    val idBlocks = v.select((col("vec_id") % groups).as("g"),
+      col("vec_id"))
+    val idPairs = idBlocks.toDF("g", "node")
+      .join(idBlocks.toDF("g", "nbr").hint("shuffle_hash"), Seq("g"))
+      .select("node", "nbr")
+    val buckets = embeddings.select(col("vec_id"),
+      Ann.bucketCol(planes).as("bkt"))
+    val bucketPairs = buckets.toDF("node", "bkt")
+      .join(buckets.toDF("nbr", "bkt").hint("shuffle_hash"), Seq("bkt"))
+      .select("node", "nbr")
+    val init = idPairs.union(bucketPairs)
+      .filter(col("node") =!= col("nbr"))
+      .distinct() // Spark union = UNION ALL; the oracle's UNION dedups
+      .join(v.select(col("vec_id").as("node"), col("e").as("ae"),
+        col("nrm").as("an")).hint("shuffle_hash"), Seq("node"))
+      .join(v.select(col("vec_id").as("nbr"), col("e").as("be"),
+        col("nrm").as("bn")).hint("shuffle_hash"), Seq("nbr"))
+      .select(col("node"), col("nbr"),
+        cosine(col("ae"), col("an"), col("be"), col("bn")).as("cs"))
+    var edges = topPerNode(init, kg).localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
+      // undirected view: nbr-of-nbr candidates flow along AND against
+      // edges (the paper's "general" join); mutual pairs appear twice
+      // (Spark union = UNION ALL) but the candidate DISTINCT below
+      // collapses them, matching the oracle's deduping UNION
+      val und = edges.select("node", "nbr")
+        .union(edges.select(col("nbr").as("node"), col("node").as("nbr")))
+      val cand = und.as("p")
+        .join(und.as("q").hint("shuffle_hash"), col("p.nbr") === col("q.node"))
+        .select(col("p.node").as("node"), col("q.nbr").as("cand"))
+        .filter(col("node") =!= col("cand")).distinct()
+        .join(edges.select(col("node"), col("nbr").as("cand"))
+          .hint("shuffle_hash"), Seq("node", "cand"), "left_anti")
+      val scored = cand
+        .join(v.select(col("vec_id").as("node"), col("e").as("ae"),
+          col("nrm").as("an")).hint("shuffle_hash"), Seq("node"))
+        .join(v.select(col("vec_id").as("cand"), col("e").as("be"),
+          col("nrm").as("bn")).hint("shuffle_hash"), Seq("cand"))
+        .select(col("node"), col("cand").as("nbr"),
+          cosine(col("ae"), col("an"), col("be"), col("bn")).as("cs"))
+      edges = topPerNode(edges.unionByName(scored), kg)
+        .localCheckpoint(eager = false)
+    }
+    edges
+  }
+
+  /** §2.333 `ann_graph`: top-k by beam search over the NN-Descent
+    * graph for the first `nq` vectors, (q_id, rk, vec_id, cosine) —
+    * the [[Ivf.ivfTopK]] output shape. */
+  def graphTopK(embeddings: DataFrame, nq: Int = 5, k: Int = 10): DataFrame = {
+    val visited = visitedSet(embeddings, nq)
+    val bw = Window.partitionBy("q_id").orderBy(desc("cs"), asc("vec_id"))
+    visited.withColumn("rk", row_number().over(bw))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        round(col("cs"), 6).as("cosine"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Everything beam search SCORES for each query — entry candidates
+    * plus all hop expansions, (q_id, vec_id, cs). Exposed for the
+    * recall spec's candidates-scanned comparison against IVF:
+    * |visited| IS the per-query work, the number the "graph ANN beats
+    * IVF at equal recall" claim is measured on.
+    *
+    * Entry = the fixed 1/EntryStride stratum ∪ the query's own
+    * hyperplane-LSH bucket (the §2.27 bucket function). The stratum
+    * alone cannot route into a TIGHT ISOLATED cluster: in a
+    * high-dimensional random corpus nothing is geometrically "between"
+    * the entry points and the cluster, the kNN edges of outside nodes
+    * almost never point in (measured recall 0.36 stratum-only on the
+    * planted corpus), and HNSW's hierarchy exists precisely to fix
+    * this. The distributed substitute is LSH-SEEDED entry (LSH-APG's
+    * idea): a cos≈0.95 neighbor shares the query's 8-plane bucket
+    * w.p. ≈0.43, some member of a 10-cluster w.p. ≈0.996, and ONE
+    * member in the beam pulls in the whole near-clique next hop — LSH
+    * supplies coarse routing, the graph supplies the local expansion
+    * LSH alone lacks (single-probe LSH recall ≈0.43). Both entry arms
+    * are keyed joins against broadcast nq-row query frames. */
+  private[graft] def visitedSet(embeddings: DataFrame, nq: Int): DataFrame = {
+    val v = Ivf.vecsD(embeddings)
+    val edges = knnGraph(embeddings)
+    // nq rows by construction; the limit also MARKS the bound so the
+    // plan gate can prove the broadcast is not data-sized
+    val q = v.filter(col("vec_id") < nq).limit(nq)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val buckets = embeddings.select(col("vec_id"),
+      Ann.bucketCol().as("bucket"))
+    val qBuckets = buckets.filter(col("vec_id") < nq).limit(nq)
+      .select(col("vec_id").as("q_id"), col("bucket").as("qbucket"))
+    val stratumIds = v.filter(col("vec_id") % EntryStride === 0)
+      .crossJoin(broadcast(q.select("q_id")))
+      .select(col("q_id"), col("vec_id"))
+    val bucketIds = buckets
+      .join(broadcast(qBuckets), col("bucket") === col("qbucket"))
+      .select(col("q_id"), col("vec_id"))
+    val entry = stratumIds.union(bucketIds)
+      .filter(col("vec_id") =!= col("q_id")).distinct()
+      .join(v.hint("shuffle_hash"), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qe"), col("qn"), col("e"), col("nrm")).as("cs"))
+    var visited = entry.localCheckpoint(eager = false)
+    val bw = Window.partitionBy("q_id").orderBy(desc("cs"), asc("vec_id"))
+    def beamOf(vis: DataFrame): DataFrame =
+      vis.withColumn("rk", row_number().over(bw))
+        .filter(col("rk") <= Beam).select("q_id", "vec_id")
+    for (_ <- 1 to Hops) {
+      val expand = broadcast(beamOf(visited))
+        .join(edges.hint("shuffle_hash"), col("vec_id") === col("node"))
+        .select(col("q_id"), col("nbr").as("vec_id"))
+        .filter(col("vec_id") =!= col("q_id")).distinct()
+        .join(visited.select("q_id", "vec_id"), Seq("q_id", "vec_id"),
+          "left_anti")
+      val scored = broadcast(expand)
+        .join(v.hint("shuffle_hash"), Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("qe"), col("qn"), col("e"), col("nrm")).as("cs"))
+      visited = visited.unionByName(scored).localCheckpoint(eager = false)
+    }
+    visited
+  }
+
+  /** Full-chain oracle replay: unrolled init + NN-Descent rounds +
+    * entry scan + beam hops, every rank on (cs DESC, id ASC) over the
+    * same fixed-order dot folds. */
+  def graphTopKSql(nq: Int = 5, k: Int = 10): String = {
+    def top(src: String, part: String, ord: String, kk: Long,
+        cols: String): String =
+      s"""SELECT $cols FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY $part ORDER BY cs DESC, $ord ASC) AS rk
+         |  FROM $src) t WHERE rk <= $kk""".stripMargin
+    // one NN-Descent round over edge CTE eP -> eN
+    def roundSql(eP: String, u: String, c: String, s: String,
+        eN: String): String =
+      s"""$u AS (SELECT node, nbr FROM $eP
+         |  UNION SELECT nbr AS node, node AS nbr FROM $eP),
+         |$c AS (SELECT DISTINCT p.node, q.nbr AS cand
+         |  FROM $u p JOIN $u q ON p.nbr = q.node
+         |  WHERE q.nbr != p.node AND NOT EXISTS (SELECT 1 FROM $eP ex
+         |    WHERE ex.node = p.node AND ex.nbr = q.nbr)),
+         |$s AS (SELECT c.node, c.cand AS nbr,
+         |    ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cs
+         |  FROM $c c JOIN v a ON a.vec_id = c.node
+         |    JOIN v b ON b.vec_id = c.cand),
+         |$eN AS (${top(s"(SELECT * FROM $eP UNION ALL SELECT * FROM $s) z",
+        "node", "nbr", KG, "node, nbr, cs")})""".stripMargin
+    val rounds = (0 until Rounds).map(i =>
+      roundSql(s"e$i", s"u$i", s"c$i", s"s$i", s"e${i + 1}")).mkString(",\n")
+    val eFin = s"e$Rounds"
+    // one beam hop over visited CTE vP -> vN
+    def hopSql(vP: String, bm: String, x: String, sc: String,
+        vN: String): String =
+      s"""$bm AS (${top(vP, "q_id", "vec_id", Beam, "q_id, vec_id")}),
+         |$x AS (SELECT DISTINCT b.q_id, e.nbr AS vec_id
+         |  FROM $bm b JOIN $eFin e ON e.node = b.vec_id
+         |  WHERE e.nbr != b.q_id AND NOT EXISTS (SELECT 1 FROM $vP vv
+         |    WHERE vv.q_id = b.q_id AND vv.vec_id = e.nbr)),
+         |$sc AS (SELECT x.q_id, x.vec_id,
+         |    ${dotSql("q.qe", "s.e")} / (q.qn * s.nrm) AS cs
+         |  FROM $x x JOIN v s ON s.vec_id = x.vec_id
+         |    JOIN qs q ON q.q_id = x.q_id),
+         |$vN AS (SELECT * FROM $vP UNION ALL SELECT * FROM $sc)""".stripMargin
+    val hops = (0 until Hops).map(i =>
+      hopSql(s"v$i", s"b$i", s"x$i", s"sc$i", s"v${i + 1}")).mkString(",\n")
+    val vFin = s"v$Hops"
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+       |    ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nrm
+       |  FROM embeddings),
+       |grp AS (SELECT vec_id, vec_id % greatest(
+       |    (SELECT count(*) FROM embeddings) // $InitGroup, 1) AS g FROM v),
+       |bk AS (SELECT vec_id, ${Ann.bucketSql()} AS bucket FROM embeddings),
+       |i0c AS (SELECT a.vec_id AS node, b.vec_id AS nbr
+       |    FROM grp a JOIN grp b ON a.g = b.g AND a.vec_id != b.vec_id
+       |  UNION SELECT a.vec_id, b.vec_id
+       |    FROM bk a JOIN bk b ON a.bucket = b.bucket
+       |    AND a.vec_id != b.vec_id),
+       |i0 AS (SELECT c.node, c.nbr,
+       |    ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cs
+       |  FROM i0c c JOIN v a ON a.vec_id = c.node
+       |    JOIN v b ON b.vec_id = c.nbr),
+       |e0 AS (${top("i0", "node", "nbr", KG, "node, nbr, cs")}),
+       |$rounds,
+       |qs AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v
+       |  WHERE vec_id < $nq),
+       |qb AS (SELECT q.q_id, b.bucket AS qbucket FROM qs q
+       |  JOIN bk b ON b.vec_id = q.q_id),
+       |cand0 AS (SELECT q.q_id, s.vec_id FROM qs q JOIN v s
+       |    ON s.vec_id % $EntryStride = 0 AND s.vec_id != q.q_id
+       |  UNION SELECT qb.q_id, b.vec_id FROM qb JOIN bk b
+       |    ON b.bucket = qb.qbucket AND b.vec_id != qb.q_id),
+       |v0 AS (SELECT c.q_id, c.vec_id,
+       |    ${dotSql("q.qe", "s.e")} / (q.qn * s.nrm) AS cs
+       |  FROM cand0 c JOIN v s ON s.vec_id = c.vec_id
+       |    JOIN qs q ON q.q_id = c.q_id),
+       |$hops
+       |SELECT q_id, rk, vec_id, round(cs, 6) AS cosine FROM (
+       |  SELECT q_id, vec_id, cs, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cs DESC, vec_id ASC) AS rk FROM $vFin) t
+       |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+  }
+}

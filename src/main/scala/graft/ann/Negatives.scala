@@ -41,7 +41,7 @@ object Negatives {
     val emb = Tables.embeddings(spark, dir)
     val v = emb.select(col("vec_id"), col("label"), col("embedding"),
       Ann.normCol(col("embedding")).as("nrm"))
-    val q = v.filter(col("vec_id") < nq)
+    val q = v.filter(col("vec_id") < nq).limit(nq) // structural bound mark
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("embedding").as("qe"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("q_id"))

@@ -34,18 +34,15 @@ object Sq8Report {
     * the identical operation order (q · (mx/127), then subtract, then
     * abs) on both engines. */
   def sq8ErrorReport(spark: SparkSession, dir: String): DataFrame = {
+    // one compiled pass per vector (PlanGate r11: the previous
+    // transform/zip_with/filter chain ran interpreted lambdas in the
+    // embeddings corpus scan; Sq8ErrorStats is its bit-identical twin)
     val v = Tables.embeddings(spark, dir)
       .select(col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"),
-        graft.functions.native.quantize_i8(col("embedding")).as("q"))
-      .withColumn("mx", expr("array_max(transform(ed, x -> abs(x)))"))
-      .select(col("label"),
-        size(col("ed")).cast("long").as("n_comp"),
-        expr("array_max(zip_with(ed, q, " +
-          "(x, qi) -> abs(x - qi * (mx / 127.0))))").as("max_err"),
-        (col("mx") / 254.0).as("bound"),
-        expr("CAST(size(filter(q, qi -> abs(qi) = 127.0)) AS BIGINT)")
-          .as("n_sat"))
+        graft.functions.native.sq8_error_stats(col("embedding")).as("st"))
+      .select(col("label"), col("st.n_comp").as("n_comp"),
+        col("st.max_err").as("max_err"), col("st.bound").as("bound"),
+        col("st.n_sat").as("n_sat"))
     v.groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         sum("n_comp").as("n_components"),

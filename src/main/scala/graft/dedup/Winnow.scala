@@ -64,8 +64,12 @@ object Winnow {
   private[graft] def fingerprintsOf(docs: DataFrame): DataFrame = {
     val grams = docs.select(col("doc_id"),
         graft.functions.native.token_poly_hashes(col("text")).as("th"))
+      // compiled gram combine — the transform(sequence(...)) lambda
+      // version was inlined 12× by CollapseProject and interpreted
+      // per gram (the round-1 boilerplate_ngrams finding; PlanGate
+      // flagged it r11). ShinglePolyHashes is its bit-identical twin.
       .select(col("doc_id"),
-        posexplode(shingleHashCombine(col("th"), WinnowK)))
+        posexplode(graft.functions.native.shingle_hashes(col("th"), WinnowK)))
       .toDF("doc_id", "p0", "h")
       // 1-based positions, mirroring DuckDB's generate_subscripts —
       // the full-window filter below is position arithmetic and must

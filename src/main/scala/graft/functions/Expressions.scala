@@ -607,6 +607,91 @@ case class QuantizeI8(child: Expression)
     copy(child = c)
 }
 
+/** Per-vector SQ8 reconstruction-error stats in one pass:
+  * (n_comp, max_err, bound, n_sat) — the compiled twin of the
+  * transform/zip_with/filter HOF chain sq8_error_report ran per row
+  * (PlanGate r11: interpreted lambdas on the embeddings corpus scan).
+  * Bit-identical arithmetic to [[QuantizeI8]] + the query's error
+  * expression: scale = 127/max|x|, q = round-half-away(x·scale),
+  * err = |x − q·(mx/127)| with mx/127 computed once, saturation =
+  * |q| == 127. Empty arrays yield null (embeddings are fixed-dim;
+  * documented, not exercised). */
+case class Sq8ErrorStats(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_comp", LongType, nullable = false),
+    StructField("max_err", DoubleType, nullable = false),
+    StructField("bound", DoubleType, nullable = false),
+    StructField("n_sat", LongType, nullable = false)))
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def compute(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) return null
+    def at(i: Int): Double =
+      if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(at(i)); if (x > mx) mx = x; i += 1
+    }
+    val scale = if (mx == 0.0) 0.0 else 127.0 / mx
+    val back = mx / 127.0
+    var maxErr = 0.0
+    var nSat = 0L
+    i = 0
+    while (i < n) {
+      val x = at(i)
+      val xs = x * scale
+      val q = if (xs >= 0) math.floor(xs + 0.5) else math.ceil(xs - 0.5)
+      val err = math.abs(x - q * back)
+      if (err > maxErr) maxErr = err
+      if (math.abs(q) == 127.0) nSat += 1
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n.toLong, maxErr, mx / 254.0, nSat))
+  }
+  override protected def withNewChildInternal(c: Expression): Sq8ErrorStats =
+    copy(child = c)
+}
+
+/** URL query string → canonical parameter list: split on '&', drop
+  * empties and utm_* params, sort (UTF8 binary order — exactly
+  * Spark's array_sort on strings and DuckDB's default VARCHAR
+  * collation), re-join with '&'. The compiled twin of
+  * `array_join(array_sort(filter(split(q, "&"), ...)), "&")`
+  * (PlanGate r11: that filter lambda ran interpreted per URL in the
+  * documents corpus scan). */
+case class CanonicalQuery(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = StringType
+  override def compute(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val parts = s.split("&", -1)
+    val keep = new java.util.ArrayList[UTF8String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      val p = parts(i)
+      if (p.nonEmpty && !p.startsWith("utm_"))
+        keep.add(UTF8String.fromString(p))
+      i += 1
+    }
+    java.util.Collections.sort(keep) // UTF8String = binary byte order
+    val sb = new java.lang.StringBuilder(s.length)
+    i = 0
+    while (i < keep.size) {
+      if (i > 0) sb.append('&')
+      sb.append(keep.get(i).toString)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): CanonicalQuery =
+    copy(child = c)
+}
+
 /** Count of positions where two long arrays agree — the MinHash
   * signature-agreement statistic (est_jaccard numerator), replacing
   * the interpreted aggregate(zip_with(sa, sb, equal?1:0), 0, +) fold.
@@ -780,4 +865,6 @@ object native {
   def poly_hash_chars(c: Column): Column = column(PolyHashChars(expression(c)))
   def to_double_array(c: Column): Column = column(ToDoubleArray(expression(c)))
   def quantize_i8(c: Column): Column = column(QuantizeI8(expression(c)))
+  def sq8_error_stats(c: Column): Column = column(Sq8ErrorStats(expression(c)))
+  def canonical_query(c: Column): Column = column(CanonicalQuery(expression(c)))
 }

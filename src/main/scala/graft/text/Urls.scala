@@ -112,9 +112,10 @@ object Urls {
     val p2 = rtrim(regexp_replace(p1, "/index\\.html$", ""), "/")
     val pathC = when(p2 === "", lit("/")).otherwise(p2)
     val query = regexp_extract(url, "\\?([^#]*)", 1)
-    val params = array_sort(filter(split(query, "&"),
-      x => x =!= "" && !x.startsWith("utm_")))
-    val queryC = array_join(params, "&")
+    // compiled filter+sort+join (PlanGate r11: the filter lambda ran
+    // interpreted per URL in the corpus scan); same semantics — drop
+    // empties and utm_*, UTF8-binary sort, '&'-join
+    val queryC = graft.functions.native.canonical_query(query)
     val canon = concat(scheme, lit("://"), host, portC, pathC,
       when(queryC =!= "", concat(lit("?"), queryC)).otherwise(lit("")))
     (canon, host)

@@ -108,6 +108,65 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r1 <= 0.7, s"sanity: single-probe should be floored, got $r1")
   }
 
+  test("graph ann: recall@10 >= 0.9 on planted clusters") {
+    val brute = topIds(Ann.bruteForceTopK(planted, NQ, K))
+    val g = topIds(graft.ann.GraphAnn.graphTopK(planted, NQ, K))
+    val rec = recallVs(brute, g)
+    // routing argument: any beam member whose kNN edges touch a
+    // cluster pulls one member in, the member instantly tops the beam
+    // (cos 0.95 vs random ~0.1), and the next hop expands the whole
+    // near-clique cluster — so recall hinges on reaching ONE member,
+    // which Hops×Beam×KG forward-edge lists make near-certain
+    assert(rec >= 0.9, s"graph ANN recall@$K = $rec")
+  }
+
+  /** 10× the distractor mass — the scale regime where the graph's
+    * O(n/EntryStride + Hops·Beam·KG) per-query work separates from
+    * IVF's O(n·NProbe/K) probe scan. */
+  private lazy val planted10x = {
+    val r = new scala.util.Random(1337)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val queries = (0 until NQ).map(i => i.toLong -> unit())
+    val neighbors = queries.flatMap { case (qid, q) =>
+      (0 until NNbr).map { j =>
+        val v = q.map(x => x + 0.04 * r.nextGaussian())
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (10000L + qid * NNbr + j) -> v.map(_ / n)
+      }
+    }
+    val distractors = (0 until 5000).map(i => (100L + i) -> unit())
+    (queries ++ neighbors ++ distractors)
+      .map { case (id, v) => (id, v.map(_.toFloat), (id % 10).toInt) }
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("graph ann scans fewer candidates than ivf at equal (>=0.9) recall " +
+       "once the corpus outgrows the probe lists") {
+    import graft.ann.{GraphAnn, Ivf}
+    val brute = topIds(Ann.bruteForceTopK(planted10x, NQ, K))
+    val gTop = GraphAnn.graphTopK(planted10x, NQ, K)
+    val gRec = recallVs(brute, topIds(gTop))
+    val iRec = recallVs(brute, topIds(Ivf.ivfTopK(planted10x, NQ, K)))
+    assert(gRec >= 0.9, s"graph ANN recall@$K on 5k corpus = $gRec")
+    assert(iRec >= 0.9, s"IVF recall@$K on 5k corpus = $iRec")
+    // candidates actually SCORED per query, both paths
+    val gCand = GraphAnn.visitedSet(planted10x, NQ).count().toDouble / NQ
+    val v = Ivf.vecsD(planted10x)
+    val cent = Ivf.trainCentroids(planted10x)
+    val iCand = Ivf.assignNearest(v, cent)
+      .join(broadcast(Ivf.probeTable(v, cent, NQ)), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .count().toDouble / NQ
+    info(f"graph recall=$gRec%.2f scanning $gCand%.0f/query; " +
+      f"IVF recall=$iRec%.2f scanning $iCand%.0f/query")
+    assert(gCand < iCand,
+      s"graph scanned $gCand/query vs IVF $iCand/query — no advantage")
+  }
+
   test("multi-probe Q=1 equals single-probe lshTopK exactly") {
     val sp = Ann.lshTopK(planted, NQ, K, 8).collect().map(_.toSeq)
     val mp = Ann.lshTopKMultiProbe(planted, NQ, K, 8, 1).collect().map(_.toSeq)

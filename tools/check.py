@@ -52,11 +52,18 @@ def run_with_timeout(con, sql, timeout_s):
         timer.cancel()
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flags = sys.argv[1:]
-    json_out = flags[flags.index("--json") + 1] if "--json" in flags else None
-    timeout_s = (float(flags[flags.index("--timeout-s") + 1])
-                 if "--timeout-s" in flags else None)
+    # proper flag parsing: flag VALUES must not leak into positionals
+    # (a --json path landing in the `only` slot silently matches zero
+    # queries — "0 pass, 0 fail" instead of a full run)
+    args, json_out, timeout_s = [], None, None
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == "--json":
+            json_out = next(it)
+        elif a == "--timeout-s":
+            timeout_s = float(next(it))
+        else:
+            args.append(a)
     sf_dir, out_dir = args[0], args[1]
     results = {}
     con = duckdb.connect()
