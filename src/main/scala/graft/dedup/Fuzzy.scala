@@ -34,7 +34,7 @@ object Fuzzy {
     * SAME variant, so only the first position of each run is kept
     * (s[i] ≠ s[i−1]) — on zero-padded ids this is what stops every
     * name from flooding its buckets with duplicate keys. */
-  private def withDeletionKeys(df: DataFrame, name: String): DataFrame =
+  private[dedup] def withDeletionKeys(df: DataFrame, name: String): DataFrame =
     df.withColumn("pos", explode(sequence(lit(-1), length(col(name)) - 1)))
       .filter(col("pos") <= 0 ||
         col(name).substr(col("pos") + 1, lit(1)) =!=

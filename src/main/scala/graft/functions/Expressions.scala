@@ -834,6 +834,48 @@ case class NormalizeAscii(child: Expression)
   override protected def withNewChildInternal(c: Expression): NormalizeAscii = copy(c)
 }
 
+/** Achlioptas (2003) sparse Johnson–Lindenstrauss projection of a
+  * numeric array to `dOut` dimensions: projection entry s(k,j) ∈
+  * {+1, −1, 0} with probabilities {1/6, 1/6, 2/3}, derived from a
+  * FIXED LCG on the flat index k·n+j (r = (1103515245·i + 12345) mod
+  * 2³¹, then r mod 6: 0 → +1, 1 → −1, else 0) — no RNG state, so the
+  * matrix is identical across executors, runs, and engines, and the
+  * DuckDB oracle regenerates it from the same three integer constants.
+  * y_k is a sequential j-ordered double fold (zeros included), the
+  * same IEEE sequence as the oracle's list_reduce rendering — the
+  * [[DotProductFold]] parity argument. The 1/√(dOut/3) JL scale is
+  * NOT folded in; callers carry the exact rational 3/dOut in their
+  * distortion arithmetic instead of a per-element irrational. */
+case class JlProject(child: Expression, dOut: Int)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def compute(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Double](dOut)
+    var k = 0
+    while (k < dOut) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val r = ((1103515245L * (k.toLong * n + j) + 12345L) %
+          2147483648L) % 6L
+        val s = if (r == 0L) 1.0 else if (r == 1L) -1.0 else 0.0
+        val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        acc += x * s
+        j += 1
+      }
+      out(k) = acc
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): JlProject =
+    copy(child = c)
+}
+
 object native {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def token_poly_hashes(c: Column): Column = column(TokenPolyHashes(expression(c)))
@@ -867,4 +909,5 @@ object native {
   def quantize_i8(c: Column): Column = column(QuantizeI8(expression(c)))
   def sq8_error_stats(c: Column): Column = column(Sq8ErrorStats(expression(c)))
   def canonical_query(c: Column): Column = column(CanonicalQuery(expression(c)))
+  def jl_project(c: Column, dOut: Int): Column = column(JlProject(expression(c), dOut))
 }

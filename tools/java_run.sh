@@ -1,0 +1,22 @@
+#!/bin/bash
+# Launch a graft main class with plain `java` against a CLASS SNAPSHOT
+# (default /tmp/graft_cls_snap), mirroring build.sbt's forked-run JVM
+# (add-opens set, UTC, no UI, -Xmx from SPARK_DRIVER_MEM|8g). Running
+# benches off a snapshot keeps sbt free for development and pins the
+# measured code even if target/classes is recompiled mid-sweep.
+# Usage: java_run.sh <mainClass> [args...]
+set -u
+SNAP="${GRAFT_CLS:-/tmp/graft_cls_snap}"
+XMX="${SPARK_DRIVER_MEM:-8g}"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+MAIN="$1"; shift
+exec java -Xmx"$XMX" $OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$SNAP:/opt/spark/jars/*" "$MAIN" "$@"
