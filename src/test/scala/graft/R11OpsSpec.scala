@@ -256,4 +256,80 @@ class R11OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == total)
     assert(rows.length <= 33)
   }
+
+  test("t_closeness matches a brute per-group EMD replay") {
+    val cust = Tables.customer(spark, sf)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1),
+        math.floor(r.getDouble(2) / 1000.0).toLong))
+    val bands = cust.map(_._3).distinct.sorted
+    val m = bands.length
+    val nAll = cust.length.toLong
+    val globCum = bands.map(b => b -> cust.count(_._3 <= b).toLong).toMap
+    def emd(group: Seq[Long]): Double = {
+      val nG = group.length.toLong
+      val num = bands.map { b =>
+        val cumG = group.count(_ <= b).toLong
+        math.abs(cumG * nAll - globCum(b) * nG).toDouble
+      }.sum
+      if (m > 1) num / (nG.toDouble * nAll * (m - 1)) else 0.0
+    }
+    def brute(qi: ((Long, String, Long)) => Any): (Long, Double, Long) = {
+      val ts = cust.groupBy(qi).values.toSeq
+        .map(g => BigDecimal(emd(g.map(_._3).toSeq))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (ts.size.toLong, ts.max, ts.count(_ > 0.2).toLong)
+    }
+    val rows = dq.Privacy.tCloseness(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (gN, gMax, gAbove) = brute(c => c._1)
+    val nat = rows("nation")
+    assert(nat.getLong(1) == gN && nat.getLong(2) == m)
+    assert(math.abs(nat.getDouble(3) - gMax) < 1e-5)
+    assert(nat.getLong(4) == gAbove)
+    val (sN, sMax, sAbove) = brute(c => (c._1, c._2))
+    val ns = rows("nation_seg")
+    assert(ns.getLong(1) == sN)
+    assert(math.abs(ns.getDouble(3) - sMax) < 1e-5)
+    assert(ns.getLong(4) == sAbove)
+    // EMD is a normalized distance: in [0, 1]
+    assert(gMax >= 0.0 && gMax <= 1.0 && sMax <= 1.0)
+  }
+
+  test("link_scores matches a brute AA/RA replay") {
+    val ui = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val deg = ui.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val pairs = ui.groupBy(_._1).toSeq.flatMap { case (u, is) =>
+      val items = is.map(_._2).sorted
+      for (i <- items.indices; j <- i + 1 until items.length)
+        yield ((items(i), items(j)), u)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def aaE6(u: Long): Long =
+      math.floor(1000000.0 / math.log(deg(u).toDouble) + 0.5).toLong
+    def raE9(u: Long): Long = (2000000000L + deg(u)) / (2 * deg(u))
+    val want = pairs.map { case (p, us) =>
+      p -> (us.size.toLong, us.map(aaE6).sum, us.map(raE9).sum)
+    }
+    val rows = graph.LinkPred.linkScores(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (cn, aa, ra) = want(key)
+      assert(r.getLong(2) == cn, s"cn at $key")
+      assert(r.getLong(3) == aa, s"aa at $key")
+      assert(math.abs(r.getDouble(4) - aa / 1e6) < 1e-6)
+      assert(math.abs(r.getDouble(5) - ra / 1e9) < 1e-6)
+    }
+    // the top-k really is the top-k by (aa DESC, item_a, item_b)
+    val topBrute = want.toSeq
+      .map { case ((a, b), (_, aa, _)) => (-aa, a, b) }.sorted
+      .take(math.min(100, want.size))
+      .map { case (negAa, a, b) => (a, b, -negAa) }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .toSeq == topBrute)
+  }
 }
