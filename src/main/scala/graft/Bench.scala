@@ -81,9 +81,11 @@ object Bench {
     val failedJson = med.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = math.rint(med.collect { case (_, v) if v >= 0 => v }.sum * 1e4) / 1e4
+    val warmTag = if (sys.env.get("SPARK_GRAFT_WARMUP").contains("1"))
+      ""","warmup":1""" else ""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,"sf":"$sfDir","reps":$reps,""" +
-      s""""fork":$chunk,"xmx":"$xmx"}"""
+      s""""fork":$chunk,"xmx":"$xmx"$warmTag}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")), line + "\n")
@@ -154,7 +156,17 @@ object Bench {
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     val errors = scala.collection.mutable.Map.empty[String, String]
     var failed = Set.empty[String]
-    for (_ <- 1 to reps) {
+    // SPARK_GRAFT_WARMUP=1: one UNTIMED full sweep before the timed
+    // reps. Exists for fork-isolated runs: the r11 q3_join triage
+    // measured the same query at 14.2 s (fork, cold), 10.4 s
+    // (in-process 3-rep), 5.3 s (10-rep) and 3.8 s (r10 286-query hot
+    // process) — the spread is C2/codegen warmth, not plans, and 3
+    // timed reps do not outlast it. A warm rep makes a fresh-JVM
+    // family measure STEADY-STATE cost (what a long-lived production
+    // executor sees); default off so artifacts stay comparable to
+    // rounds 8-10.
+    val warmup = sys.env.get("SPARK_GRAFT_WARMUP").contains("1")
+    for (rep <- (if (warmup) 0 else 1) to reps) {
       // drop memoized per-dir results (imputation stats, cluster labels)
       // so every rep times query EXECUTION — otherwise reps 2+ of
       // dedup_clusters/medians_modes would measure a persisted-cache hit
@@ -165,7 +177,8 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+          if (rep >= 1)
+            times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
         } catch { case e: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
           failed += name
@@ -195,8 +208,9 @@ object Bench {
     // default 8g — NOT the sandbox's 128 GiB)
     val xmx = java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage.getMax / (1024L * 1024L)
+    val warmTag = if (warmup) ""","warmup":1""" else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps,"heap_mb":$xmx}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps,"heap_mb":$xmx$warmTag}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")), line + "\n")
