@@ -63,6 +63,18 @@ object GraphAnn {
   val KG = 8 // graph out-degree
   val Rounds = 2 // NN-Descent refinement rounds
   val InitGroup = 32L // target init block size (G = max(n/32, 1) blocks)
+  /** LSH-init bucket-head cap: each vector pairs with at most the
+    * first [[BucketHeads]] members (by id) of its bucket, never the
+    * whole bucket. Without it the LSH arm is n·(n/2^planes) pairs —
+    * measured 10.3 s (sf0.1, n=2k) → 41.2 s (sf1, 20k) → 1121.5 s
+    * (sf5, 100k), 27× for the last 5× of data, 45% of the entire
+    * sf5 sweep. The hub shape keeps cluster connectivity (every
+    * member seeds TO the heads; the round-1 undirected
+    * neighbor-of-neighbor join closes member↔member through them)
+    * while bounding the arm at n·[[BucketHeads]] — same growth as
+    * the id arm. [[Ann.planesFor]] remains the production knob that
+    * keeps buckets near head size in the first place. */
+  val BucketHeads = 32L
   val EntryStride = 64L // entry stratum: vec_id % 64 == 0
   val Beam = 10 // beam width (>= k so the final beam can answer alone)
   val Hops = 3 // beam-search expansion rounds
@@ -110,8 +122,15 @@ object GraphAnn {
       .select("node", "nbr")
     val buckets = embeddings.select(col("vec_id"),
       Ann.bucketCol(planes).as("bkt"))
-    val bucketPairs = buckets.toDF("node", "bkt")
-      .join(buckets.toDF("nbr", "bkt").hint("shuffle_hash"), Seq("bkt"))
+    // head-capped LSH arm (see [[BucketHeads]]): members × bucket
+    // HEADS, not members × members
+    val heads = buckets
+      .withColumn("hrk", row_number().over(
+        Window.partitionBy("bkt").orderBy("vec_id")))
+      .filter(col("hrk") <= BucketHeads)
+      .select(col("bkt"), col("vec_id").as("nbr"))
+    val bucketPairs = buckets.select(col("bkt"), col("vec_id").as("node"))
+      .join(heads.hint("shuffle_hash"), Seq("bkt"))
       .select("node", "nbr")
     val init = idPairs.union(bucketPairs)
       .filter(col("node") =!= col("nbr"))
@@ -277,10 +296,14 @@ object GraphAnn {
        |grp AS (SELECT vec_id, vec_id % greatest(
        |    (SELECT count(*) FROM embeddings) // $InitGroup, 1) AS g FROM v),
        |bk AS (SELECT vec_id, ${Ann.bucketSql()} AS bucket FROM embeddings),
+       |bkh AS (SELECT bucket, vec_id FROM (
+       |    SELECT bucket, vec_id, row_number() OVER (
+       |      PARTITION BY bucket ORDER BY vec_id) AS hrk FROM bk) h
+       |  WHERE hrk <= $BucketHeads),
        |i0c AS (SELECT a.vec_id AS node, b.vec_id AS nbr
        |    FROM grp a JOIN grp b ON a.g = b.g AND a.vec_id != b.vec_id
        |  UNION SELECT a.vec_id, b.vec_id
-       |    FROM bk a JOIN bk b ON a.bucket = b.bucket
+       |    FROM bk a JOIN bkh b ON a.bucket = b.bucket
        |    AND a.vec_id != b.vec_id),
        |i0 AS (SELECT c.node, c.nbr,
        |    ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cs
