@@ -180,6 +180,40 @@ object Ann {
     math.min(62, math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
   }
 
+  /** PURE-INTEGER [[planesFor]] for oracle-replayed plans: the float
+    * log/ceil lands exactly on integer boundaries at power-of-two
+    * ratios, where libm-vs-java rounding could disagree by one plane —
+    * and one plane is a completely different bucketing. This ladder is
+    * comparisons only: the smallest p ≥ 1 with n ≤ target·2^p, capped
+    * at `maxPlanes` (16 covers n ≤ 4.2 M at target 64; oracle corpora
+    * are ≤ 10⁵, and the cap only re-admits the quadratic creep past
+    * it). [[initPlanesSql]] is the same ladder as SQL. */
+  def initPlanesFor(n: Long, target: Long = 64L, maxPlanes: Int = 16): Int = {
+    var p = 1
+    while (p < maxPlanes && (target << p) < n) p += 1
+    p
+  }
+
+  /** The [[initPlanesFor]] ladder over a column named `cnt`. */
+  def initPlanesSql(target: Long = 64L, maxPlanes: Int = 16): String =
+    (1 until maxPlanes).map(p => s"WHEN cnt <= ${target << p} THEN $p")
+      .mkString("CASE ", " ", s" ELSE $maxPlanes END")
+
+  /** [[bucketSql]] with the plane count read from a COLUMN `plRef`
+    * (the [[initPlanesSql]] output cross-joined in) instead of baked
+    * into the text: all `maxPlanes` sign bits are computed, bits at
+    * p ≥ plRef contribute 0 — so one static SQL string replays any
+    * data-dependent plane choice ≤ maxPlanes. `offset` shifts the LCG
+    * plane index (NOT the bit position) for independent tables,
+    * mirroring [[bucketCol]]. */
+  def bucketSqlDynamic(plRef: String, maxPlanes: Int = 16,
+      offset: Int = 0): String =
+    s"""CAST(list_sum(list_transform(generate_series(0, ${maxPlanes - 1}), p ->
+      CASE WHEN p < $plRef AND list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(generate_series(1, $Dim),
+          d -> ${coefExpr(s"(p + $offset)", "(d - 1)")} * CAST(embedding[d] AS DOUBLE))), (x, y) -> x + y) > 0
+      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)"""
+
   /** Pseudo-random plane coefficient c(p,d) in [-0.5, 0.5), identical
     * in SQL: LCG on index p*Dim+d. CASTs keep the multiply in 64-bit on
     * BOTH engines (Spark int math silently wraps at 32 bits). */
@@ -189,8 +223,9 @@ object Ann {
   /** Bucket id: sign bits of `planes` hyperplane projections (native
     * expression — the HOF formulation interprets ~planes×dim steps per
     * row; see graft.functions.HyperplaneBucket). */
-  def bucketCol(planes: Int = DefaultPlanes): Column =
-    graft.functions.native.hyperplane_bucket(col("embedding"), planes, Dim)
+  def bucketCol(planes: Int = DefaultPlanes, offset: Int = 0): Column =
+    graft.functions.native.hyperplane_bucket(col("embedding"), planes, Dim,
+      offset)
 
   def bucketSql(planes: Int = DefaultPlanes): String =
     s"""CAST(list_sum(list_transform(generate_series(0, ${planes - 1}), p ->

@@ -63,18 +63,46 @@ object GraphAnn {
   val KG = 8 // graph out-degree
   val Rounds = 2 // NN-Descent refinement rounds
   val InitGroup = 32L // target init block size (G = max(n/32, 1) blocks)
-  /** LSH-init bucket-head cap: each vector pairs with at most the
-    * first [[BucketHeads]] members (by id) of its bucket, never the
-    * whole bucket. Without it the LSH arm is n·(n/2^planes) pairs —
+  /** LSH-init bucket sizing: the init arm pairs FULL member×member
+    * within each bucket, and the plane count GROWS with n via the
+    * pure-integer [[Ann.initPlanesFor]] ladder (smallest p with
+    * n ≤ [[InitBucketTarget]]·2^p) so expected bucket size — and so
+    * the arm's n·bucket pair volume — stays ~constant as the corpus
+    * scales. At a FIXED 8 planes the arm was n·(n/256) pairs —
     * measured 10.3 s (sf0.1, n=2k) → 41.2 s (sf1, 20k) → 1121.5 s
-    * (sf5, 100k), 27× for the last 5× of data, 45% of the entire
-    * sf5 sweep. The hub shape keeps cluster connectivity (every
-    * member seeds TO the heads; the round-1 undirected
-    * neighbor-of-neighbor join closes member↔member through them)
-    * while bounding the arm at n·[[BucketHeads]] — same growth as
-    * the id arm. [[Ann.planesFor]] remains the production knob that
-    * keeps buckets near head size in the first place. */
-  val BucketHeads = 32L
+    * (sf5, 100k), 27× for the last 5× of data, 45% of the entire sf5
+    * sweep. Two capping alternatives measured and REJECTED for
+    * recall: pairing members against a bounded per-bucket hub set
+    * (first-32-by-id OR stride-sampled) drops planted-cluster
+    * recall@10 from ≥0.9 to 0.78 on the 5k-distractor corpus — the
+    * rare high-cosine member×member pairs ARE the init signal
+    * NN-Descent amplifies (one in-cluster edge per node suffices; a
+    * hub is in-cluster only with prob cap/size), and member→hub
+    * edges at cos≈0.1 are cut by the per-node top-KG immediately.
+    * Growing planes keeps every within-bucket pair while shrinking
+    * buckets; the recall price is the documented monotone
+    * planes↔recall trade-off (a mate pair collides w.p.
+    * ≈0.86^planes at cos 0.9), amortized by the 10-mate cluster
+    * redundancy — the recall spec pins ≥0.9 at the 5 k scale
+    * (7 planes under this ladder). */
+  val InitBucketTarget = 64L
+  val MaxInitPlanes = 16
+  /** Hot-bucket sub-split (the §2.113 treatment): REAL embedding
+    * corpora are manifold-clustered, so even n-adaptive planes leave
+    * heavy buckets — measured on the sf5 corpus at 11 planes: max
+    * bucket 1828 of mean 51, Σsize² = 116 M pairs ≈ 10× the balanced
+    * estimate (408 s). Members of buckets over [[HotBucketCap]] get
+    * [[ExtraPlanes]] more sign bits (a 16-way split) — derived from
+    * the SAME pl+4-bit hash whose low bits are the base bucket, so
+    * one bucket computation serves both levels; split buckets move to
+    * a disjoint id namespace (+2^(pl+4)) so a split id can never
+    * collide with a cold base id. Cap = 4×target: the planted-cluster
+    * recall corpus (max bucket 144) never splits, and a mate pair
+    * inside a genuinely hot bucket still collides w.p.
+    * 0.86^(pl+4) — the documented planes↔recall trade, applied only
+    * where the quadratic cost forces it. */
+  val HotBucketCap = 256L
+  val ExtraPlanes = 4
   val EntryStride = 64L // entry stratum: vec_id % 64 == 0
   val Beam = 10 // beam width (>= k so the final beam can answer alone)
   val Hops = 3 // beam-search expansion rounds
@@ -89,19 +117,13 @@ object GraphAnn {
   }
 
   /** NN-Descent kNN graph: (node, nbr, cs) with KG out-edges per node
-    * (fewer only in degenerate sub-33-vector corpora). */
-  /** `planes` sizes the LSH init-block arm: the oracle query keeps the
-    * static [[Ann.DefaultPlanes]] (the SQL replay needs a compile-time
-    * constant), under which bucket-pair volume is n·(n/2^planes) —
-    * fine at every oracle SF but superlinear unchecked. The scale
-    * knob is [[Ann.planesFor]](n): buckets stay ~targetBucket-sized,
-    * the init arm stays O(n·targetBucket) like the id arm, and the
-    * pairwise same-bucket probability for cos≈0.95 neighbors decays
-    * only as (1−θ/π)^planes ≈ 0.9^planes — the §2.25 embedCosinePairs
-    * treatment of the same knob. */
+    * (fewer only in degenerate sub-33-vector corpora). The LSH init
+    * arm's plane count adapts to n via [[Ann.initPlanesFor]] — a
+    * pure-integer ladder the oracle replays from count(*) through ONE
+    * static SQL string ([[Ann.bucketSqlDynamic]] masks unused bits),
+    * so Spark and DuckDB pick the identical bucketing at every SF. */
   def knnGraph(embeddings: DataFrame, kg: Int = KG,
-      rounds: Int = Rounds,
-      planes: Int = Ann.DefaultPlanes): DataFrame = {
+      rounds: Int = Rounds): DataFrame = {
     val v = Ivf.vecsD(embeddings) // (vec_id, e, nrm)
     val n = embeddings.count() // one metadata-cheap count for the block modulus
     val groups = math.max(n / InitGroup, 1L)
@@ -120,18 +142,32 @@ object GraphAnn {
     val idPairs = idBlocks.toDF("g", "node")
       .join(idBlocks.toDF("g", "nbr").hint("shuffle_hash"), Seq("g"))
       .select("node", "nbr")
-    val buckets = embeddings.select(col("vec_id"),
-      Ann.bucketCol(planes).as("bkt"))
-    // head-capped LSH arm (see [[BucketHeads]]): members × bucket
-    // HEADS, not members × members
-    val heads = buckets
-      .withColumn("hrk", row_number().over(
-        Window.partitionBy("bkt").orderBy("vec_id")))
-      .filter(col("hrk") <= BucketHeads)
-      .select(col("bkt"), col("vec_id").as("nbr"))
-    val bucketPairs = buckets.select(col("bkt"), col("vec_id").as("node"))
-      .join(heads.hint("shuffle_hash"), Seq("bkt"))
-      .select("node", "nbr")
+    // n-adaptive plane count (see [[InitBucketTarget]]): full
+    // member×member within ~target-sized buckets at every scale,
+    // under TWO independent hash tables. One table can split a tight
+    // cluster into graph components NN-Descent never bridges (2-path
+    // propagation needs a seed edge per component; measured: a
+    // 10-mate cluster split {2, 8} left recall at 0.78) — a split
+    // must survive BOTH independent tables to persist, and a member
+    // isolated in one table gets a second collision draw in the
+    // other (per-mate pair: 1-(1-0.35)² ≈ 0.58 at 7 planes).
+    val initPlanes = Ann.initPlanesFor(n, InitBucketTarget, MaxInitPlanes)
+    def tableArm(offset: Int): DataFrame = {
+      // one (pl+4)-bit hash; low pl bits = the base bucket
+      val full = embeddings.select(col("vec_id"),
+        Ann.bucketCol(initPlanes + ExtraPlanes, offset).as("fb"))
+        .withColumn("b0", col("fb") % (1L << initPlanes))
+      val buckets = full
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy("b0")))
+        .withColumn("bkt", when(col("bsz") > HotBucketCap,
+          col("fb") + (1L << (initPlanes + ExtraPlanes)))
+          .otherwise(col("b0")))
+        .select("vec_id", "bkt")
+      buckets.toDF("node", "bkt")
+        .join(buckets.toDF("nbr", "bkt").hint("shuffle_hash"), Seq("bkt"))
+        .select("node", "nbr")
+    }
+    val bucketPairs = tableArm(0).union(tableArm(MaxInitPlanes))
     val init = idPairs.union(bucketPairs)
       .filter(col("node") =!= col("nbr"))
       .distinct() // Spark union = UNION ALL; the oracle's UNION dedups
@@ -260,7 +296,7 @@ object GraphAnn {
         eN: String): String =
       s"""$u AS (SELECT node, nbr FROM $eP
          |  UNION SELECT nbr AS node, node AS nbr FROM $eP),
-         |$c AS (SELECT DISTINCT p.node, q.nbr AS cand
+         |$c AS MATERIALIZED (SELECT DISTINCT p.node, q.nbr AS cand
          |  FROM $u p JOIN $u q ON p.nbr = q.node
          |  WHERE q.nbr != p.node AND NOT EXISTS (SELECT 1 FROM $eP ex
          |    WHERE ex.node = p.node AND ex.nbr = q.nbr)),
@@ -268,7 +304,7 @@ object GraphAnn {
          |    ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cs
          |  FROM $c c JOIN v a ON a.vec_id = c.node
          |    JOIN v b ON b.vec_id = c.cand),
-         |$eN AS (${top(s"(SELECT * FROM $eP UNION ALL SELECT * FROM $s) z",
+         |$eN AS MATERIALIZED (${top(s"(SELECT * FROM $eP UNION ALL SELECT * FROM $s) z",
         "node", "nbr", KG, "node, nbr, cs")})""".stripMargin
     val rounds = (0 until Rounds).map(i =>
       roundSql(s"e$i", s"u$i", s"c$i", s"s$i", s"e${i + 1}")).mkString(",\n")
@@ -285,25 +321,40 @@ object GraphAnn {
          |    ${dotSql("q.qe", "s.e")} / (q.qn * s.nrm) AS cs
          |  FROM $x x JOIN v s ON s.vec_id = x.vec_id
          |    JOIN qs q ON q.q_id = x.q_id),
-         |$vN AS (SELECT * FROM $vP UNION ALL SELECT * FROM $sc)""".stripMargin
+         |$vN AS MATERIALIZED (SELECT * FROM $vP UNION ALL SELECT * FROM $sc)""".stripMargin
     val hops = (0 until Hops).map(i =>
       hopSql(s"v$i", s"b$i", s"x$i", s"sc$i", s"v${i + 1}")).mkString(",\n")
     val vFin = s"v$Hops"
-    s"""WITH v AS (SELECT vec_id,
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
        |    ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nrm
        |  FROM embeddings),
        |grp AS (SELECT vec_id, vec_id % greatest(
        |    (SELECT count(*) FROM embeddings) // $InitGroup, 1) AS g FROM v),
-       |bk AS (SELECT vec_id, ${Ann.bucketSql()} AS bucket FROM embeddings),
-       |bkh AS (SELECT bucket, vec_id FROM (
-       |    SELECT bucket, vec_id, row_number() OVER (
-       |      PARTITION BY bucket ORDER BY vec_id) AS hrk FROM bk) h
-       |  WHERE hrk <= $BucketHeads),
-       |i0c AS (SELECT a.vec_id AS node, b.vec_id AS nbr
+       |plc AS (SELECT ${Ann.initPlanesSql(InitBucketTarget, MaxInitPlanes)} AS pl
+       |  FROM (SELECT count(*) AS cnt FROM embeddings) cc),
+       |${Seq(("bki", 0), ("bki2", MaxInitPlanes)).map { case (cte, off) =>
+      s"""$cte AS MATERIALIZED (SELECT vec_id,
+         |    CASE WHEN bsz > $HotBucketCap
+         |      THEN fb + (CAST(1 AS BIGINT) << (pl + $ExtraPlanes))
+         |      ELSE b0 END AS bucket
+         |  FROM (SELECT vec_id, fb, pl,
+         |      fb % (CAST(1 AS BIGINT) << pl) AS b0,
+         |      count(*) OVER (PARTITION BY
+         |        fb % (CAST(1 AS BIGINT) << pl)) AS bsz
+         |    FROM (SELECT vec_id, pl,
+         |        ${Ann.bucketSqlDynamic(s"(pl + $ExtraPlanes)",
+        MaxInitPlanes + ExtraPlanes, off)} AS fb
+         |      FROM embeddings CROSS JOIN plc) t0) t1)""".stripMargin
+    }.mkString(",\n")},
+       |bk AS MATERIALIZED (SELECT vec_id, ${Ann.bucketSql()} AS bucket FROM embeddings),
+       |i0c AS MATERIALIZED (SELECT a.vec_id AS node, b.vec_id AS nbr
        |    FROM grp a JOIN grp b ON a.g = b.g AND a.vec_id != b.vec_id
        |  UNION SELECT a.vec_id, b.vec_id
-       |    FROM bk a JOIN bkh b ON a.bucket = b.bucket
+       |    FROM bki a JOIN bki b ON a.bucket = b.bucket
+       |    AND a.vec_id != b.vec_id
+       |  UNION SELECT a.vec_id, b.vec_id
+       |    FROM bki2 a JOIN bki2 b ON a.bucket = b.bucket
        |    AND a.vec_id != b.vec_id),
        |i0 AS (SELECT c.node, c.nbr,
        |    ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cs

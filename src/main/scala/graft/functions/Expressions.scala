@@ -211,8 +211,12 @@ case class SimHash(child: Expression, bits: Int)
 /** array<float> embedding → long LSH bucket id: sign bits of `planes`
   * deterministic pseudo-random hyperplane projections. Same arithmetic
   * as the DuckDB rendering in [[graft.ann.Ann.bucketSql]]: coefficient
-  * c(p,d) from an LCG on p*dim+d, sequential double accumulation. */
-case class HyperplaneBucket(child: Expression, planes: Int, dim: Int)
+  * c(p,d) from an LCG on p*dim+d, sequential double accumulation.
+  * `offset` shifts the PLANE INDEX fed to the LCG (not the bit
+  * position), yielding an INDEPENDENT hash table per offset — the
+  * classic multi-table LSH construction. */
+case class HyperplaneBucket(child: Expression, planes: Int, dim: Int,
+    offset: Int = 0)
     extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = LongType
   override def compute(input: Any): Any = {
@@ -223,7 +227,7 @@ case class HyperplaneBucket(child: Expression, planes: Int, dim: Int)
       var s = 0.0
       var d = 0
       while (d < dim) {
-        val c = ((1103515245L * (p * dim + d) + 12345L) % 2147483647L) / 2147483647.0 - 0.5
+        val c = ((1103515245L * ((p + offset) * dim + d) + 12345L) % 2147483647L) / 2147483647.0 - 0.5
         s += c * v(d).toDouble
         d += 1
       }
@@ -884,8 +888,9 @@ object native {
   def shingle_hashes(c: Column, k: Int): Column = column(ShinglePolyHashes(expression(c), k))
   def minhash_signature(c: Column, n: Int): Column = column(MinHashSignature(expression(c), n))
   def simhash(c: Column, bits: Int): Column = column(SimHash(expression(c), bits))
-  def hyperplane_bucket(c: Column, planes: Int, dim: Int): Column =
-    column(HyperplaneBucket(expression(c), planes, dim))
+  def hyperplane_bucket(c: Column, planes: Int, dim: Int,
+      offset: Int = 0): Column =
+    column(HyperplaneBucket(expression(c), planes, dim, offset))
   def tokens_in_set_count(c: Column, set: Seq[String]): Column =
     column(TokensInSetCount(expression(c), set))
   def bpe_merge_fold(c: Column, a: String, b: String): Column =

@@ -1,0 +1,189 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** §2.343–346: shapley_attribution, isotonic_calibration,
+  * null_pattern, eb_shrinkage — each verified against an independent
+  * brute-force replay over the collected sf0.001 tables (the oracle
+  * gate re-proves DuckDB parity; these prove the SEMANTICS). */
+class R11bOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+
+  test("shapley_attribution equals the 24-permutation definition; " +
+       "efficiency holds") {
+    val chans = Seq("click", "error", "signup", "view")
+    val bit = chans.zipWithIndex.map { case (c, i) => c -> (1 << i) }.toMap
+    // journeys: per user, channel mask strictly before the first
+    // purchase in (ts, event_id) order; conv = has a purchase
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    // .toSeq BEFORE map: mapping a Map to (mask, conv) pairs would
+    // collapse equal-mask journeys into one entry
+    val journeys = byUser.toSeq.map { case (_, rows) =>
+      // full-precision Timestamp ordering (getTime drops micros)
+      val fp = rows.filter(_._4 == "purchase")
+        .sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).headOption
+      val pre = rows.filter(r => r._4 != "purchase" && (fp match {
+        case Some(p) =>
+          val c = r._2.compareTo(p._2)
+          c < 0 || (c == 0 && r._3 < p._3)
+        case None => true
+      }))
+      val mask = pre.map(r => bit.getOrElse(r._4, 0)).fold(0)(_ | _)
+      (mask, if (fp.isDefined) 1L else 0L)
+    }.toSeq
+    val convByMask = journeys.groupBy(_._1)
+      .map { case (m, js) => m -> js.map(_._2).sum }
+    def v(s: Int): Long = convByMask.collect {
+      case (m, c) if (m & s) == m => c }.sum
+    // exact Shapley straight from the definition: average marginal
+    // contribution over all 4! channel orderings, scaled by 24
+    val perms = chans.permutations.toSeq
+    val phiX24 = chans.map { ch =>
+      ch -> perms.map { perm =>
+        val before = perm.takeWhile(_ != ch)
+        val s = before.map(bit).fold(0)(_ | _)
+        v(s | bit(ch)) - v(s)
+      }.sum
+    }.toMap
+    val rows = analytics.Shapley.shapleyAttribution(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val ch = r.getString(0)
+      assert(r.getLong(3) == phiX24(ch),
+        s"$ch phi_x24 ${r.getLong(3)} != brute ${phiX24(ch)}")
+      val touched = journeys.count { case (m, _) => (m & bit(ch)) != 0 }
+      val convP = journeys.collect {
+        case (m, c) if (m & bit(ch)) != 0 => c }.sum
+      assert(r.getLong(1) == touched && r.getLong(2) == convP)
+    }
+    // efficiency: Σ φ·24 = 24·(v(full) − v(∅))
+    assert(rows.map(_.getLong(3)).sum == 24L * (v(15) - v(0)))
+  }
+
+  test("isotonic_calibration equals a sequential PAV run; monotone; " +
+       "mean-preserving") {
+    val rows = analytics.Calibration.isotonicCalibration(spark, sf)
+      .orderBy("bin").collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(1))
+    val pos = rows.map(_.getLong(2))
+    val iso = rows.map(_.getDouble(4))
+    // classic pool-adjacent-violators on (pos/n, weight n)
+    case class Block(var s: Double, var w: Double)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Block]
+    for (i <- n.indices) {
+      blocks += Block(pos(i).toDouble, n(i).toDouble)
+      while (blocks.length > 1 && {
+        val a = blocks(blocks.length - 2); val b = blocks.last
+        a.s / a.w >= b.s / b.w
+      }) {
+        val b = blocks.remove(blocks.length - 1)
+        blocks.last.s += b.s; blocks.last.w += b.w
+      }
+    }
+    // expand blocks back to per-bin fitted values by weight
+    val fitted = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var bi = 0
+    var left = 0.0
+    for (i <- n.indices) {
+      if (left <= 0) { left = blocks(bi).w; bi += 1 }
+      fitted += blocks(bi - 1).s / blocks(bi - 1).w
+      left -= n(i).toDouble
+    }
+    for (i <- n.indices)
+      assert(math.abs(iso(i) - fitted(i)) < 2e-6,
+        s"bin $i iso ${iso(i)} != PAV ${fitted(i)}")
+    // monotone nondecreasing
+    for (i <- 1 until iso.length) assert(iso(i) >= iso(i - 1) - 1e-9)
+    // PAV preserves the weighted mean exactly (up to e6 rounding)
+    val lhs = n.zip(iso).map { case (w, r) => w * r }.sum
+    assert(math.abs(lhs - pos.sum) < n.sum * 2e-6,
+      s"weighted mean drift: ${lhs} vs ${pos.sum}")
+  }
+
+  test("null_pattern equals a brute per-row replay; planted lift > 1 " +
+       "for the co-missing pair") {
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val flags = cust.map { case (k, seg) =>
+      Map(
+        "name" -> (k % 7 == 0 && k % 2 == 0),
+        "nation" -> (seg == "AUTOMOBILE" && k % 3 == 0),
+        "bal" -> (k % 7 == 0),
+        "seg" -> (k % 11 == 0))
+    }
+    val total = flags.length.toLong
+    val rows = dq.NullPatterns.nullPattern(spark, sf).collect()
+    val (patRows, pairRows) = rows.partition(_.getString(0) == "pattern")
+    val brutePat = flags.groupBy { f =>
+      val ks = Seq("bal", "name", "nation", "seg").filter(f)
+      if (ks.isEmpty) "complete" else ks.mkString(",")
+    }.map { case (k, v) => k -> v.length.toLong }
+    assert(patRows.length == brutePat.size)
+    patRows.foreach { r =>
+      assert(r.getLong(2) == brutePat(r.getString(1)), r.getString(1))
+      assert(math.abs(r.getDouble(3) -
+        brutePat(r.getString(1)).toDouble / total) < 1e-6)
+    }
+    val cols = Seq("bal", "name", "nation", "seg")
+    pairRows.foreach { r =>
+      val Array(a, b) = r.getString(1).split("&")
+      val nab = flags.count(f => f(a) && f(b)).toLong
+      val na = flags.count(_(a)).toLong
+      val nb = flags.count(_(b)).toLong
+      assert(r.getLong(2) == nab, s"pair ${r.getString(1)}")
+      if (na * nb > 0)
+        assert(math.abs(r.getDouble(4) -
+          nab.toDouble * total / (na * nb)) < 1e-5)
+      else assert(r.isNullAt(4))
+    }
+    assert(pairRows.length == cols.combinations(2).size)
+    // the planted mechanism: bal&name co-missing lift ≈ 2 (name only
+    // missing when bal is), strictly > 1
+    val bn = pairRows.find(_.getString(1) == "bal&name").get
+    assert(!bn.isNullAt(4) && bn.getDouble(4) > 1.5,
+      s"planted co-missing lift ${bn.getDouble(4)}")
+  }
+
+  test("eb_shrinkage equals an exact-arithmetic replay; shrunk rate " +
+       "sits between raw and prior; small groups shrink more") {
+    val rows = analytics.Shrinkage.ebShrinkage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exact replay of the published identities in BigInt
+    val g = rows.map(r => (r.getLong(1), r.getLong(2))) // (n, x)
+    val rates = g.map { case (n, x) =>
+      (BigInt(2) * x * 1000000 + n) / (BigInt(2) * n) }
+    val gN = BigInt(g.length)
+    val sumR = rates.sum
+    val sumR2 = rates.map(r => r * r).sum
+    val m = (2 * sumR + gN) / (2 * gN)
+    val varE12 = if (gN > 1)
+      (BigInt(2) * (sumR2 - (2 * m * sumR - gN * m * m)) + (gN - 1)) /
+        (BigInt(2) * (gN - 1)) else BigInt(0)
+    val num = m * (BigInt(1000000) - m) - varE12
+    val shrink = varE12 > 0 && num > 0 && gN > 1
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (n, x) = g(i)
+      assert(math.abs(r.getDouble(3) - rates(i).toDouble / 1e6) < 1e-6)
+      if (shrink) {
+        val expK = num.toDouble / varE12.toDouble
+        assert(math.abs(r.getDouble(4) - expK) < math.abs(expK) * 1e-4 + 1e-6)
+        val es = (BigInt(x) * 1000000 * varE12 + m * num).toDouble /
+          (BigInt(1000000) * (BigInt(n) * varE12 + num)).toDouble
+        assert(math.abs(r.getDouble(6) - es) < 1e-5, s"row $i shrunk")
+        // between raw and prior (inclusive, 6dp tolerance)
+        val lo = math.min(r.getDouble(3), r.getDouble(5)) - 2e-6
+        val hi = math.max(r.getDouble(3), r.getDouble(5)) + 2e-6
+        assert(r.getDouble(6) >= lo && r.getDouble(6) <= hi)
+      } else {
+        assert(r.getDouble(4) == 0.0 && r.getDouble(6) == r.getDouble(3))
+      }
+    }
+  }
+}
