@@ -571,6 +571,54 @@ case class DotProductFold(left: Expression, right: Expression)
       l: Expression, r: Expression): DotProductFold = copy(l, r)
 }
 
+/** Sakoe–Chiba banded dynamic-time-warping distance between two
+  * equal-length array<long> series with L1 step cost: classic DP
+  * cell(i,j) = |a_i − b_j| + min(up, left, diag) restricted to
+  * |i − j| ≤ band (band = 0 degenerates to the plain aligned L1
+  * distance — one kernel serves both columns). One compiled
+  * O(T·band) two-row loop per pair; NULL on length mismatch or empty
+  * input. Out-of-band cells are INF = 2⁶⁰ (far above any real path:
+  * costs are day-grain cent deltas, paths ≤ 2T steps) so the min
+  * never crosses the band. Arithmetic is pure Long — the DuckDB
+  * oracle replays the identical recurrence as a wavefront recursive
+  * CTE ([[graft.analytics.Dtw]]), so every cell is engine-identical. */
+case class DtwBandDistance(left: Expression, right: Expression, band: Int)
+    extends BinaryExpression with KernelCodegen2 {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  private val Inf = 1L << 60
+  override def compute2(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0 || b.numElements() != n) return null
+    // rows indexed by j (1..n); two rolling rows over i
+    var prev = Array.fill(n + 1)(Inf)
+    var cur = Array.fill(n + 1)(Inf)
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, Inf)
+      val ai = a.getLong(i - 1)
+      var j = math.max(1, i - band)
+      val hi = math.min(n, i + band)
+      while (j <= hi) {
+        val cost = math.abs(ai - b.getLong(j - 1))
+        val best =
+          if (i == 1 && j == 1) 0L
+          else math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+        cur(j) = if (best >= Inf) Inf else cost + best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    val res = prev(n)
+    if (res >= Inf) null else java.lang.Long.valueOf(res)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DtwBandDistance = copy(l, r)
+}
+
 /** Symmetric int8 scalar quantization of an embedding (FAISS-SQ8
   * shape): scale = 127 / max|xᵢ| per vector, qᵢ = round(xᵢ·scale)
   * half-away-from-zero ∈ [−127, 127]. Emits the quantized components
@@ -905,6 +953,8 @@ object native {
     column(BoundedLev1(expression(a), expression(b)))
   def dot_product_fold(a: Column, b: Column): Column =
     column(DotProductFold(expression(a), expression(b)))
+  def dtw_band_distance(a: Column, b: Column, band: Int): Column =
+    column(DtwBandDistance(expression(a), expression(b), band))
   def equal_count(a: Column, b: Column): Column =
     column(EqualCount(expression(a), expression(b)))
   def long_slice_join(c: Column, start0: Int, len: Int, sep: String): Column =

@@ -186,4 +186,124 @@ class R11bOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sax_motifs equals window counts over the sax_symbols words " +
+       "(cross-op replay)") {
+    // replay from the SIBLING op's output, not a re-derivation: the
+    // symbol chain shares float boundaries with §2.179, so the words
+    // are authoritative and the motif arithmetic is what's under test
+    val words = analytics.Sax.saxSymbols(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    val w = analytics.SaxMotifs.MotifW
+    val brute = words.flatMap { case (et, word) =>
+      word.sliding(w).filter(_.length == w).toSeq
+        .groupBy(identity).map { case (m, o) => (et, m) -> o.size.toLong }
+    }
+    val rows = analytics.SaxMotifs.saxMotifs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0); val motif = r.getString(2)
+      val nWin = (words(et).length - w + 1).toLong
+      assert(r.getLong(3) == brute((et, motif)), s"$et/$motif")
+      assert(r.getLong(3) >= 2)
+      assert(math.abs(r.getDouble(4) - brute((et, motif)).toDouble / nWin)
+        < 1e-6)
+    }
+    // ranks are the top of the recurring set: nothing recurring ranks
+    // above a reported motif with fewer occurrences
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      val reported = rs.map(_.getString(2)).toSet
+      val counts = brute.collect { case ((e, m), c) if e == et => (m, c) }
+      val unreported = counts.filter(c => c._2 >= 2 && !reported.contains(c._1))
+      val minReported = rs.map(_.getLong(3)).min
+      assert(rs.length == math.min(analytics.SaxMotifs.TopM,
+        counts.count(_._2 >= 2)))
+      unreported.foreach { case (m, c) =>
+        assert(c < minReported || (c == minReported &&
+          rs.length == analytics.SaxMotifs.TopM), s"$et/$m")
+      }
+    }
+  }
+
+  test("huber_mean equals an exact BigInt IRLS replay; robust to the " +
+       "tail by construction") {
+    val cust = Tables.customer(spark, sf)
+      .select("c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getInt(0).toLong,
+        BigInt(math.round(r.getDouble(1) * 100)) + analytics.Huber.Shift))
+    val rows = analytics.Huber.huberMean(spark, sf).collect()
+    val nations = Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getString(1) -> r.getInt(0).toLong).toMap
+    val k1000 = BigInt(analytics.Huber.K1000)
+    rows.foreach { r =>
+      val nk = nations(r.getString(0))
+      val xs = cust.filter(_._1 == nk).map(_._2)
+      val n = BigInt(xs.length)
+      def halfUp(a: BigInt, b: BigInt): BigInt = (2 * a + b) / (2 * b)
+      val m0 = halfUp(xs.sum, n)
+      val s = halfUp(xs.map(x => (x - m0).abs).sum, n)
+      def irls(m: BigInt): (BigInt, Long) = {
+        val ws = xs.map { x =>
+          val d = (x - m).abs
+          if (d * 1000 <= s * k1000) BigInt(1000000)
+          else (2 * s * k1000 * 1000 + d) / (2 * d)
+        }
+        (halfUp(ws.zip(xs).map { case (w, x) => w * x }.sum, ws.sum),
+          ws.count(_ < 1000000).toLong)
+      }
+      val (m1, _) = irls(m0)
+      val (m2, dw2) = irls(m1)
+      def cents(v: BigInt): Double =
+        (v - analytics.Huber.Shift).toDouble / 100.0
+      assert(math.abs(r.getDouble(2) - cents(m0)) < 5e-3, "mean")
+      assert(math.abs(r.getDouble(3) - cents(m1)) < 5e-3, "i1")
+      assert(math.abs(r.getDouble(4) - cents(m2)) < 5e-3, "i2")
+      assert(r.getLong(5) == dw2, "downweighted")
+    }
+  }
+
+  test("dtw_distance equals a brute full-matrix banded DP; " +
+       "dtw <= aligned L1; band 0 = exact aligned L1") {
+    import analytics.Dtw
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getString(1),
+        r.getLong(2)))
+    val maxd = ev.map(_._1).max
+    val days = (0 until Dtw.T).map(i => maxd.minusDays(Dtw.T - 1L - i))
+    val types = ev.map(_._2).distinct.sorted
+    val series = types.map { t =>
+      val m = ev.filter(_._2 == t).groupBy(_._1)
+        .map { case (d, rs) => d -> rs.map(_._3).sum }
+      val vs = days.map(d => m.getOrElse(d, 0L))
+      val mean = (2 * vs.sum + vs.length) / (2L * vs.length)
+      t -> vs.map(_ - mean).toArray
+    }.toMap
+    def dtw(a: Array[Long], b: Array[Long], band: Int): Long = {
+      val n = a.length
+      val Inf = 1L << 60
+      val dp = Array.fill(n + 1, n + 1)(Inf)
+      for (i <- 1 to n; j <- 1 to n if math.abs(i - j) <= band) {
+        val best = if (i == 1 && j == 1) 0L
+          else math.min(dp(i - 1)(j), math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+        if (best < Inf) dp(i)(j) = math.abs(a(i - 1) - b(j - 1)) + best
+      }
+      dp(n)(n)
+    }
+    val rows = analytics.Dtw.dtwDistance(spark, sf).collect()
+    assert(rows.length == types.combinations(2).size)
+    rows.foreach { r =>
+      val (a, b) = (series(r.getString(0)), series(r.getString(1)))
+      val bd = dtw(a, b, Dtw.Band)
+      val l1 = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+      assert(r.getLong(3) == bd, s"${r.getString(0)}/${r.getString(1)} dtw")
+      assert(r.getLong(4) == l1, "l1_diag = exact aligned L1")
+      assert(r.getLong(3) <= r.getLong(4), "banded dtw <= aligned path")
+      if (l1 > 0)
+        assert(math.abs(r.getDouble(5) - bd.toDouble / l1) < 1e-6)
+      else assert(r.isNullAt(5))
+    }
+  }
 }
