@@ -619,6 +619,58 @@ case class DtwBandDistance(left: Expression, right: Expression, band: Int)
       l: Expression, r: Expression): DtwBandDistance = copy(l, r)
 }
 
+/** Two-state min-cost (Viterbi) state sequence for burst detection
+  * (Kleinberg 2003, batch 2-state automaton): `left` = per-step state-0
+  * costs, `right` = [transitionCost] ++ per-step state-1 costs (the
+  * 0→1 entry cost is DATA-dependent — γ·ln T — so it rides as the
+  * first element of the right array rather than a constructor
+  * constant). Recurrence: v0ᵢ = c0ᵢ + min(v0ᵢ₋₁, v1ᵢ₋₁) (leaving a
+  * burst is free), v1ᵢ = c1ᵢ + min(v1ᵢ₋₁, v0ᵢ₋₁ + t01); the start is
+  * state 0 (v1₁ pays t01). Ties prefer state 0 / staying, identical
+  * to the oracle's CASE order. All costs are pre-rounded integer
+  * nano-units, so every cell and comparison is engine-exact Long.
+  * Returns the arg-min state path as array<int>; NULL on length
+  * mismatch or empty input. */
+case class ViterbiBurst(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCodegen2 {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def compute2(l: Any, r: Any): Any = {
+    val c0 = l.asInstanceOf[ArrayData]
+    val c1t = r.asInstanceOf[ArrayData]
+    val n = c0.numElements()
+    if (n == 0 || c1t.numElements() != n + 1) return null
+    val t01 = c1t.getLong(0)
+    var v0 = c0.getLong(0)
+    var v1 = c1t.getLong(1) + t01
+    // fromBurst(q)(i): state at step i−1 on the best path ending in q at i
+    val from0 = new Array[Boolean](n) // true = predecessor was state 1
+    val from1 = new Array[Boolean](n)
+    var i = 1
+    while (i < n) {
+      val n0 = c0.getLong(i) + (if (v0 <= v1) { from0(i) = false; v0 }
+        else { from0(i) = true; v1 })
+      val n1 = c1t.getLong(i + 1) + (if (v1 <= v0 + t01) {
+        from1(i) = true; v1 } else { from1(i) = false; v0 + t01 })
+      v0 = n0; v1 = n1
+      i += 1
+    }
+    val states = new Array[Int](n)
+    var q = if (v0 <= v1) 0 else 1
+    i = n - 1
+    while (i >= 0) {
+      states(i) = q
+      if (i > 0)
+        q = if (q == 0) { if (from0(i)) 1 else 0 }
+        else { if (from1(i)) 1 else 0 }
+      i -= 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(states)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ViterbiBurst = copy(l, r)
+}
+
 /** Symmetric int8 scalar quantization of an embedding (FAISS-SQ8
   * shape): scale = 127 / max|xᵢ| per vector, qᵢ = round(xᵢ·scale)
   * half-away-from-zero ∈ [−127, 127]. Emits the quantized components
@@ -955,6 +1007,8 @@ object native {
     column(DotProductFold(expression(a), expression(b)))
   def dtw_band_distance(a: Column, b: Column, band: Int): Column =
     column(DtwBandDistance(expression(a), expression(b), band))
+  def viterbi_burst(c0: Column, c1WithTrans: Column): Column =
+    column(ViterbiBurst(expression(c0), expression(c1WithTrans)))
   def equal_count(a: Column, b: Column): Column =
     column(EqualCount(expression(a), expression(b)))
   def long_slice_join(c: Column, start0: Int, len: Int, sep: String): Column =

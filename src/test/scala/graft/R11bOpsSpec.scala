@@ -306,4 +306,99 @@ class R11bOpsSpec extends AnyFunSuite {
       else assert(r.isNullAt(5))
     }
   }
+
+  test("burst_detect equals a brute integer-Viterbi replay") {
+    import analytics.Burst.BurstFactor
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("event_type")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1)))
+    val mind = ev.map(_._1).min
+    val maxd = ev.map(_._1).max
+    val t = java.time.temporal.ChronoUnit.DAYS.between(mind, maxd) + 1
+    val days = (0L until t).map(mind.plusDays)
+    def li(x: Long): Long = math.round(1e9 * math.log(x.toDouble))
+    val rows = analytics.Burst.burstDetect(spark, sf)
+      .orderBy("event_type").collect()
+    val types = ev.map(_._2).distinct.sorted
+    assert(rows.map(_.getString(0)).toList == types.toList)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val cm = ev.filter(_._2 == et).groupBy(_._1)
+        .map { case (d, rs) => d -> rs.length.toLong }
+      val cs = days.map(d => cm.getOrElse(d, 0L))
+      val n = cs.sum
+      def halfUp(a: Long, b: Long) = (2 * a + b) / (2 * b)
+      val c0 = cs.map(c => halfUp(n * 1000000000L, t) - c * li(n) + c * li(t))
+      val c1 = cs.map(c => halfUp(BurstFactor * n * 1000000000L, t)
+        - c * li(BurstFactor * n) + c * li(t))
+      val t01 = li(t)
+      // forward path-carrying Viterbi, ties prefer 0/staying
+      var v0 = c0.head; var v1 = c1.head + t01
+      var p0 = Vector(0); var p1 = Vector(1)
+      for (i <- 1 until t.toInt) {
+        val (np0, nv0) = if (v0 <= v1) (p0 :+ 0, c0(i) + v0)
+          else (p1 :+ 0, c0(i) + v1)
+        val (np1, nv1) = if (v1 <= v0 + t01) (p1 :+ 1, c1(i) + v1)
+          else (p0 :+ 1, c1(i) + v0 + t01)
+        v0 = nv0; v1 = nv1; p0 = np0; p1 = np1
+      }
+      val st = if (v0 <= v1) p0 else p1
+      val burstDays = st.count(_ == 1).toLong
+      val nBursts = st.zip(0 +: st).count { case (a, b) => a == 1 && b != 1 }
+      val runs = st.mkString.split("0").filter(_.nonEmpty)
+      val longest = if (runs.isEmpty) 0L else runs.map(_.length).max.toLong
+      val bEvents = st.zip(cs).collect { case (1, c) => c }.sum
+      assert(r.getLong(1) == n, "n_events")
+      assert(r.getLong(2) == burstDays, s"$et burst_days")
+      assert(r.getLong(3) == nBursts.toLong, s"$et n_bursts")
+      assert(r.getLong(4) == longest, s"$et longest")
+      if (burstDays > 0) {
+        val firstIdx = st.indexOf(1); val lastIdx = st.lastIndexOf(1)
+        assert(r.getDate(5).toLocalDate == days(firstIdx))
+        assert(r.getDate(6).toLocalDate == days(lastIdx))
+      } else { assert(r.isNullAt(5) && r.isNullAt(6)) }
+      assert(math.abs(r.getDouble(7) - bEvents.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("mmr_diversify equals a brute greedy MMR replay; rank-1 is the " +
+       "most relevant candidate; redundancy never exceeds pool max") {
+    import graft.ann.{Ann, Ivf, Mmr}
+    val emb = Tables.embeddings(spark, sf)
+    val vecs = Ivf.vecsD(emb).collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Double](1).toArray, r.getDouble(2))).toMap
+    def cosE6(a: Long, b: Long): Long = {
+      val (ea, na) = vecs(a); val (eb, nb) = vecs(b)
+      var s = 0.0; var i = 0
+      while (i < ea.length) { s += ea(i) * eb(i); i += 1 }
+      math.round(1e6 * s / (na * nb))
+    }
+    val rows = graft.ann.Mmr.mmrDiversify(spark, sf).collect()
+    val nq = 5
+    for (q <- 0L until nq.toLong if vecs.contains(q)) {
+      val pool = vecs.keys.filter(_ != q).toSeq
+        .map(c => c -> cosE6(q, c))
+        .sortBy { case (c, rel) => (-rel, c) }.take(Mmr.CandK)
+      var sel = Vector.empty[(Long, Long, Long)] // (id, rel, ms)
+      for (_ <- 1 to Mmr.K if sel.size < pool.size) {
+        val picked = sel.map(_._1).toSet
+        val best = pool.filterNot(p => picked(p._1)).map { case (c, rel) =>
+          val ms = if (sel.isEmpty) 0L
+            else sel.map(s => cosE6(c, s._1)).max
+          (c, rel, ms, Mmr.LamX10 * rel - (10 - Mmr.LamX10) * ms)
+        }.sortBy { case (c, _, _, sc) => (-sc, c) }.head
+        sel :+= ((best._1, best._2, best._3))
+      }
+      val got = rows.filter(_.getLong(0) == q).sortBy(_.getInt(1))
+      assert(got.length == sel.length, s"q=$q count")
+      got.zip(sel).zipWithIndex.foreach { case ((r, (id, rel, ms)), i) =>
+        assert(r.getLong(2) == id, s"q=$q rk=${i + 1} id")
+        assert(math.abs(r.getDouble(3) - rel / 1e6) < 1e-6)
+        assert(math.abs(r.getDouble(4) - ms / 1e6) < 1e-6)
+      }
+      // rank 1 = pure relevance argmax (no redundancy yet)
+      assert(got.head.getLong(2) == pool.head._1)
+    }
+  }
 }
