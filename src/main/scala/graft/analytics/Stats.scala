@@ -1437,4 +1437,77 @@ object Stats {
       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
       |    AS pearson_r
       |FROM agg""".stripMargin
+
+  /** §2.353 `cliffs_delta`: Cliff's δ ordinal effect size between the
+    * §2.209 arms (click vs view values) — the U test says WHETHER the
+    * distributions differ, δ = P(a>b) − P(a<b) says BY HOW MUCH on a
+    * scale reviewers can read (Romano et al. 2006 thresholds .147 /
+    * .33 / .474 for small/medium/large). Same scale shape as §2.209:
+    * the corpus collapses to value-grain cells in ONE map-side
+    * groupBy; both directed pair counts come from cumulative windows
+    * over that bounded frame — Σ na·cumb_below and Σ na·nb_above are
+    * exact BIGINTs (never a pair materialization), δ is ONE division,
+    * and the magnitude label compares |numerator|·1000 against
+    * threshold·denominator in pure integers (no float boundary).
+    * Empty arms INTEGER-gate δ to NULL. */
+  def cliffsDelta(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("value").as("s")).agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("na"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("cumb", sum("nb").over(w) - col("nb")) // nb strictly below
+      .withColumn("nbt", sum("nb").over(Window.partitionBy(lit(1))))
+      .withColumn("gt", col("na") * col("cumb"))
+      .withColumn("lt", col("na") * (col("nbt") - col("cumb") - col("nb")))
+    ranked.agg(
+      sum("na").as("n_a"), max("nbt").as("n_b"),
+      sum("gt").as("gt_pairs"), sum("lt").as("lt_pairs"))
+      .withColumn("num", col("gt_pairs") - col("lt_pairs"))
+      .withColumn("den", col("n_a") * col("n_b"))
+      .select(col("n_a"), col("n_b"), col("gt_pairs"), col("lt_pairs"),
+        when(col("den") > 0,
+          round(col("num").cast("double") / col("den").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("cliffs_delta"),
+        when(col("den") === 0, lit("undefined"))
+          .when(abs(col("num")) * 1000 < col("den") * 147, lit("negligible"))
+          .when(abs(col("num")) * 1000 < col("den") * 330, lit("small"))
+          .when(abs(col("num")) * 1000 < col("den") * 474, lit("medium"))
+          .otherwise(lit("large")).as("magnitude"))
+  }
+
+  val cliffsDeltaSql: String =
+    """WITH cells AS (SELECT value AS s,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nb
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+      |ranked AS (SELECT na, nb,
+      |    CAST(sum(nb) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nb
+      |      AS BIGINT) AS cumb,
+      |    CAST(sum(nb) OVER () AS BIGINT) AS nbt
+      |  FROM cells),
+      |agg AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+      |    CAST(max(nbt) AS BIGINT) AS n_b,
+      |    CAST(sum(na * cumb) AS BIGINT) AS gt_pairs,
+      |    CAST(sum(na * (nbt - cumb - nb)) AS BIGINT) AS lt_pairs
+      |  FROM ranked)
+      |SELECT n_a, n_b, gt_pairs, lt_pairs,
+      |  CASE WHEN n_a * n_b > 0 THEN
+      |    round(CAST(gt_pairs - lt_pairs AS DOUBLE)
+      |      / CAST(n_a * n_b AS DOUBLE), 6) ELSE NULL END AS cliffs_delta,
+      |  CASE WHEN n_a * n_b = 0 THEN 'undefined'
+      |    WHEN abs(gt_pairs - lt_pairs) * 1000 < n_a * n_b * 147
+      |      THEN 'negligible'
+      |    WHEN abs(gt_pairs - lt_pairs) * 1000 < n_a * n_b * 330
+      |      THEN 'small'
+      |    WHEN abs(gt_pairs - lt_pairs) * 1000 < n_a * n_b * 474
+      |      THEN 'medium'
+      |    ELSE 'large' END AS magnitude
+      |FROM agg""".stripMargin
 }

@@ -401,4 +401,65 @@ class R11bOpsSpec extends AnyFunSuite {
       assert(got.head.getLong(2) == pool.head._1)
     }
   }
+
+  test("l_diversity equals a brute entropy/recursive replay per config") {
+    val cust = Tables.customer(spark, sf)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1),
+        math.floor(r.getDouble(2) / 1000.0).toLong,
+        math.floor(r.getDouble(2) / 200.0).toLong))
+    def li(x: Long): Long = math.round(1e9 * math.log(x.toDouble))
+    def replay(qi: ((Long, String, Long, Long)) => Any):
+        (Long, Long, Double, Long, Long) = {
+      val groups = cust.groupBy(qi).values.map { rows =>
+        val cnts = rows.groupBy(_._4).values.map(_.length.toLong).toSeq
+        val ng = cnts.sum
+        val ent = li(ng) - (2 * cnts.map(c => c * li(c)).sum + ng) / (2 * ng)
+        (cnts.size.toLong, ent, cnts.max, ng)
+      }.toSeq
+      (groups.size.toLong, groups.map(_._1).min,
+        groups.map(_._2).min / 1e9,
+        groups.count(_._2 < li(2)).toLong,
+        groups.count(g => g._3 > 2 * (g._4 - g._3)).toLong)
+    }
+    val rows = dq.LDiversity.lDiversity(spark, sf)
+      .orderBy("qi_config").collect()
+    val coarse = replay(r => (r._1, r._2))
+    val fine = replay(r => (r._1, r._2, r._3))
+    Seq(("coarse", coarse), ("fine", fine)).zip(rows).foreach {
+      case ((name, (ng, minL, minEnt, below, failRec)), r) =>
+        assert(r.getString(0) == name)
+        assert(r.getLong(1) == ng && r.getLong(2) == minL, name)
+        assert(math.abs(r.getDouble(3) - minEnt) < 1e-6, s"$name entropy")
+        assert(r.getLong(4) == below && r.getLong(5) == failRec, name)
+    }
+    // the fine QI refines the coarse one: groups can only multiply and
+    // per-group diversity can only drop
+    assert(rows(1).getLong(1) >= rows(0).getLong(1))
+    assert(rows(1).getDouble(3) <= rows(0).getDouble(3) + 1e-9)
+  }
+
+  test("cliffs_delta equals a brute all-pairs count; consistent with " +
+       "mann_whitney's direction") {
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = ev.filter(_._1 == "click").map(_._2)
+    val b = ev.filter(_._1 == "view").map(_._2)
+    val gt = (for (x <- a; y <- b if x > y) yield 1L).sum
+    val lt = (for (x <- a; y <- b if x < y) yield 1L).sum
+    val r = analytics.Stats.cliffsDelta(spark, sf).collect().head
+    assert(r.getLong(0) == a.length.toLong && r.getLong(1) == b.length.toLong)
+    assert(r.getLong(2) == gt && r.getLong(3) == lt)
+    val d = (gt - lt).toDouble / (a.length.toLong * b.length)
+    assert(math.abs(r.getDouble(4) - d) < 1e-6)
+    val expMag = if (math.abs(gt - lt) * 1000 <
+        a.length.toLong * b.length * 147) "negligible"
+      else if (math.abs(gt - lt) * 1000 < a.length.toLong * b.length * 330)
+        "small"
+      else if (math.abs(gt - lt) * 1000 < a.length.toLong * b.length * 474)
+        "medium" else "large"
+    assert(r.getString(5) == expMag)
+  }
 }
