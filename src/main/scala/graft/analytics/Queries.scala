@@ -20,14 +20,26 @@ import graft.Tables
 object Queries {
 
   /** Grouped aggregation with map-side partial agg (TPC-H Q1 shape). */
+  /** Money sums are EXACT integer units summed in DECIMAL(38,0):
+    * price is a 2-dp value and discount a 2-dp fraction, so
+    * price·(1−disc) is exactly a 4-dp value — cents·(100−disc_e2)
+    * e4-unit integers. The float formulation summed ~6 M doubles and
+    * rounded AFTER: at sf1 the engine-local addition order flipped the
+    * 4th decimal on one group (the r10 attribution float-tie class —
+    * this is the first op the FIRST committed sf1 oracle run caught). */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        (sum(expr("CAST(CAST(round(l_extendedprice * 100) AS BIGINT) " +
+          "AS DECIMAL(38,0))")).cast("double") / 100.0).as("sum_price"),
+        (sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * CAST((100 - CAST(round(l_discount * 100) AS BIGINT))" +
+          " AS DECIMAL(38,0))")).cast("double") / 10000.0)
+          .as("sum_disc_price"),
+        round(sum(expr("CAST(round(l_discount * 100) AS BIGINT)"))
+          .cast("double") / (count(lit(1)) * 100.0), 6).as("avg_disc"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -35,9 +47,13 @@ object Queries {
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-      |  round(avg(l_discount), 6) AS avg_disc,
+      |  CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    AS HUGEINT)) AS DOUBLE) / 100.0 AS sum_price,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * CAST(100 - CAST(round(l_discount * 100) AS BIGINT)
+      |      AS HUGEINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      |  round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+      |    AS DOUBLE) / (count(*) * 100.0), 6) AS avg_disc,
       |  count(*) AS n_rows
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus

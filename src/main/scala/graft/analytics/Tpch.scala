@@ -183,9 +183,17 @@ object Tpch {
     val supp = Tables.supplier(spark, dir)
       .select("s_suppkey", "s_name", "s_nationkey")
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+    // HALF-UP integer e6-dollar unit cost: the float division rounded
+    // 6 dp landed exactly on .5e-6 boundaries at sf1 where Spark's
+    // HALF_UP and DuckDB's half-even disagree (first committed sf1
+    // oracle run, 0.03% of parts) — cents·10⁴/qty as exact BIGINTs
     val best = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"),
-        round(col("l_extendedprice") / col("l_quantity"), 6).as("unit_cost"))
+        (expr("""(2 * CAST(round(l_extendedprice * 100) AS BIGINT) * 10000
+                | + CAST(l_quantity AS BIGINT))
+                | div (2 * CAST(l_quantity AS BIGINT))"""
+          .stripMargin.replace('\n', ' ')).cast("double") / 1e6)
+          .as("unit_cost"))
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .groupBy("p_partkey", "p_name")
       .agg(min(struct(col("unit_cost"), col("l_suppkey"))).as("w"))
@@ -200,9 +208,14 @@ object Tpch {
   val q2MinCostSql: String =
     """WITH ranked AS (
       |  SELECT p_partkey, p_name,
-      |    round(l_extendedprice / l_quantity, 6) AS unit_cost, l_suppkey,
+      |    CAST((2 * CAST(round(l_extendedprice * 100) AS BIGINT) * 10000
+      |        + CAST(l_quantity AS BIGINT))
+      |      // (2 * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 1e6
+      |      AS unit_cost, l_suppkey,
       |    row_number() OVER (PARTITION BY p_partkey
-      |      ORDER BY round(l_extendedprice / l_quantity, 6), l_suppkey) AS rk
+      |      ORDER BY (2 * CAST(round(l_extendedprice * 100) AS BIGINT)
+      |          * 10000 + CAST(l_quantity AS BIGINT))
+      |        // (2 * CAST(l_quantity AS BIGINT)), l_suppkey) AS rk
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  WHERE p_type = 'ECONOMY')
       |SELECT p_partkey, p_name, unit_cost AS min_unit_cost, s_name, n_name
