@@ -58,12 +58,17 @@ object Burst {
       .na.fill(0L, Seq("c"))
     // integer nano-unit Poisson costs; ln sees INTEGER args only
     def li(x: String) = s"CAST(round(1e9 * ln(CAST($x AS DOUBLE))) AS BIGINT)"
+    // the λ term multiplies n_tot by 2e9 BEFORE the divide — in BIGINT
+    // that wraps silently (Spark, non-ANSI) or errors (DuckDB) once a
+    // type's event count reaches ~4.6e9, well inside 100 TB scale; the
+    // product runs in DECIMAL(38,0)/HUGEINT and only the ≤n_tot·1e9/
+    // t_days-sized QUOTIENT returns to BIGINT
     val costs = dense
       .withColumn("cost0", expr(
-        s"(2 * n_tot * 1000000000 + t_days) div (2 * t_days)" +
+        s"(2 * CAST(n_tot AS DECIMAL(28,0)) * 1000000000 + t_days) div (2 * t_days)" +
           s" - c * ${li("n_tot")} + c * ${li("t_days")}"))
       .withColumn("cost1", expr(
-        s"(2 * $BurstFactor * n_tot * 1000000000 + t_days) div (2 * t_days)" +
+        s"(2 * $BurstFactor * CAST(n_tot AS DECIMAL(28,0)) * 1000000000 + t_days) div (2 * t_days)" +
           s" - c * ${li(s"$BurstFactor * n_tot")} + c * ${li("t_days")}"))
     val arrs = costs.groupBy("event_type")
       .agg(max("t_days").as("t_days"), max("n_tot").as("n_tot"),
@@ -128,10 +133,11 @@ object Burst {
        |  LEFT JOIN daily d ON d.event_type = t.event_type
        |    AND d.day = s.day),
        |costs AS (SELECT event_type, n_tot, day, t_days, c,
-       |    (2 * n_tot * 1000000000 + t_days) // (2 * t_days)
+       |    CAST((2 * CAST(n_tot AS HUGEINT) * 1000000000 + t_days)
+       |      // (2 * t_days) AS BIGINT)
        |      - c * ${li("n_tot")} + c * ${li("t_days")} AS cost0,
-       |    (2 * $BurstFactor * n_tot * 1000000000 + t_days)
-       |      // (2 * t_days)
+       |    CAST((2 * $BurstFactor * CAST(n_tot AS HUGEINT) * 1000000000
+       |      + t_days) // (2 * t_days) AS BIGINT)
        |      - c * ${li(s"$BurstFactor * n_tot")}
        |      + c * ${li("t_days")} AS cost1
        |  FROM dense),

@@ -976,7 +976,11 @@ object Mining {
     * start day (midnight-spanners keep their −1 in the start day's
     * sweep), so the sweep never goes negative and "peak on day d" =
     * max concurrency among day-d-started sessions — identical
-    * convention both engines. Integers end-to-end. */
+    * convention both engines. Integers end-to-end; the gap test is
+    * the suite-wide floor-seconds convention (Spark `cast(ts as
+    * long)` ≡ DuckDB `date_diff('second', …)`) — the r11 sf1 gate
+    * caught this oracle comparing fractional `epoch()` instead, which
+    * flips session boundaries on sub-second timestamps. */
   def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val sess = Tables.events(spark, dir)
@@ -1018,7 +1022,7 @@ object Mining {
        |  FROM events),
        |flagged AS (SELECT user_id, event_id, ts,
        |    CASE WHEN lag(ts) OVER w IS NULL
-       |      OR epoch(ts) - epoch(lag(ts) OVER w)
+       |      OR date_diff('second', lag(ts) OVER w, ts)
        |        > ${graft.streaming.Streaming.SessionGapMinutes} * 60
        |      THEN 1 ELSE 0 END AS new_session
        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -1142,13 +1142,16 @@ object Queries {
     * hitters, Bloom membership now have their quantile sibling).
     *
     * Exact-at-sketch-cost oracle (the heavy_hitters pattern):
-    * k=262144 exceeds every ORACLE-SF return-flag group (sf0.01
-    * ~20 k, sf0.1 ~200 k rows — the original 32768 left the exact
-    * regime at sf0.1 and merge-order noise surfaced in the round-10
-    * full-surface check), so the sketch never compacts, answers are
+    * k=2^22 exceeds every ORACLE-SF return-flag group (sf0.01 ~20 k,
+    * sf0.1 ~200 k, sf1 ~2.0 M rows — 262144 left the exact regime
+    * once the sf1 gate became standing, exactly as 32768 had left it
+    * at sf0.1 in round 10), so the sketch never compacts, answers are
     * exact order statistics under ANY partitioning/merge order, and
     * DuckDB's quantile_disc replays them (verified equivalent to the
-    * pinned min-v-with-cume_dist≥q convention). At 100 TB the same plan runs with k controlling a
+    * pinned min-v-with-cume_dist≥q convention). Memory stays bounded
+    * by partition size in the exact regime (each partial holds only
+    * its partition's values) and by ~2k doubles once compaction
+    * starts at bench SFs. At 100 TB the same plan runs with k controlling a
     * ±n/k rank error and O(k·log(n/k)) state per group — no sort, no
     * GK buffer churn, and day-partitioned sketches merge
     * associatively for incremental rollups (KllQuantileSpec pins the
@@ -1157,7 +1160,7 @@ object Queries {
     * arithmetic can diverge between engines. */
   def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
     val qcol = graft.functions.KllQuantile.kll_quantile(
-      col("l_extendedprice"), 262144, Seq(0.25, 0.5, 0.75, 0.95))
+      col("l_extendedprice"), 4194304, Seq(0.25, 0.5, 0.75, 0.95))
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(qcol.as("qs"))

@@ -25,12 +25,59 @@ object Sax {
   /** N(0,1) quartile breakpoints for the 4-symbol alphabet a<b<c<d. */
   val Cuts: (Double, Double, Double) = (-0.6745, 0.0, 0.6745)
 
-  def saxSymbols(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+  /** Daily series as EXACT integer cents (the [[Dtw]] convention):
+    * a raw float `sum(value)` is partial-order-dependent, and a
+    * 1e-13 wobble in a day's value flips its SAX symbol whenever the
+    * z-score sits on a cut — the q1_agg float-tie class the r11 sf1
+    * gate established. Shared by [[saxSymbols]] and
+    * [[SaxMotifs.saxMotifs]]. */
+  private[analytics] def dailyCents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum("value").as("v"))
-    val stats = daily.groupBy(col("event_type").as("et"))
-      .agg(avg("v").as("mu"), stddev("v").as("sigma"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("v"))
+
+  /** Per-type mu/sigma from EXACT integer moments (Σv in Long, Σv² in
+    * decimal(38,0)): the double arithmetic is then the same short
+    * sequence of correctly-rounded ops on identical exact inputs in
+    * both engines — unlike stddev()'s order-dependent M2 recurrence.
+    * Sample variance (n−1), matching the stddev it replaces. */
+  private[analytics] def exactStats(daily: DataFrame): DataFrame = {
+    val s1d = col("s1").cast("double")
+    val varNum = col("s2").cast("double") - s1d * s1d / col("nd")
+    daily.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("nd"), sum("v").as("s1"),
+        sum(col("v").cast("decimal(19,0)") * col("v").cast("decimal(19,0)"))
+          .as("s2"))
+      .select(col("et"),
+        (s1d / col("nd")).as("mu"),
+        // null (like the stddev this replaces) on n=1 and on zero
+        // variance — Spark 4 ANSI errors on double/0, and a z against
+        // a null sigma falls through to the 'd' branch in both engines
+        when(col("nd") > 1 && varNum > 0.0,
+          sqrt(varNum / (col("nd") - 1))).as("sigma"))
+  }
+
+  /** The SQL mirror of [[dailyCents]] + [[exactStats]]: (daily, stats)
+    * CTE bodies. */
+  private[analytics] val dailyCentsSql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2""".stripMargin
+  private[analytics] val exactStatsSql: String =
+    """SELECT event_type,
+      |    CAST(s1 AS DOUBLE) / nd AS mu,
+      |    CASE WHEN nd > 1 AND (CAST(s2 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd) > 0
+      |      THEN sqrt((CAST(s2 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd)
+      |        / (nd - 1)) END AS sigma
+      |  FROM (SELECT event_type, count(*) AS nd, CAST(sum(v) AS BIGINT) AS s1,
+      |          sum(CAST(v AS HUGEINT) * v) AS s2
+      |        FROM daily GROUP BY 1) g""".stripMargin
+
+  def saxSymbols(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(spark, dir)
+    val stats = exactStats(daily)
     val sym = daily
       .join(broadcast(stats), col("event_type") === col("et"))
       .withColumn("z", (col("v") - col("mu")) / col("sigma"))
@@ -49,10 +96,8 @@ object Sax {
 
   val saxSymbolsSql: String = {
     val (c1, c2, c3) = Cuts
-    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-       |    sum(value) AS v FROM events GROUP BY 1, 2),
-       |stats AS (SELECT event_type, avg(v) AS mu, stddev(v) AS sigma
-       |  FROM daily GROUP BY 1),
+    s"""WITH daily AS ($dailyCentsSql),
+       |stats AS ($exactStatsSql),
        |sym AS (SELECT d.event_type, d.day,
        |    CASE WHEN (v - mu) / sigma < $c1 THEN 'a'
        |         WHEN (v - mu) / sigma < $c2 THEN 'b'

@@ -34,11 +34,12 @@ object SaxMotifs {
   /** §2.347 `sax_motifs`: per event type, the top recurring
     * [[MotifW]]-symbol windows — count, support among windows, rank. */
   def saxMotifs(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum("value").as("v"))
-    val stats = daily.groupBy(col("event_type").as("et"))
-      .agg(avg("v").as("mu"), stddev("v").as("sigma"))
+    // exact integer-cent series + exact-moment mu/sigma (Sax.dailyCents
+    // / Sax.exactStats) — the raw float sum(value) this replaced is
+    // partial-order-dependent and flips symbols at SAX cuts (r11 sf1
+    // gate class)
+    val daily = Sax.dailyCents(spark, dir)
+    val stats = Sax.exactStats(daily)
     val (c1, c2, c3) = Sax.Cuts
     val sym = daily
       .join(broadcast(stats), col("event_type") === col("et"))
@@ -70,10 +71,8 @@ object SaxMotifs {
     val leads = (1 until MotifW).map(i =>
       s"lead(sym, $i) OVER (PARTITION BY event_type ORDER BY day)")
       .mkString(", ")
-    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-       |    sum(value) AS v FROM events GROUP BY 1, 2),
-       |stats AS (SELECT event_type, avg(v) AS mu, stddev(v) AS sigma
-       |  FROM daily GROUP BY 1),
+    s"""WITH daily AS (${Sax.dailyCentsSql}),
+       |stats AS (${Sax.exactStatsSql}),
        |sym AS (SELECT d.event_type, d.day,
        |    CASE WHEN (v - mu) / sigma < $c1 THEN 'a'
        |         WHEN (v - mu) / sigma < $c2 THEN 'b'

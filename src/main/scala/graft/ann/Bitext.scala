@@ -35,9 +35,10 @@ import Ann.{dotCol, dotSql, normCol, normSql}
   * `embeddings` (vec_id = doc_id) — one equi-join per side; rank-then-
   * aggregate on 6 dp-rounded cosines keeps both engines' doubles
   * aligned. The DuckDB oracle replays the identical deterministic
-  * k-means via the shared [[Ivf.lloydPrefixSql]] chain (K floors at
-  * [[Ivf.K]] = the oracle-pinned count at oracle SF, the same
-  * fixed-vs-scaled coupling as SemDedup).
+  * k-means via the shared [[Ivf.lloydPrefixSqlDynamic]] chain, whose
+  * k/stride rules are recomputed from count(*) inside the SQL — the
+  * oracle trains the same quantizer at EVERY SF, not only where
+  * [[SemDedup.kFor]] floors at [[Ivf.K]].
   */
 object Bitext {
 
@@ -107,7 +108,10 @@ object Bitext {
     mineFromScores(scoredCandidates(spark, dir))
 
   val bitextMineSql: String = {
-    val (prefix, fin) = Ivf.lloydPrefixSql
+    // dynamic prefix: k/stride recomputed from count(*) in SQL — the
+    // oracle must train the SAME quantizer as the Scala kFor/strideFor
+    // path at every SF, not just where kFor floors at Ivf.K
+    val (prefix, fin) = Ivf.lloydPrefixSqlDynamic()
     s"""WITH $prefix,
        |src AS (SELECT v.vec_id AS src_id, v.e AS qe, v.nrm AS qn
        |  FROM documents d JOIN v ON v.vec_id = d.doc_id

@@ -167,7 +167,13 @@ object GraphAnn {
         .join(buckets.toDF("nbr", "bkt").hint("shuffle_hash"), Seq("bkt"))
         .select("node", "nbr")
     }
-    val bucketPairs = tableArm(0).union(tableArm(MaxInitPlanes))
+    // the second table's LCG plane range starts past EVERYTHING the
+    // first can consume (initPlanes + ExtraPlanes ≤ MaxInitPlanes +
+    // ExtraPlanes) — offsetting by MaxInitPlanes alone would share
+    // hyperplanes between the "independent" tables once initPlanes
+    // exceeds MaxInitPlanes − ExtraPlanes (n ≳ 262 k at target 64),
+    // exactly the scale the redundancy is meant to protect
+    val bucketPairs = tableArm(0).union(tableArm(MaxInitPlanes + ExtraPlanes))
     val init = idPairs.union(bucketPairs)
       .filter(col("node") =!= col("nbr"))
       .distinct() // Spark union = UNION ALL; the oracle's UNION dedups
@@ -333,7 +339,7 @@ object GraphAnn {
        |    (SELECT count(*) FROM embeddings) // $InitGroup, 1) AS g FROM v),
        |plc AS (SELECT ${Ann.initPlanesSql(InitBucketTarget, MaxInitPlanes)} AS pl
        |  FROM (SELECT count(*) AS cnt FROM embeddings) cc),
-       |${Seq(("bki", 0), ("bki2", MaxInitPlanes)).map { case (cte, off) =>
+       |${Seq(("bki", 0), ("bki2", MaxInitPlanes + ExtraPlanes)).map { case (cte, off) =>
       s"""$cte AS MATERIALIZED (SELECT vec_id,
          |    CASE WHEN bsz > $HotBucketCap
          |      THEN fb + (CAST(1 AS BIGINT) << (pl + $ExtraPlanes))

@@ -60,9 +60,14 @@ object Ivf {
         col("best.e").as("e"), col("best.nrm").as("nrm"))
 
   /** One Lloyd round: assign every vector to its nearest centroid by
-    * cosine (ties → lowest cid), then mean each cluster element-wise,
-    * rounding components to 6 dp. `cent` is (cid, ce, cn) — small,
-    * broadcast. Returns the updated centroid rows, collected.
+    * cosine (ties → lowest cid), then mean each cluster element-wise.
+    * The mean is EXACT: components quantize to e6 integers
+    * (floor(x·10⁶ + 0.5)) summed in Long, so the result is identical
+    * under ANY partial-aggregation order — the r11 sf1 gate caught
+    * order-dependent float sums flipping a 6 dp digit once clusters
+    * reach sf1 size, which cascades through every later round.
+    * `cent` is (cid, ce, cn) — small, broadcast. Returns the updated
+    * centroid rows, collected.
     *
     * The mean is the mergeable [[graft.functions.VectorMean]]
     * aggregate — one O(dim)-state buffer per centroid, one aggregation
@@ -156,37 +161,87 @@ object Ivf {
     * inverted-list CTE. Returns (CTE body, final-centroid CTE name) so
     * both [[ivfTopKSql]] and [[SemDedup.semanticDedupSql]] replay the
     * SAME training. */
+  private val vSql =
+    s"""SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+       |    ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nrm
+       |  FROM embeddings""".stripMargin
+
+  // one Lloyd round over training CTE `src`: previous centroid CTE
+  // `cPrev` -> assignment -> exact quantized mean (the VectorMean rule)
+  private def roundSql(src: String, cPrev: String, aName: String,
+      cName: String): String =
+    s"""$aName AS (SELECT vec_id, cid, e FROM (
+       |  SELECT v.vec_id, c.cid, v.e,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC, c.cid) AS rk
+       |  FROM $src v CROSS JOIN $cPrev c) t WHERE rk = 1),
+       |$cName AS (SELECT cid,
+       |    list_transform(ss, s -> CAST((CASE WHEN s >= 0
+       |      THEN (2 * s + n) // (2 * n)
+       |      ELSE -((2 * -s + n) // (2 * n)) END) AS DOUBLE)
+       |      / 1000000.0) AS ce
+       |  FROM (SELECT cid, n,
+       |      list_transform(generate_series(1, $Dim),
+       |        j -> list_sum(list_transform(es,
+       |          x -> CAST(floor(x[j] * 1000000.0 + 0.5) AS BIGINT)))) AS ss
+       |    FROM (SELECT cid, list(e ORDER BY vec_id) AS es, count(*) AS n
+       |          FROM $aName GROUP BY cid) g0) g),
+       |${cName}n AS (SELECT cid, ce, ${normSql("ce")} AS cn FROM $cName)""".stripMargin
+
+  private def assignedSql(fin: String): String =
+    s"""assigned AS (SELECT vec_id, cid, e, nrm FROM (
+       |  SELECT v.vec_id, c.cid, v.e, v.nrm,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC, c.cid) AS rk
+       |  FROM v CROSS JOIN $fin c) t WHERE rk = 1)""".stripMargin
+
   private[graft] def lloydPrefixSql: (String, String) = {
-    val vSql =
-      s"""SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-         |    ${normSql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS nrm
-         |  FROM embeddings""".stripMargin
-    // one Lloyd round: previous centroid CTE `cPrev` -> assignment -> mean
-    def roundSql(cPrev: String, aName: String, cName: String): String =
-      s"""$aName AS (SELECT vec_id, cid, e FROM (
-         |  SELECT v.vec_id, c.cid, v.e,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC, c.cid) AS rk
-         |  FROM v CROSS JOIN $cPrev c) t WHERE rk = 1),
-         |$cName AS (SELECT cid,
-         |    list_transform(generate_series(1, $Dim),
-         |      j -> round(list_sum(list_transform(es, x -> x[j])) / n, 6)) AS ce
-         |  FROM (SELECT cid, list(e ORDER BY vec_id) AS es, count(*) AS n
-         |        FROM $aName GROUP BY cid) g),
-         |${cName}n AS (SELECT cid, ce, ${normSql("ce")} AS cn FROM $cName)""".stripMargin
     val rounds = (0 until Iters).map { i =>
-      roundSql(if (i == 0) "c0n" else s"c${i}n", s"a$i", s"c${i + 1}")
+      roundSql("v", if (i == 0) "c0n" else s"c${i}n", s"a$i", s"c${i + 1}")
     }.mkString(",\n")
     val fin = s"c${Iters}n"
     val body =
       s"""v AS ($vSql),
          |c0n AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < $K),
          |$rounds,
-         |assigned AS (SELECT vec_id, cid, e, nrm FROM (
-         |  SELECT v.vec_id, c.cid, v.e, v.nrm,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC, c.cid) AS rk
-         |  FROM v CROSS JOIN $fin c) t WHERE rk = 1)""".stripMargin
+         |${assignedSql(fin)}""".stripMargin
+    (body, fin)
+  }
+
+  /** [[lloydPrefixSql]] with the K/stride rules computed FROM THE DATA
+    * inside the SQL itself — the [[Ann.bucketSqlDynamic]] pattern. The
+    * static prefix pins K = [[K]] and trains on every vector, which is
+    * exactly [[trainCentroids]]'s default-arg behavior (ann_ivf /
+    * ann_recall / ann_ivfpq / cluster_silhouette / corpus_mix_topic);
+    * but [[SemDedup]] and [[Bitext]] size k by [[SemDedup.kFor]]'s
+    * constant-cell law and subsample training by
+    * [[SemDedup.strideFor]], so at any SF past the oracle's the two
+    * engines trained DIFFERENT quantizers — the r11 sf1 gate failure.
+    * Here `kp` replays kFor (pure-integer ceil) and strideFor from
+    * count(*), `vt` is the strided training sample, init is the first
+    * k sample members, and the final `assigned` pass still covers the
+    * full corpus — line-for-line the Scala path at every SF. */
+  private[graft] def lloydPrefixSqlDynamic(
+      targetCell: Int = SemDedup.TargetCell): (String, String) = {
+    val rounds = (0 until Iters).map { i =>
+      roundSql("vt", if (i == 0) "c0n" else s"c${i}n", s"a$i", s"c${i + 1}")
+    }.mkString(",\n")
+    val fin = s"c${Iters}n"
+    // MATERIALIZED: v feeds vt + assigned (+ consumers), vt feeds every
+    // Lloyd round — unmaterialized, DuckDB re-inlines the widening scan
+    // per reference (the ann_graph/mmr OOM class)
+    val body =
+      s"""v AS MATERIALIZED ($vSql),
+         |kp AS (SELECT n, k,
+         |    GREATEST(1, n // GREATEST(5000, 50 * k)) AS stride FROM (
+         |  SELECT count(*) AS n,
+         |    GREATEST($K, (count(*) + ${targetCell - 1}) // $targetCell) AS k
+         |  FROM v) t),
+         |vt AS MATERIALIZED (SELECT v.* FROM v, kp WHERE v.vec_id % kp.stride = 0),
+         |c0n AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM vt, kp
+         |  WHERE vt.vec_id < kp.k * kp.stride),
+         |$rounds,
+         |${assignedSql(fin)}""".stripMargin
     (body, fin)
   }
 

@@ -152,10 +152,16 @@ object IvfPq {
          |      ORDER BY c.cc - 2.0 * ${dotSql("s.sub", "c.ce")}, c.code) AS rk
          |  FROM sv s JOIN $cPrev c ON s.m = c.m) t WHERE rk = 1),
          |$cName AS (SELECT m, code,
-         |    list_transform(generate_series(1, $SubDim),
-         |      j -> round(list_sum(list_transform(subs, x -> x[j])) / n, 6)) AS ce
-         |  FROM (SELECT m, code, list(sub ORDER BY vec_id) AS subs, count(*) AS n
-         |        FROM $aName GROUP BY m, code) g),
+         |    list_transform(ss, s -> CAST((CASE WHEN s >= 0
+         |      THEN (2 * s + n) // (2 * n)
+         |      ELSE -((2 * -s + n) // (2 * n)) END) AS DOUBLE)
+         |      / 1000000.0) AS ce
+         |  FROM (SELECT m, code, n,
+         |      list_transform(generate_series(1, $SubDim),
+         |        j -> list_sum(list_transform(subs,
+         |          x -> CAST(floor(x[j] * 1000000.0 + 0.5) AS BIGINT)))) AS ss
+         |    FROM (SELECT m, code, list(sub ORDER BY vec_id) AS subs, count(*) AS n
+         |          FROM $aName GROUP BY m, code) g0) g),
          |${cName}n AS (SELECT m, code, ce, ${dotSql("ce", "ce")} AS cc FROM $cName)""".stripMargin
     val rounds = (0 until PqIters).map { i =>
       roundSql(if (i == 0) "pb0n" else s"pb${i}n", s"pa$i", s"pb${i + 1}")

@@ -56,8 +56,11 @@ object SemDedup {
     * force — a deployment then assigns via a coarse ANN over the
     * centroids (hierarchical k-means), changing nothing downstream. */
   val TargetCell = 625
+  /** Pure-integer ceil — the [[Ann.initPlanesFor]] discipline: a float
+    * ceil can disagree with an oracle replay by one at exact-multiple
+    * boundaries, and one k is a completely different quantizer. */
   def kFor(n: Long, targetCell: Int = TargetCell): Int =
-    math.max(Ivf.K, math.ceil(n.toDouble / targetCell).toInt)
+    math.max(Ivf.K, ((n + targetCell - 1) / targetCell).toInt)
 
   /** Lloyd-training subsample stride: cap the training set at
     * max(5000, 50·K) vectors (≥50 points per centroid, the FAISS
@@ -110,8 +113,13 @@ object SemDedup {
       .orderBy("vec_id")
   }
 
+  /** Oracle replay through [[Ivf.lloydPrefixSqlDynamic]] — the k/stride
+    * rules recomputed from count(*) inside the SQL, so the oracle
+    * trains THE SAME quantizer as the Scala path at every SF (the
+    * static prefix's pinned K = 8 only coincides at the oracle SF —
+    * the r11 sf1 gate failure). */
   def semanticDedupSql(minCos: Double = MinCos): String = {
-    val (prefix, fin) = Ivf.lloydPrefixSql
+    val (prefix, fin) = Ivf.lloydPrefixSqlDynamic()
     s"""WITH $prefix,
        |wc AS (SELECT a.cid, a.vec_id, a.e, a.nrm,
        |    round(${dotSql("a.e", "c.ce")} / (a.nrm * c.cn), 6) AS cent_cos

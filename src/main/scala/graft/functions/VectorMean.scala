@@ -10,18 +10,26 @@ import org.apache.spark.sql.types._
 /** Element-wise mean of array<double> vectors as a mergeable
   * TypedImperativeAggregate: state is ONE (count, dim-length sums)
   * buffer per group — O(dim) — updated in place per row and merged by
-  * element-wise addition. Components are rounded to `scale` dp with
-  * the same shortest-repr HALF_UP rule as Spark's round() so results
-  * interoperate with oracle replays.
+  * element-wise addition.
   *
-  * Replaces the posexplode → groupBy(cid, pos) → avg →
-  * collect_list reassembly in the IVF Lloyd round: same partial-agg
-  * shuffle volume (K×dim per partition either way), but one
-  * aggregation instead of two and no n×dim row materialization
-  * through the hash map — the per-row cost is a compiled dim-length
-  * loop. Accumulation order across partitions is nondeterministic in
-  * BOTH formulations (avg has the same property); the 6 dp rounding
-  * absorbs it, as the cross-core correctness runs assert. */
+  * The mean is EXACT under any accumulation order: each component
+  * quantizes to an integer at 10^scale (floor(x·q + 0.5) — the same
+  * IEEE ops as the oracle's `CAST(floor(x * q + 0.5) AS BIGINT)`),
+  * sums accumulate in Long (associative, order-free), and eval
+  * rounds sum/count half-up IN INTEGER ARITHMETIC before the one
+  * exact double division by 10^scale. The r11 sf1 gate showed why
+  * the sums must be integers: double-sum partials reordered across
+  * engines (and across Spark runs) flip a 6 dp digit once clusters
+  * reach sf1 size, and one flipped centroid component cascades
+  * through every later Lloyd round. The r12 residual showed why the
+  * ROUNDING must be integer too: rounding the double quotient
+  * (BigDecimal here, multiply-round in DuckDB) still disagrees by
+  * one final digit when the exact quotient sits within float noise
+  * of a .5·10⁻ˢ boundary. Quantizing at 1e-6 — below the 6 dp output
+  * grid — changes no honest digit, only removes the noise. Overflow
+  * headroom: |2·sum| < 2^63 needs count · max|x| < 4.6e12 at scale 6
+  * — a 10⁹-member cluster of unit-scale components sits 3+ orders
+  * below it. */
 case class VectorMean(
     child: Expression,
     scale: Int,
@@ -33,6 +41,8 @@ case class VectorMean(
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  private val quant: Double = math.pow(10.0, scale)
+
   override def createAggregationBuffer(): VectorMean.Buffer =
     new VectorMean.Buffer(0L, null)
 
@@ -41,13 +51,16 @@ case class VectorMean(
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      if (b.sums == null) b.sums = new Array[Double](n)
+      if (b.sums == null) b.sums = new Array[Long](n)
       // dimension-safety: a ragged input would otherwise AIOOBE (longer
       // row) or silently average a prefix (shorter row)
       require(n == b.sums.length,
         s"VectorMean: input dimension $n != first-seen ${b.sums.length}")
       var i = 0
-      while (i < n) { b.sums(i) += arr.getDouble(i); i += 1 }
+      while (i < n) {
+        b.sums(i) += math.floor(arr.getDouble(i) * quant + 0.5).toLong
+        i += 1
+      }
       b.count += 1
     }
     b
@@ -55,7 +68,7 @@ case class VectorMean(
 
   override def merge(b: VectorMean.Buffer, o: VectorMean.Buffer): VectorMean.Buffer = {
     if (o.sums != null) {
-      if (b.sums == null) b.sums = new Array[Double](o.sums.length)
+      if (b.sums == null) b.sums = new Array[Long](o.sums.length)
       // partials that saw different dims must fail loudly, not drop a tail
       require(o.sums.length == b.sums.length,
         s"VectorMean: merge dimension ${o.sums.length} != ${b.sums.length}")
@@ -71,9 +84,19 @@ case class VectorMean(
     val out = new Array[Double](b.sums.length)
     var i = 0
     while (i < out.length) {
-      // same rule as Spark round(): shortest-repr BigDecimal, HALF_UP
-      out(i) = java.math.BigDecimal.valueOf(b.sums(i) / b.count)
-        .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+      // half-up rounding of sum/count IN INTEGER ARITHMETIC: the
+      // rounded-double route (BigDecimal here, multiply-round in
+      // DuckDB) disagrees by one final digit when the exact quotient
+      // sits within float noise of a .5·10⁻ˢ boundary — the r12 sf1
+      // residual (one centroid component of 4096 flipped). m =
+      // ⌊(2|s| + n) / 2n⌋ with the sign restored is HALF_UP (ties
+      // away from zero) exactly; the single division m/10^scale is
+      // then the same correctly-rounded double in both engines.
+      val s = b.sums(i)
+      val m =
+        if (s >= 0) (2 * s + b.count) / (2 * b.count)
+        else -((2 * -s + b.count) / (2 * b.count))
+      out(i) = m.toDouble / quant
       i += 1
     }
     new GenericArrayData(out)
@@ -85,7 +108,7 @@ case class VectorMean(
     bb.putLong(b.count)
     bb.putInt(n)
     var i = 0
-    while (i < n) { bb.putDouble(b.sums(i)); i += 1 }
+    while (i < n) { bb.putLong(b.sums(i)); i += 1 }
     bb.array()
   }
 
@@ -95,9 +118,9 @@ case class VectorMean(
     val n = bb.getInt
     if (n == 0) new VectorMean.Buffer(count, null)
     else {
-      val sums = new Array[Double](n)
+      val sums = new Array[Long](n)
       var i = 0
-      while (i < n) { sums(i) = bb.getDouble; i += 1 }
+      while (i < n) { sums(i) = bb.getLong; i += 1 }
       new VectorMean.Buffer(count, sums)
     }
   }
@@ -112,7 +135,7 @@ case class VectorMean(
 }
 
 object VectorMean {
-  final class Buffer(var count: Long, var sums: Array[Double])
+  final class Buffer(var count: Long, var sums: Array[Long])
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def vector_mean(c: Column, scale: Int): Column =
     column(VectorMean(expression(c), scale).toAggregateExpression())

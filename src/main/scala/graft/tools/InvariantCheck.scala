@@ -146,8 +146,15 @@ object InvariantCheck {
     // component, reassemble with array_agg sorted by pos
     val indep = Ivf.assignNearest(v, centPrev)
       .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
-      .groupBy("cid", "pos").agg(avg("x").as("m"))
-      .withColumn("m", round(col("m"), 6))
+      // the exact-quantized VectorMean rule, recomputed independently:
+      // e6-integer sums, integer half-up mean, one exact division
+      .withColumn("xi", expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)"))
+      .groupBy("cid", "pos")
+      .agg(sum("xi").as("s"), count(lit(1)).as("cnt"))
+      .withColumn("m", expr(
+        """CAST(CASE WHEN s >= 0 THEN (2 * s + cnt) div (2 * cnt)
+          |ELSE -((2 * -s + cnt) div (2 * cnt)) END AS DOUBLE)
+          |/ 1000000.0""".stripMargin))
       .groupBy("cid")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), col("pm.m").as("ce2"))
@@ -482,8 +489,14 @@ object InvariantCheck {
     val sv = IvfPq.subVecs(v)
     val indep = IvfPq.assignCodes(sv, cbPrev)
       .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
-      .groupBy("m", "code", "pos").agg(avg("x").as("mm"))
-      .withColumn("mm", round(col("mm"), 6))
+      // the exact-quantized VectorMean rule, recomputed independently
+      .withColumn("xi", expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)"))
+      .groupBy("m", "code", "pos")
+      .agg(sum("xi").as("s"), count(lit(1)).as("cnt"))
+      .withColumn("mm", expr(
+        """CAST(CASE WHEN s >= 0 THEN (2 * s + cnt) div (2 * cnt)
+          |ELSE -((2 * -s + cnt) div (2 * cnt)) END AS DOUBLE)
+          |/ 1000000.0""".stripMargin))
       .groupBy("m", "code")
       .agg(array_sort(collect_list(struct(col("pos"), col("mm")))).as("pm"))
       .select(col("m"), col("code"), col("pm.mm").as("ce2"))
@@ -1253,6 +1266,204 @@ object InvariantCheck {
     Seq(r1, r2, r3, r4, r5, r6, r7)
   }
 
+  // ---- round 12: the remaining sf1 oracle-guard skips ----
+  // (skyline's unrolled NOT-EXISTS oracle is O(n²) in DuckDB; the five
+  // label-chain consumers re-derive the whole MinHash+CC+quality chain
+  // in SQL and blow the 60 s guard at sf1. Each gets invariants that
+  // pin the output as tightly as the replay would, in linear passes.)
+
+  /** skyline: re-verify the two-stage local/global decomposition by
+    * the QUADRATIC dominance definition on the per-date-max frame —
+    * dates are calendar-bounded (~2.4 k), so the all-pairs check is a
+    * few million comparisons at ANY corpus size, and the expected
+    * output reconstructs exactly (orders ⋈ surviving points). */
+  def checkSkyline(spark: SparkSession, dir: String): Seq[Res] = {
+    val o = graft.Tables.orders(spark, dir)
+    val out = graft.analytics.Queries.skyline(spark, dir).cache()
+    val byDate = o.groupBy(col("o_orderdate").as("d"))
+      .agg(max("o_totalprice").as("p")).cache()
+    val frontier = byDate.as("a").join(byDate.as("b"),
+      col("b.d") <= col("a.d") && col("b.p") >= col("a.p") &&
+        (col("b.d") < col("a.d") || col("b.p") > col("a.p")), "left_anti")
+    val expected = o.join(broadcast(frontier),
+        o("o_orderdate") === col("d") && o("o_totalprice") === col("p"))
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val o3 = out.select("o_orderkey", "o_orderdate", "o_totalprice")
+    val badMiss = expected.exceptAll(o3).count()
+    val badExtra = o3.exceptAll(expected).count()
+    byDate.unpersist()
+    Seq(res("skyline_dominance", badMiss + badExtra,
+      s"output == quadratic-dominance reconstruction (${out.count()} rows)"))
+  }
+
+  /** fuzzy_match: soundness via Spark's BUILT-IN levenshtein (the
+    * operator decides with the compiled bounded_lev1 kernel), and
+    * completeness via a SECOND provably-complete deletion-neighborhood
+    * blocking built over the REVERSED names — different key strings,
+    * different run-dedup positions, different collision structure —
+    * whose verified pair set must match exactly. */
+  def checkFuzzy(spark: SparkSession, dir: String): Seq[Res] = {
+    val fm = graft.dedup.Fuzzy.fuzzyMatch(spark, dir).cache()
+    val badLev = fm.filter(
+      levenshtein(col("name_a"), col("name_b")) =!= col("dist") ||
+        col("dist") < 0 || col("dist") > 1).count()
+    val badOrder = fm.filter(col("key_a") >= col("key_b")).count()
+    val badDup =
+      fm.count() - fm.select("key_a", "key_b").distinct().count()
+    val c = graft.Tables.customer(spark, dir).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        reverse(col("c_name")).as("rn"))
+      .repartition()
+    val keyed = c.withColumn("pos", explode(sequence(lit(-1), length(col("rn")) - 1)))
+      .filter(col("pos") <= 0 ||
+        col("rn").substr(col("pos") + 1, lit(1)) =!=
+          col("rn").substr(col("pos"), lit(1)))
+      .withColumn("bkey", when(col("pos") < 0, col("rn"))
+        .otherwise(concat(
+          col("rn").substr(lit(1), col("pos")),
+          col("rn").substr(col("pos") + 2, length(col("rn"))))))
+      .select("id", "name", "bkey")
+    val cand2 = keyed.as("x")
+      .join(keyed.hint("shuffle_hash").as("y"), col("x.bkey") === col("y.bkey"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("key_a"), col("y.id").as("key_b"),
+        col("x.name").as("na"), col("y.name").as("nb"))
+      .filter(levenshtein(col("na"), col("nb")) <= 1)
+      .select("key_a", "key_b").distinct()
+    val fmk = fm.select("key_a", "key_b")
+    val badSet = cand2.exceptAll(fmk).count() + fmk.exceptAll(cand2).count()
+    Seq(
+      res("fuzzy_verifier", badLev + badOrder + badDup,
+        "built-in levenshtein agrees; ordered; distinct"),
+      res("fuzzy_complete", badSet,
+        s"reversed-name deletion blocking finds the same ${fm.count()} pairs"))
+  }
+
+  /** The five label-chain consumers whose sf1 oracles exceed the 60 s
+    * guard: each recomputed on INDEPENDENT components — cluster labels
+    * from the big-star/small-star algorithm instead of min-label
+    * propagation (two algorithms agreeing is checkClusters' own pin),
+    * dup flags via a window count instead of the sizes join — and
+    * compared EXACTLY. */
+  def checkRound12(spark: SparkSession, dir: String): Seq[Res] = {
+    import graft.pipeline.{Pipeline, Splits}
+    val docs = graft.Tables.documents(spark, dir)
+    val star = Pipeline.dedupClustersStar(spark, dir)
+      .select("doc_id", "cluster_id").cache()
+
+    // host_quality == recomputation over star labels + window dup flag
+    val hq = graft.text.Urls.hostQuality(spark, dir).cache()
+    val hosts = graft.text.Urls.urlFrame(docs).select("doc_id", "host")
+    val dup = star.withColumn("sz",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select(col("doc_id"), (col("sz") >= 2).cast("long").as("is_dup"))
+    val q = graft.text.TextQueries.textQuality(spark, dir)
+      .select(col("doc_id"),
+        round(col("quality_score") * 1e6, 0).cast("long").as("q6"))
+      .cache()
+    val per = hosts.join(dup, "doc_id").join(q, "doc_id")
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dup_docs"),
+        sum("q6").as("sq6"))
+    val tot = per.agg(sum("n_docs").as("t_docs"), sum("n_dup_docs").as("t_dup"))
+    val hq2 = per.crossJoin(broadcast(tot))
+      .select(col("host"), col("n_docs"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6)
+          .as("dup_frac"),
+        round(col("sq6").cast("double") / col("n_docs") / 1e6, 6)
+          .as("mean_quality"),
+        (col("n_dup_docs") * col("t_docs") > col("t_dup") * col("n_docs"))
+          .as("above_avg_dup"),
+        (col("n_dup_docs") * col("t_docs") <= lit(2L) * col("t_dup") * col("n_docs"))
+          .as("keep"))
+    val badHq = hq.exceptAll(hq2).count() + hq2.exceptAll(hq).count()
+    val rHq = res("hostq_replay", badHq,
+      s"host_quality == star-label/window-dup recomputation (${hq.count()} hosts)")
+
+    // make_splits: partition + leakage-free + labels match + rule replay
+    val ms = Splits.makeSplits(spark, dir).cache()
+    val nDocs = docs.count()
+    val rPart = Res("splits_partition",
+      ms.count() == nDocs && ms.select("doc_id").distinct().count() == nDocs,
+      s"one split per doc ($nDocs docs)")
+    val badVal = ms.filter(!col("split").isin("train", "val", "test")).count()
+    val badLeak = ms.groupBy("cluster_id")
+      .agg(countDistinct("split").as("k")).filter(col("k") =!= 1).count()
+    val badLab = ms.select("doc_id", "cluster_id").exceptAll(star).count() +
+      star.exceptAll(ms.select("doc_id", "cluster_id")).count()
+    val rSplit = res("splits_leakfree", badVal + badLeak + badLab,
+      "every cluster in ONE valid split; labels == star CC")
+    // the hash rule replayed per ROW (same function, independent of the
+    // column pipeline it rode in) + distribution sanity at cluster grain
+    val badRule = ms
+      .withColumn("b2", pmod(graft.text.TextFunctions.hash64(
+        concat_ws(":", lit("mk"), col("cluster_id"))), lit(100)))
+      .filter(col("split") =!= when(col("b2") < Splits.TrainUpto, "train")
+        .when(col("b2") < Splits.ValUpto, "val").otherwise("test"))
+      .count()
+    val cl = ms.select("cluster_id", "split").distinct().cache()
+    val nCl = cl.count().toDouble
+    val trainShare = cl.filter(col("split") === "train").count() / nCl
+    val rShare = Res("splits_share", badRule == 0 &&
+      trainShare > 0.70 && trainShare < 0.90,
+      s"hash rule replays; train cluster-share $trainShare in [0.70, 0.90]")
+
+    // split_balance: cells re-counted from the (pinned) split frame,
+    // derived stats recomputed driver-side from the integer cells
+    val sb = graft.pipeline.Splits.splitBalance(spark, dir).collect()
+    val cells2 = ms.select("doc_id", "split")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("split", "source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val badCells = sb.count(r =>
+      cells2.getOrElse((r.getString(0), r.getString(1)), -1L) != r.getLong(2))
+    val n = sb.map(_.getLong(2)).sum.toDouble
+    val rowT = sb.groupBy(_.getString(0)).map { case (k, v) => k -> v.map(_.getLong(2)).sum }
+    val colT = sb.groupBy(_.getString(1)).map { case (k, v) => k -> v.map(_.getLong(2)).sum }
+    val chi2 = sb.map { r =>
+      val e = rowT(r.getString(0)).toDouble * colT(r.getString(1)) / n
+      math.round((r.getLong(2) - e) * (r.getLong(2) - e) / e * 1000000)
+    }.sum / 1000000.0
+    val badDeriv = sb.count { r =>
+      val e = rowT(r.getString(0)).toDouble * colT(r.getString(1)) / n
+      math.abs(r.getDouble(3) - e) > 5e-7 ||
+        math.abs(r.getDouble(4) - (r.getLong(2) - e) / math.sqrt(e)) > 5e-7 ||
+        math.abs(r.getDouble(5) - chi2) > 2e-6 ||
+        r.getLong(6) != (rowT.size - 1).toLong * (colT.size - 1)
+    }
+    val rBal = res("splitbal_replay", (badCells + badDeriv).toLong,
+      s"cells recount + driver-side chi2 replay over ${sb.length} cells")
+
+    // quality_dup_bias: the 5 exact integer moments recomputed over
+    // star labels via a DIFFERENT aggregation path, floats re-derived
+    val qb = graft.pipeline.ClusterStats.qualityDupBias(spark, dir).collect().head
+    val sizes = star.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    val jm = star.join(sizes, "cluster_id").join(q, "doc_id")
+      .withColumn("dup", (col("sz") >= 2).cast("int"))
+      .agg(count(lit(1)).as("n"), sum("dup").as("n1"),
+        sum(when(col("dup") === 1, col("q6")).otherwise(0L)).as("s1"),
+        sum("q6").as("s"),
+        sum((col("q6").cast("decimal(38,0)") * col("q6").cast("decimal(38,0)"))
+          .cast("decimal(38,0)")).as("s2"))
+      .collect().head
+    val (cn, n1, s1, s) = (jm.getLong(0).toDouble, jm.getLong(1).toDouble,
+      jm.getLong(2).toDouble, jm.getLong(3).toDouble)
+    val s2 = jm.getDecimal(4).doubleValue()
+    val m1 = s1 / n1
+    val m0 = (s - s1) / (cn - n1)
+    val sd = math.sqrt(s2 / cn - (s / cn) * (s / cn))
+    def close(a: Double, b: Double) = math.abs(a - b) < 5e-7
+    val rQb = Res("qdupbias_replay",
+      qb.getLong(0) == jm.getLong(0) && qb.getLong(1) == jm.getLong(1) &&
+        close(qb.getDouble(2), m1 / 1e6) && close(qb.getDouble(3), m0 / 1e6) &&
+        close(qb.getDouble(4), (m1 - m0) / 1e6) &&
+        close(qb.getDouble(5), (m1 - m0) / sd * math.sqrt(n1 * (cn - n1)) / cn),
+      "moments recomputed over star labels; floats re-derived driver-side")
+
+    star.unpersist(); hq.unpersist(); ms.unpersist(); q.unpersist()
+    Seq(rHq, rPart, rSplit, rShare, rBal, rQb)
+  }
+
   def runAll(spark: SparkSession, dir: String): Seq[Res] =
     checkClusters(spark, dir) ++ checkIvf(spark, dir) ++ checkBpe(spark, dir) ++
       checkSemantic(spark, dir) ++ checkGraph(spark, dir) ++
@@ -1260,7 +1471,8 @@ object InvariantCheck {
       checkKcore(spark, dir) ++ checkGrowth(spark, dir) ++
       checkRound8(spark, dir) ++ checkRound8b(spark, dir) ++
       checkRound8c(spark, dir) ++ checkRound8d(spark, dir) ++
-      checkRound8e(spark, dir)
+      checkRound8e(spark, dir) ++ checkSkyline(spark, dir) ++
+      checkFuzzy(spark, dir) ++ checkRound12(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata/sf1")

@@ -76,4 +76,46 @@ class InvariantSpec extends AnyFunSuite {
   test("round-8 third-push invariants hold (cuped/lift/prune/conformal/...)") {
     assertAll(InvariantCheck.checkRound8b(spark, sf))
   }
+
+  test("skyline quadratic-dominance invariant holds at sf0.01") {
+    assertAll(InvariantCheck.checkSkyline(spark, sf))
+  }
+
+  test("fuzzy-match soundness + reversed-blocking completeness hold") {
+    assertAll(InvariantCheck.checkFuzzy(spark, sf))
+  }
+
+  test("label-consumer replays hold (host_quality/splits/balance/bias)") {
+    assertAll(InvariantCheck.checkRound12(spark, sf))
+  }
+
+  test("round-12 checkers detect planted violations (not vacuous)") {
+    import org.apache.spark.sql.functions._
+    // skyline: a dominated point must fail the quadratic anti-join
+    val o = Tables.orders(spark, sf)
+    val byDate = o.groupBy(col("o_orderdate").as("d"))
+      .agg(max("o_totalprice").as("p"))
+    // plant: shift one non-minimal date's max DOWN so it is dominated,
+    // then assert the dominance filter catches a frame that claims it
+    // as frontier
+    val planted = byDate.limit(2).withColumn("p", col("p") * 0.0001)
+    val frontierOfPlanted = planted.as("a").join(byDate.as("b"),
+      col("b.d") <= col("a.d") && col("b.p") >= col("a.p") &&
+        (col("b.d") < col("a.d") || col("b.p") > col("a.p")), "left_semi")
+    assert(frontierOfPlanted.count() > 0,
+      "a price-squashed point must be detected as dominated")
+    // make_splits: flipping one doc's split must trip the leak check
+    val ms = pipeline.Splits.makeSplits(spark, sf)
+    val corrupted = ms.withColumn("split",
+      when(col("doc_id") === 0,
+        when(col("split") === "train", "test").otherwise("train"))
+        .otherwise(col("split")))
+    val badRule = corrupted
+      .withColumn("b2", pmod(text.TextFunctions.hash64(
+        concat_ws(":", lit("mk"), col("cluster_id"))), lit(100)))
+      .filter(col("split") =!= when(col("b2") < pipeline.Splits.TrainUpto, "train")
+        .when(col("b2") < pipeline.Splits.ValUpto, "val").otherwise("test"))
+      .count()
+    assert(badRule > 0, "a flipped split must trip the hash-rule replay")
+  }
 }
