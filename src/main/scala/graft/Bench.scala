@@ -181,6 +181,9 @@ object Bench {
             times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
         } catch { case e: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          // full stack on demand — an OOM's allocation site is the
+          // whole triage (the r11 sf20 cascade shipped without one)
+          if (sys.env.contains("SPARK_GRAFT_BENCH_STACKS")) e.printStackTrace()
           failed += name
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
         }

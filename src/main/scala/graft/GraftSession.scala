@@ -72,6 +72,14 @@ object GraftSession {
       // inference once and silently broke five queries at runtime.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // plan STRINGS are rendered per action for listener events
+      // (QueryExecution.explainString); a plan that references a
+      // subtree twice per iteration renders as a tree of 2^rounds
+      // copies, and the unbounded default OOM'd the r11 sf20 sweep
+      // from INSIDE the string builder — 4 MB is far above any honest
+      // plan and bounds the pathological ones (execution, PlanGate,
+      // and the cache manager walk the tree, never this string)
+      .config("spark.sql.maxPlanStringLength", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftFunctions.register(spark)

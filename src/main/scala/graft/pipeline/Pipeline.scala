@@ -545,18 +545,31 @@ object Pipeline {
           lit(null).cast("long").as("old"))
       val prev = labels.select(col("doc_id"), col("label"),
         col("label").as("old"))
+      // localCheckpoint, NOT cache: each iteration references the
+      // previous frame TWICE (prev ∪ viaEdges), so with cache the
+      // LOGICAL plan doubles per round — execution stays fine (the
+      // cache manager substitutes InMemoryRelation) but the per-action
+      // plan-string rendering walks the tree form, 2^rounds copies of
+      // the whole MinHash subtree, and that string builder is what
+      // OOM'd the r11 sf20 sweep at 8 GiB. The checkpoint truncates
+      // lineage so every round's plan is O(1); it materializes the
+      // same rows the convergence count forced anyway.
       val next = prev.unionByName(viaEdges)
         .groupBy("doc_id")
         .agg(min("label").as("label"), max("old").as("old"))
-        .cache()
+        .localCheckpoint()
       val changed = next.filter(col("label") < col("old")).limit(1).count()
-      prevCached.foreach(_.unpersist())
+      // release the previous round's checkpoint BLOCKS (unpersist is a
+      // no-op on checkpoints — the ADVICE r10 lesson)
+      prevCached.foreach(org.apache.spark.sql.graftbridge.Bridge.releaseStorage)
       prevCached = Some(next)
       labels = next.select("doc_id", "label")
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    // the LAST round's blocks back the returned frame — the session
+    // caller (labelsCache / writeLabels) owns their release
     prevCached = None
     // rounds-to-converge surfaced for the scale audit (VERDICT r08 #8):
     // propagation cost grows with component diameter, so InvariantCheck
@@ -692,7 +705,9 @@ object Pipeline {
       val nextCnt = next.count()
       // sets are distinct: equal size + empty one-sided difference ⇒ equal
       converged = nextCnt == curCnt && next.except(cur).limit(1).count() == 0
-      prev.unpersist()
+      // checkpoint blocks need releaseStorage — unpersist is a no-op
+      // on them and leaked one edge-set per round (ADVICE r10 class)
+      org.apache.spark.sql.graftbridge.Bridge.releaseStorage(prev)
       cur = next
       curCnt = nextCnt
       rounds += 1
