@@ -3,8 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.LambdaFunction
 import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 import graft.SparkEntry
@@ -66,6 +67,11 @@ object PlanGate {
   def bounded(p: SparkPlan): Boolean =
     if (bounding(p)) true
     else p match {
+      // executed (AQE-final) plans wrap subtrees in childless stage
+      // nodes — descend into the wrapped plan, not past it
+      case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+      case s: QueryStageExec => bounded(s.plan)
+      case r: ReusedExchangeExec => bounded(r.child)
       // explode re-inflates (per-group collected lists can be
       // corpus-sized) — EXCEPT over literal input, where the output
       // size is a plan-time constant (explode(sequence(1, k)) over
@@ -140,7 +146,12 @@ object PlanGate {
           flag(s"lambda-on-unbounded: ${n.nodeName}", n)
         case _ =>
       }
-      p.children.foreach(walk(_, childLimit))
+      // AQE wrappers have no children — descend into the wrapped plan
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, childLimit)
+        case s: QueryStageExec => walk(s.plan, childLimit)
+        case _ => p.children.foreach(walk(_, childLimit))
+      }
       p.subqueries.foreach(walk(_, false))
     }
     walk(plan, limitAbove = false)
@@ -148,16 +159,28 @@ object PlanGate {
   }
 
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty && !args(0).startsWith("only="))
-      args(0) else "/root/testdata/sf0.01"
+    val dir = if (args.nonEmpty && !args(0).startsWith("only=") &&
+      args(0) != "executed") args(0) else "/root/testdata/sf0.01"
     val only = args.collectFirst { case a if a.startsWith("only=") => a.drop(5) }
-    val spark: SparkSession = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // `executed` mode (VERDICT r11 #8): run each query at the given SF
+    // under the BENCH config (AQE on, real statistics) and gate the
+    // FINAL adaptive plan — the static walk reads compile-time shape,
+    // but AQE re-picks join strategies from runtime sizes, and a
+    // corpus-derived frame that merely LOOKS small at compile time can
+    // come back as an unbounded broadcast (the round-5 trap). This
+    // asserts the pinned shuffle_hash/broadcast choices survive real
+    // sf1 statistics.
+    val executed = args.contains("executed")
+    val spark: SparkSession =
+      if (executed) graft.GraftSession.build("local[32]", "graft-plangate",
+        dataDir = Some(dir), cores = 32)
+      else SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -167,8 +190,15 @@ object PlanGate {
         val dbg = if (args.contains("debug"))
           Some((s: String) => println(s)) else None
         val vs =
-          try violations(fn(spark, dir).queryExecution.sparkPlan, dbg)
-          catch { case e: Throwable => Seq(s"ERROR building plan: $e") }
+          try {
+            val df = fn(spark, dir)
+            if (executed) {
+              // execute THIS plan (toRdd), so the AdaptiveSparkPlan is
+              // finalized with runtime stats before the walk
+              df.queryExecution.toRdd.count()
+              violations(df.queryExecution.executedPlan, dbg)
+            } else violations(df.queryExecution.sparkPlan, dbg)
+          } catch { case e: Throwable => Seq(s"ERROR building plan: $e") }
         if (vs.isEmpty) println(s"[plangate] OK   $name")
         else { bad += 1; vs.foreach(v => println(s"[plangate] FAIL $name — $v")) }
       }
