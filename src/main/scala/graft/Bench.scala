@@ -142,6 +142,23 @@ object Bench {
       }
       spark.conf.set("spark.graft.labels.table", tbl)
     }
+    // Persisted-graph mode (SPARK_GRAFT_GRAPH_TABLE=<name>): the same
+    // once-per-crawl contract for the NN-Descent kNN graph — write the
+    // node-bucketed edge table once (timed, own metric line) and point
+    // the session at it, so ann_graph times beam-search TABLE READS
+    // instead of re-running init + descent per invocation. Same reuse
+    // flag and hygiene rules as the labels table.
+    sys.env.get("SPARK_GRAFT_GRAPH_TABLE").foreach { tbl =>
+      val reuse = sys.env.get("SPARK_GRAFT_LABELS_REUSE").contains("1") &&
+        spark.catalog.tableExists(tbl)
+      if (!reuse) {
+        val t0 = System.nanoTime()
+        graft.ann.GraphAnn.writeGraph(spark, sfDir, tbl)
+        val sec = math.rint((System.nanoTime() - t0) / 1e9 * 1e4) / 1e4
+        println(s"""{"metric":"graph_write","value":$sec,"unit":"sec","table":"$tbl"}""")
+      }
+      spark.conf.set("spark.graft.graph.table", tbl)
+    }
     // deterministic alphabetical order: hash-map iteration order would
     // shuffle which queries absorb residual warm-up round to round
     // (dev convenience: SPARK_GRAFT_ONLY=a,b,c times a subset — the
