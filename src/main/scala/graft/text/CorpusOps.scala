@@ -422,4 +422,57 @@ object CorpusOps {
        |FROM marked ORDER BY source""".stripMargin
   }
 
+  /** §2.358 `chao1_vocab`: per-language unseen-vocabulary estimation —
+    * Chao1 richness (V + f₁(f₁−1)/(2(f₂+1)), the bias-corrected form
+    * that is defined at f₂ = 0) and Good–Turing sample coverage
+    * (1 − f₁/N). The corpus-growth planning number next to §2.294's
+    * Heaps fit: Heaps extrapolates HOW FAST vocabulary grows, Chao1
+    * says how much is MISSING from the current sample — the "is this
+    * language's crawl saturated?" gate a data-mixture team reads
+    * before buying more of a source.
+    *
+    * Scale shape: one explode→(lang, term) map-side-combined count
+    * (the §2.88 vocab machinery), then the f₁/f₂/V aggregate is
+    * ≤|vocab| rows and the report is |langs| rows. Determinism: V,
+    * f₁, f₂, N are exact integers; chao1/coverage are one fixed
+    * expression of identical integers (f₁(f₁−1) as double — exact
+    * below 2^53, i.e. to f₁ ≈ 9·10⁷ singleton terms per language,
+    * orders above any tokenizer's real vocabulary). */
+  def chao1Vocab(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+    val counts = terms.groupBy("lang", "term").agg(count(lit(1)).as("n"))
+    counts.groupBy("lang")
+      .agg(sum("n").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        round(col("vocab") +
+          col("f1").cast("double") * (col("f1") - 1) / ((col("f2") + 1) * 2.0),
+          6).as("chao1"),
+        round(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6)
+          .as("coverage"))
+      .orderBy("lang")
+  }
+
+  val chao1VocabSql: String =
+    s"""WITH terms AS (SELECT lang, term FROM (
+       |    SELECT lang, unnest(${tokensSql("lower(text)")}) AS term
+       |    FROM documents) t
+       |  WHERE term != ''),
+       |counts AS (SELECT lang, term, count(*) AS n FROM terms GROUP BY 1, 2)
+       |SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  count(*) AS vocab,
+       |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |  CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       |  round(count(*) +
+       |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |      * (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) - 1)
+       |      / (2.0 * (sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) + 1)), 6)
+       |    AS chao1,
+       |  round(1.0 - CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / sum(n), 6) AS coverage
+       |FROM counts GROUP BY 1 ORDER BY 1""".stripMargin
 }

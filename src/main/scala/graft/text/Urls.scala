@@ -246,4 +246,35 @@ object Urls {
        |  n_dup_docs * t_docs > t_dup * n_docs AS above_avg_dup,
        |  n_dup_docs * t_docs <= 2 * t_dup * n_docs AS keep
        |FROM per CROSS JOIN tot ORDER BY host""".stripMargin
+
+  /** §2.357 `dedup_url`: canonical-URL exact dedup — the crawl-
+    * frontier dedup that runs BEFORE any content fetch/hash (two
+    * fetches of the same resource are the cheapest duplicates to
+    * kill). Same verdict shape as §2.21's content dedup (canonical =
+    * min doc_id per canonical URL) so the two compose into the
+    * standard "URL-dedup then content-dedup" cascade.
+    *
+    * Scale shape: the §2.329 canonical projection is row-local; the
+    * only shuffle is one url_canon window — hash-partitioned by the
+    * dedup key, the same one-exchange plan as exactDedup's
+    * content_hash window. */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("url_canon")
+    urlFrame(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("url_canon"))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("url_canon"), col("canonical_id"),
+        col("group_size"), (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
+      .orderBy("doc_id")
+  }
+
+  val dedupUrlSql: String =
+    s"""WITH u AS (SELECT doc_id, url_canon FROM ($urlFrameSql) t),
+       |canon AS (SELECT url_canon, min(doc_id) AS canonical_id,
+       |    count(*) AS group_size FROM u GROUP BY 1)
+       |SELECT u.doc_id, u.url_canon, c.canonical_id, c.group_size,
+       |  u.doc_id != c.canonical_id AS is_duplicate
+       |FROM u JOIN canon c ON u.url_canon = c.url_canon
+       |ORDER BY u.doc_id""".stripMargin
 }
