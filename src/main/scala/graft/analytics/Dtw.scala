@@ -70,8 +70,13 @@ object Dtw {
     val series = centered.groupBy("event_type")
       .agg(transform(array_sort(collect_list(struct(col("day"),
         col("vc")))), x => x.getField("vc")).as("s"))
+    // broadcast the (|types|-row) right side EXPLICITLY: both sides are
+    // bounded aggregates, but left unpinned AQE replans the non-equi
+    // join as a CartesianProduct at sf1 stats (the executed-plan gate's
+    // first catch) — the broadcast pin keeps it a bounded-build BNLJ
+    // under every statistics regime
     val pairs = series.toDF("et_a", "sa")
-      .join(series.toDF("et_b", "sb"), col("et_a") < col("et_b"))
+      .join(broadcast(series.toDF("et_b", "sb")), col("et_a") < col("et_b"))
     pairs
       .withColumn("dtw", dtw_band_distance(col("sa"), col("sb"), Band))
       .withColumn("l1_diag", dtw_band_distance(col("sa"), col("sb"), 0))

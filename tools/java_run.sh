@@ -17,6 +17,8 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 MAIN="$1"; shift
-exec java -Xmx"$XMX" $OPENS \
+# GRAFT_JAVA_OPTS: extra -D/JVM flags for one-off experiments
+# (e.g. -Dspark.sql.adaptive.advisoryPartitionSizeInBytes=8388608)
+exec java -Xmx"$XMX" $OPENS ${GRAFT_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$SNAP:/opt/spark/jars/*" "$MAIN" "$@"
