@@ -146,10 +146,14 @@ object Bench {
     // once-per-crawl contract for the NN-Descent kNN graph — write the
     // node-bucketed edge table once (timed, own metric line) and point
     // the session at it, so ann_graph times beam-search TABLE READS
-    // instead of re-running init + descent per invocation. Same reuse
-    // flag and hygiene rules as the labels table.
+    // instead of re-running init + descent per invocation. Reuse is
+    // toggled by SPARK_GRAFT_GRAPH_REUSE, falling back to the labels
+    // flag so the common both-tables chain needs one env var — but a
+    // caller CAN reuse labels while forcing a fresh graph write (or
+    // vice versa) by setting the two flags independently (ADVICE r12).
     sys.env.get("SPARK_GRAFT_GRAPH_TABLE").foreach { tbl =>
-      val reuse = sys.env.get("SPARK_GRAFT_LABELS_REUSE").contains("1") &&
+      val reuse = sys.env.get("SPARK_GRAFT_GRAPH_REUSE")
+        .orElse(sys.env.get("SPARK_GRAFT_LABELS_REUSE")).contains("1") &&
         spark.catalog.tableExists(tbl)
       if (!reuse) {
         val t0 = System.nanoTime()

@@ -48,6 +48,29 @@ object GraftSession {
     math.min(cap, math.max(cores, target))
   }
 
+  /** Heap-aware AQE advisory partition size (bytes).
+    *
+    * Spark's default is 64 MB of SHUFFLE bytes — but coalescing is
+    * measured on compressed serialized data while a shuffle-hash
+    * join's build map holds deserialized rows + hash overhead (~10×),
+    * so on a small-heap/many-core JVM the default merges partitions
+    * until ONE task's build map exceeds its heap share. That exact
+    * wall killed fuzzy_match at sf20 on an 8 GiB / 32-core JVM
+    * (bench_sf20_r12.json: SparkOutOfMemoryError in the hash-map
+    * build; `advisoryPartitionSizeInBytes=8m` → 16.8 s green).
+    *
+    * Rule: `heap / (cores × 32)` clamped to [2 MB, 64 MB] — each
+    * core's share of heap, divided by a 32× headroom factor covering
+    * the ~10× deserialization blow-up plus concurrent operator
+    * memory. At 8 GiB / 32 cores this yields exactly the proven 8 MB;
+    * at ≥64 GiB it clamps to Spark's own 64 MB default, so big-heap
+    * runs are unchanged. Advisory only controls AQE's coalescing
+    * TARGET, so a smaller value costs at most extra (cheap) tasks —
+    * the asymmetry matches the shuffle-partitions rule above: err
+    * toward more, smaller partitions. */
+  def advisoryBytesFor(heapBytes: Long, cores: Int): Long =
+    math.min(64L << 20, math.max(2L << 20, heapBytes / (cores.toLong * 32)))
+
   /** Build the tuned session. `dataDir` (when given) drives the
     * shuffle-parallelism rule above; without it the core count is the
     * floor and the ceiling both. */
@@ -56,6 +79,7 @@ object GraftSession {
             dataDir: Option[String] = None,
             cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val parts = dataDir.map(shufflePartitionsFor(_, cores)).getOrElse(cores)
+    val advisory = advisoryBytesFor(Runtime.getRuntime.maxMemory(), cores)
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
@@ -63,6 +87,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory.toString)
       .config("spark.sql.session.timeZone", "UTC")
       // Parquet naive timestamps (isAdjustedToUTC=false) must read as
       // TIMESTAMP, not TIMESTAMP_NTZ: the session TZ is pinned to UTC so

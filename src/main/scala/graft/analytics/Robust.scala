@@ -19,8 +19,14 @@ object Robust {
   private def cents: Column = expr("CAST(round(value * 100) AS BIGINT)")
   private val centsSql = "CAST(round(value * 100) AS BIGINT)"
 
-  /** Trim fraction numerator: k = n·TrimPct/100 rows cut per side. */
+  /** Trim fraction numerator: k = n·TrimPct/100 rows cut per side.
+    * Must divide 100 so `k = n div (100/TrimPct)` is exact in both
+    * engines' integer division. */
   val TrimPct = 10
+  require(100 % TrimPct == 0, s"TrimPct=$TrimPct must divide 100")
+
+  /** The integer divisor both engines trim with: k = n div TrimDiv. */
+  private val TrimDiv = 100 / TrimPct
 
   /** §2.354 `trimmed_mean`: per event type, the α = 10% two-sided
     * trimmed mean next to the §2.348 Huber location — the simple
@@ -43,7 +49,7 @@ object Robust {
     val ranked = hist
       .withColumn("cum", sum("c").over(wc))
       .withColumn("n", sum("c").over(wall))
-      .withColumn("k", expr("n div 10"))
+      .withColumn("k", expr(s"n div $TrimDiv"))
       .withColumn("lo", col("k") + 1)
       .withColumn("hi", col("n") - col("k"))
       .withColumn("ov",
@@ -71,9 +77,9 @@ object Robust {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
        |  FROM hist),
-       |ov AS (SELECT event_type, v, c, cum, n, n // 10 AS k,
-       |    greatest(0, least(cum, n - n // 10)
-       |      - greatest(cum - c + 1, n // 10 + 1) + 1) AS ov
+       |ov AS (SELECT event_type, v, c, cum, n, n // $TrimDiv AS k,
+       |    greatest(0, least(cum, n - n // $TrimDiv)
+       |      - greatest(cum - c + 1, n // $TrimDiv + 1) + 1) AS ov
        |  FROM ranked)
        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
        |  CAST(max(k) AS BIGINT) AS n_cut_each_side,
@@ -101,10 +107,13 @@ object Robust {
     val wc = Window.partitionBy("event_type").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wall = Window.partitionBy("event_type")
+    // No cache: the histogram is ≤10⁵ bins/type however big the corpus,
+    // cheap to recompute for its two readers, and a cache here would
+    // outlive the query (nothing downstream could unpersist it) — the
+    // unreleased-storage class Bridge.releaseStorage exists to prevent.
     val cumhist = hist
       .withColumn("cum", sum("c").over(wc))
       .withColumn("n", sum("c").over(wall))
-      .cache()
     val qs = cumhist.groupBy("event_type")
       .agg(min(when(col("cum") * 4 >= col("n"), col("v"))).as("q1c"),
         min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("q3c"),
