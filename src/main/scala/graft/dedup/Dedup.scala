@@ -216,15 +216,16 @@ object Dedup {
       s"SimBits=$SimBits and default maxDist=3 < chunks")
 
   /** §2.23 SimHash near-dup pairs: 12-bit chunk blocking → Hamming ≤
-    * maxDist, via the shared [[ChunkBlocking]] engine — distinct-free
-    * exactly-once emission plus round-5 hot-bucket splitting (buckets
-    * over [[ChunkBlocking.HotBucketCap]] rows re-block on outside-bits
-    * sub-chunks, bounding the per-bucket quadratic join term on
-    * correlated corpora). The only data-sized shuffle is the blocking-
-    * key equi-join; the Hamming + first-match predicates run inside
-    * the join (the sf1 bench measured the DISTINCT alternative at
-    * 166 s: the 31-word-vocab corpus makes chunk values low-entropy,
-    * so chunk buckets are hot AND qualifying pairs quadratic-dense). */
+    * maxDist, via the shared [[ChunkBlocking]] engine — round-13
+    * distinct-signature collapse (join work scales with signature
+    * entropy, not corpus size: the 31-word-vocab corpus repeats
+    * signatures heavily, and repeated signatures were the measured
+    * 1.76 × 10⁹-candidate quadratic term at sf5) plus RECURSIVE
+    * hot-bucket splitting (buckets over [[ChunkBlocking.HotBucketCap]]
+    * distinct rows re-key on outside-bit cells until every bucket
+    * fits the cap or the ≤ 2^w width floor). Identical-sig doc pairs
+    * expand back through an output-bound self-join; every row that
+    * shuffle carries is an emitted answer pair. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       hotCap: Int = ChunkBlocking.HotBucketCap): DataFrame = {
     require(maxDist < Chunks,

@@ -231,11 +231,11 @@ object Multimodal {
       .withColumn("rhex", graft.functions.native.hex_resize(col("phex"), PHashBits))
       .withColumn("ph", graft.functions.native.hex_phash(col("rhex")))
       .select(col("doc_id"), col("ph").as("sig"))
-    // shared blocking engine (graft.dedup.ChunkBlocking): distinct-free
-    // exactly-once emission (the DISTINCT alternative was the whole
-    // query cost at sf1 — aHash chunks are low-entropy, bytes straddle
-    // the mean, so chunk buckets run hot) + round-5 hot-bucket
-    // splitting on the bits outside the chunk
+    // shared blocking engine (graft.dedup.ChunkBlocking): round-13
+    // distinct-signature collapse (aHash values are low-entropy and
+    // heavily repeated — bytes straddle the mean — so the join runs on
+    // signature entropy, not corpus size) + recursive hot-bucket
+    // splitting on the bits outside the agreed prefix
     graft.dedup.ChunkBlocking.pairs(sigs, PHashBits, PHashChunkBits,
         PHashChunks, MaxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
