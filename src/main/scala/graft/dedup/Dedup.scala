@@ -97,7 +97,7 @@ object Dedup {
        |sigraw AS (SELECT doc_id,
        |    $sigExprs
        |  FROM sh),
-       |sig AS (SELECT doc_id, [$sigList] AS sigs,
+       |sig AS MATERIALIZED (SELECT doc_id, [$sigList] AS sigs,
        |    $bandExprs
        |  FROM sigraw),
        |bands AS ($bandUnion),
@@ -438,7 +438,7 @@ object Dedup {
        |sigraw AS (SELECT doc_id,
        |    $sigExprs
        |  FROM sh),
-       |sig AS (SELECT doc_id, [$sigList] AS sigs,
+       |sig AS MATERIALIZED (SELECT doc_id, [$sigList] AS sigs,
        |    $bandExprs
        |  FROM sigraw),
        |bands AS ($bandUnion),
@@ -473,11 +473,11 @@ object Dedup {
     s"""WITH toks AS (SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents),
        |grams AS (SELECT doc_id, list_distinct(${shingleHashCombineSql("th", 3)}) AS g
        |  FROM toks),
-       |gr AS (SELECT doc_id, g FROM grams WHERE len(g) > 0),
+       |gr AS MATERIALIZED (SELECT doc_id, g FROM grams WHERE len(g) > 0),
        |sigraw AS (SELECT doc_id,
        |    $sigExprs
        |  FROM gr),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |    $bandExprs
        |  FROM sigraw),
        |bands AS ($bandUnion),
@@ -557,7 +557,7 @@ object Dedup {
     s"""WITH toks AS (SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents),
        |grams AS (SELECT doc_id, list_distinct(${shingleHashCombineSql("th", 3)}) AS g
        |  FROM toks),
-       |gr AS (SELECT doc_id, g FROM grams WHERE len(g) > 0),
+       |gr AS MATERIALIZED (SELECT doc_id, g FROM grams WHERE len(g) > 0),
        |posting AS (SELECT doc_id, unnest(g) AS shg FROM gr),
        |rare AS (SELECT p.doc_id, p.shg FROM posting p
        |  JOIN (SELECT shg FROM posting GROUP BY shg

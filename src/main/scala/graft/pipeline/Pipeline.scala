@@ -734,17 +734,41 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${graft.dedup.Dedup.minhashPairsSql()}) p),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-       |reach(src, dst) AS (
-       |  SELECT doc_id AS src, doc_id AS dst FROM documents
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       |SELECT src AS doc_id, min(dst) AS cluster_id,
-       |  src = min(dst) AS is_canonical
-       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+  /** Min-label propagation rounds the oracle unrolls. Plain
+    * propagation converges once the per-component min label has
+    * traveled the component's diameter; near-dup clusters are
+    * near-cliques (diameter ~2–3), so 16 is a wide margin — and an
+    * UNDER-provisioned unroll fails the gate visibly (labels differ
+    * from Spark's star-algorithm fixpoint), never silently. */
+  private val OracleCcRounds = 16
+
+  /** The oracle's connected components. Round 13 replaced the
+    * `WITH RECURSIVE` transitive closure — whose `reach` table holds
+    * Σ|cluster|² rows and times out past sf0.1 (it alone kept SEVEN
+    * consumers on the sf1 skip list) — with [[OracleCcRounds]] unrolled
+    * min-label-propagation rounds: each round joins the previous label
+    * table to the (materialized) symmetric+self-loop edge list and
+    * takes the per-node min, O(rounds · (n + |edges|)) total. Each
+    * round references its predecessor ONCE (the self-loop edge carries
+    * the node's own label), so DuckDB's per-reference CTE inlining
+    * keeps the plan a 16-deep pipeline, not a 2^16 tree. Same fixpoint
+    * as Spark's big/small-star: the per-component minimum id. */
+  val dedupClustersSql: String = {
+    val rounds = (1 to OracleCcRounds).map { i =>
+      s"""l$i AS (SELECT e.src AS node, min(l.lbl) AS lbl
+         |  FROM l${i - 1} l JOIN edges2 e ON l.node = e.dst GROUP BY e.src)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM (${graft.dedup.Dedup.minhashPairsSql()}) p),
+       |edges2 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+       |  UNION ALL SELECT doc_id AS src, doc_id AS dst FROM documents),
+       |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+       |$rounds
+       |SELECT node AS doc_id, lbl AS cluster_id,
+       |  node = lbl AS is_canonical
+       |FROM l$OracleCcRounds ORDER BY doc_id""".stripMargin
+  }
 
   /** §2.97 keep-best duplicate resolution: within each near-dup
     * cluster keep the HIGHEST-QUALITY document (tie → lowest doc_id),
