@@ -128,37 +128,48 @@ object GraphAnn {
     math.max(1L, (n + 99999) / 100000).toInt
 
   /** Score candidate pairs against the vector table and keep the
-    * top-`kg` per node, optionally merging `prior` edges — CHUNKED BY
-    * NODE so the payload-carrying join intermediates stay disk-
-    * bounded. Per-node top-k is complete within a node's chunk, so
+    * top-`kg` per node, CHUNKED BY NODE so no payload-carrying
+    * intermediate ever crosses a shuffle boundary:
+    *
+    *  - the NARROW pair frame shuffles into the nbr-side vector join
+    *    (pinned shuffle-hash — tiny-SF checkpoint stats must never
+    *    flip the corpus-sized vector table to a broadcast);
+    *  - the chunk's NODE-side vectors join by explicit broadcast —
+    *    bounded ≤ ~[[scoreChunksFor]]-cap vectors (~55 MB at dim 64)
+    *    at EVERY corpus size by construction, since chunks scale with
+    *    n — so the wide (pair × two-vectors) rows exist only inside
+    *    one stage and reduce to 24 B (node, nbr, cs) rows before the
+    *    top-k window's shuffle.
+    *
+    * The first build shape shuffled the vector-laden intermediate
+    * twice — ~8 GB per chunk at sf20, and lagging async shuffle-file
+    * cleanup overran the box's disk (the r12 verdict item this
+    * replaces). Per-node top-k is complete within a node's chunk, so
     * the result is identical for every chunk count; chunks run
-    * sequentially (each eagerly localCheckpointed — a few n/chunks·kg-
-    * row frames) and release their shuffle files before the next
-    * starts (driver GC nudge → ContextCleaner, the disk-budget half
-    * of the r12 ann_graph verdict item). */
+    * sequentially (eager localCheckpoint per chunk) with a GC nudge so
+    * ContextCleaner frees each chunk's (now ~0.6 GB) shuffle files. */
   private def scoredTopK(pairs: DataFrame, v: DataFrame, kg: Int,
       chunks: Int, prior: Option[DataFrame]): DataFrame = {
-    def score(p: DataFrame): DataFrame = p
-      .join(v.select(col("vec_id").as("node"), col("e").as("ae"),
-        col("nrm").as("an")).hint("shuffle_hash"), Seq("node"))
-      .join(v.select(col("vec_id").as("nbr"), col("e").as("be"),
-        col("nrm").as("bn")).hint("shuffle_hash"), Seq("nbr"))
+    val nbrVec = v.select(col("vec_id").as("nbr"), col("e").as("be"),
+      col("nrm").as("bn"))
+    def score(p: DataFrame, nodeVec: DataFrame): DataFrame = p
+      .join(nbrVec.hint("shuffle_hash"), Seq("nbr"))
+      .join(broadcast(nodeVec), Seq("node"))
       .select(col("node"), col("nbr"),
         cosine(col("ae"), col("an"), col("be"), col("bn")).as("cs"))
+    val nodeVecAll = v.select(col("vec_id").as("node"), col("e").as("ae"),
+      col("nrm").as("an"))
     if (chunks <= 1) {
-      val scored = score(pairs)
+      val scored = score(pairs, nodeVecAll)
       topPerNode(prior.map(_.unionByName(scored)).getOrElse(scored), kg)
         .localCheckpoint(eager = false)
     } else {
       val parts = (0 until chunks).map { i =>
         val inChunk = pmod(xxhash64(col("node")), lit(chunks)) === i
-        val scored = score(pairs.filter(inChunk))
+        val scored = score(pairs.filter(inChunk), nodeVecAll.filter(inChunk))
         val merged = prior.map(_.filter(inChunk).unionByName(scored))
           .getOrElse(scored)
         val top = topPerNode(merged, kg).localCheckpoint() // eager: serialize chunks
-        // the chunk's shuffle files free only when the driver GC drops
-        // their ShuffleDependency refs — nudge so peak disk is one
-        // chunk, not the whole round
         System.gc()
         top
       }
@@ -233,7 +244,18 @@ object GraphAnn {
       .distinct() // Spark union = UNION ALL; the oracle's UNION dedups
       .localCheckpoint(eager = false)
     var edges = scoredTopK(initPairs, v, kg, chunks, prior = None)
+    // On the chunked path every consumer of a candidate checkpoint is
+    // eagerly materialized inside scoredTopK, so the checkpoint can be
+    // released as soon as its round's edges exist — the r13 sf20 build
+    // measured ~26 GB of accumulated round-scoped candidate blocks
+    // when release waited for the end. Single-chunk edges checkpoint
+    // lazily, so there the release must wait (localCheckpoint lineage
+    // cannot recompute released blocks); those corpora are ≤100 k
+    // vectors and the blocks are small.
+    def release(df: DataFrame): Unit =
+      org.apache.spark.sql.graftbridge.Bridge.releaseStorage(df)
     var spent = List(initPairs)
+    if (chunks > 1) { release(initPairs); spent = Nil }
     for (_ <- 1 to rounds) {
       // undirected view: nbr-of-nbr candidates flow along AND against
       // edges (the paper's "general" join); mutual pairs appear twice
@@ -249,7 +271,7 @@ object GraphAnn {
           .hint("shuffle_hash"), Seq("node", "nbr"), "left_anti")
         .localCheckpoint(eager = false)
       edges = scoredTopK(cand, v, kg, chunks, prior = Some(edges))
-      spent ::= cand
+      if (chunks > 1) release(cand) else spent ::= cand
     }
     // Candidate checkpoints are round-scoped scratch — release their
     // blocks (plain unpersist is a no-op on checkpoint storage; the

@@ -19,6 +19,11 @@ done
 MAIN="$1"; shift
 # GRAFT_JAVA_OPTS: extra -D/JVM flags for one-off experiments
 # (e.g. -Dspark.sql.adaptive.advisoryPartitionSizeInBytes=8388608)
-exec java -Xmx"$XMX" $OPENS ${GRAFT_JAVA_OPTS:-} \
+# GCLockerRetryAllocationCount: 32 shuffle writers allocating multi-MB
+# sorter pages while LZ4 JNI criticals pin arrays starve G1's GCLocker
+# at the default retry count (2) -> spurious "Java heap space" OOMs on
+# a half-empty heap (seen in the sf20 NN-Descent build, r13). Raising
+# the retry budget costs nothing when uncontended.
+exec java -Xmx"$XMX" $OPENS -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 ${GRAFT_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$SNAP:/opt/spark/jars/*" "$MAIN" "$@"
