@@ -27,9 +27,9 @@ SPARK_GRAFT_CPUS=32 $RUN graft.Verify /root/testdata/sf0.1 /tmp/v13c_01 > /tmp/r
 $PY tools/check.py /root/testdata/sf0.1 /tmp/v13c_01 --json CORRECTNESS_sf01_r13.json --timeout-s 300 > /tmp/r13_c01.log 2>&1
 echo "check sf0.1 $(tail -2 /tmp/r13_c01.log | head -1)" >> $LOG
 
-step "c4 NEW sf5 oracle gate (VERDICT r12 #5; 120s guard, skips pinned by c8)"
+step "c4 NEW sf5 oracle gate (VERDICT r12 #5; 90s guard, skips pinned by c8)"
 SPARK_GRAFT_CPUS=32 $RUN graft.Verify /root/repo/testdata/sf5 /tmp/v13c_5 > /tmp/r13_v5.log 2>&1
-$PY tools/check.py /root/repo/testdata/sf5 /tmp/v13c_5 --json CORRECTNESS_sf5_r13.json --timeout-s 120 > /tmp/r13_c5.log 2>&1
+$PY tools/check.py /root/repo/testdata/sf5 /tmp/v13c_5 --json CORRECTNESS_sf5_r13.json --timeout-s 90 > /tmp/r13_c5.log 2>&1
 echo "check sf5 $(tail -2 /tmp/r13_c5.log | head -1)" >> $LOG
 
 step "c5 sf20 fork-per-query ratio rung (STANDING, 20/20 incl. fuzzy_match w/o env override)"
