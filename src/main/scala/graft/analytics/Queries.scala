@@ -1074,14 +1074,27 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** Window-form skyline oracle (round 13): the r4 NOT EXISTS
+    * anti-join replays dominance in O(n²) and blew the 60 s sf1 guard.
+    * 2-D dominance needs only per-date maxima and two cumulative
+    * maxima — a point survives iff it strictly beats every strictly-
+    * earlier date's best (m1) and ties its ≤-date best (m2); same
+    * tie semantics as the anti-join (equal (date, price) points
+    * never dominate each other), verified equal at sf0.01/0.1 and
+    * now oracle-feasible at sf1 (0.2 s). */
   val skylineSql: String =
-    """SELECT o_orderkey, o_orderdate, o_totalprice
-      |FROM orders a
-      |WHERE NOT EXISTS (SELECT 1 FROM orders b
-      |  WHERE b.o_orderdate <= a.o_orderdate
-      |    AND b.o_totalprice >= a.o_totalprice
-      |    AND (b.o_orderdate < a.o_orderdate
-      |      OR b.o_totalprice > a.o_totalprice))
+    """WITH dmax AS (SELECT o_orderdate AS d, max(o_totalprice) AS mp
+      |  FROM orders GROUP BY 1),
+      |cum AS (SELECT d, mp,
+      |    max(mp) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+      |    max(mp) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m2
+      |  FROM dmax)
+      |SELECT o_orderkey, o_orderdate, o_totalprice
+      |FROM orders a JOIN cum ON a.o_orderdate = cum.d
+      |WHERE (cum.m1 IS NULL OR a.o_totalprice > cum.m1)
+      |  AND a.o_totalprice >= cum.m2
       |ORDER BY o_orderkey""".stripMargin
 
   /** §2.126 MAD anomaly detection: per event type, the robust

@@ -82,11 +82,29 @@ object Fuzzy {
       .orderBy("key_a", "key_b")
   }
 
+  /** Round-13 oracle: replay the SAME deletion-neighborhood blocking
+    * the engine uses instead of the brute all-pairs levenshtein join
+    * (O(n²) ≈ 1.1 × 10¹⁰ distance calls at sf1 — never finished).
+    * Completeness is the classic dist ≤ 1 argument: variants(x) =
+    * {x} ∪ {x minus one char}; a substitution pair shares the
+    * same-position deletion, an indel pair shares the shorter string
+    * itself, an equal pair shares x. Exact levenshtein verifies
+    * candidates only. Verified equal to the brute join at sf0.01/0.1;
+    * sf1: 35.5 s for the 3.3 M genuine distance-1 pairs (TPC-H
+    * digit-suffix names are distance-1 dense by construction). */
   val fuzzyMatchSql: String =
-    """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+    """WITH v AS MATERIALIZED (SELECT c_custkey, c_name,
+      |    unnest(list_prepend(c_name,
+      |      list_transform(generate_series(1, length(c_name)),
+      |        i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))) AS var
+      |  FROM customer),
+      |cand AS (SELECT DISTINCT a.c_custkey AS ka, b.c_custkey AS kb
+      |  FROM v a JOIN v b ON a.var = b.var AND a.c_custkey < b.c_custkey)
+      |SELECT ka AS key_a, kb AS key_b,
       |  a.c_name AS name_a, b.c_name AS name_b,
       |  levenshtein(a.c_name, b.c_name) AS dist
-      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |FROM cand JOIN customer a ON ka = a.c_custkey
+      |          JOIN customer b ON kb = b.c_custkey
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY key_a, key_b""".stripMargin
 }

@@ -418,18 +418,23 @@ object Graph {
   }
 
   val graphKcoreSql: String = {
+    // Each survivor set sX is referenced TWICE by the next round (both
+    // join legs), so DuckDB's per-reference CTE inlining turned the
+    // 8-round peel into a 2^8 recompute tree — past the 60 s sf1
+    // guard. MATERIALIZED pins each round to one evaluation (round
+    // 13; sf1 98 s-timeout → 0.4 s, byte-identical results).
     val rounds = (1 to KcoreRounds).map { t =>
       s"""d$t AS (SELECT e.src AS node, count(*) AS c FROM e
          |  JOIN s${t - 1} a ON e.src = a.node
          |  JOIN s${t - 1} b ON e.dst = b.node GROUP BY 1),
-         |s$t AS (SELECT node FROM d$t WHERE c >= $KcoreK)""".stripMargin
+         |s$t AS MATERIALIZED (SELECT node FROM d$t WHERE c >= $KcoreK)""".stripMargin
     }.mkString(",\n")
     s"""WITH uv AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
        |    'i' || CAST(json_extract_string(props, '$$.k') AS VARCHAR) AS v
        |  FROM events WHERE event_type = 'click'),
        |e AS (SELECT u AS src, v AS dst FROM uv
        |      UNION ALL SELECT v AS src, u AS dst FROM uv),
-       |s0 AS (SELECT DISTINCT src AS node FROM e),
+       |s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
        |$rounds,
        |f AS (SELECT e.src AS node, count(*) AS c FROM e
        |  JOIN s$KcoreRounds a ON e.src = a.node

@@ -494,16 +494,22 @@ object TextQueries {
   /** The shared oracle chain: tc + syms_0 + per-round (top pair, fold)
     * CTEs — the WITH RECURSIVE body both [[bpeMergesSql]] and
     * [[bpeEncodeSql]] build on (`syms_$BpeRounds` is the fully-merged
-    * vocabulary). */
+    * vocabulary). Every chain CTE is MATERIALIZED (round 13): DuckDB
+    * 1.0 inlines CTEs per reference, and the recursive fold references
+    * its round's `tp_$r` once PER RECURSIVE STEP while each `syms_$r`
+    * feeds two CTEs of round r+1 — the unmaterialized chain re-ran the
+    * corpus tokenization exponentially often and blew the 60 s sf1
+    * guard; materialized, the whole trio replays in 1–3 s at sf1
+    * (byte-identical results, re-proved at sf0.01/0.1). */
   private val bpeChainSql: String = {
     // one merge round: input CTE (tok, c, symbols LIST) → top pair +
     // fold via recursive CTE over symbol positions → output CTE
     def round(r: Int, in: String): String =
-      s"""pc_$r AS (SELECT list_extract(symbols, i) AS a,
+      s"""pc_$r AS MATERIALIZED (SELECT list_extract(symbols, i) AS a,
          |    list_extract(symbols, i + 1) AS b, CAST(sum(c) AS BIGINT) AS n
          |  FROM $in, unnest(generate_series(1, len(symbols) - 1)) AS u(i)
          |  GROUP BY 1, 2),
-         |tp_$r AS (SELECT a, b, n FROM pc_$r ORDER BY n DESC, a, b LIMIT 1),
+         |tp_$r AS MATERIALIZED (SELECT a, b, n FROM pc_$r ORDER BY n DESC, a, b LIMIT 1),
          |fold_$r AS (
          |  SELECT tok, c, symbols, 1 AS i,
          |    CAST([] AS VARCHAR[]) AS out, false AS lm FROM $in
@@ -520,17 +526,17 @@ object TextQueries {
          |              AND list_extract(f.symbols, f.i) = tp.b
          |         THEN true ELSE false END
          |  FROM fold_$r f, tp_$r tp WHERE f.i <= len(f.symbols)),
-         |syms_$r AS (SELECT tok, c, out AS symbols FROM fold_$r
+         |syms_$r AS MATERIALIZED (SELECT tok, c, out AS symbols FROM fold_$r
          |  WHERE i = len(symbols) + 1)""".stripMargin
     val rounds = (1 to BpeRounds)
       .map(r => round(r, if (r == 1) "syms_0" else s"syms_${r - 1}"))
       .mkString(",\n")
-    s"""tc AS (
+    s"""tc AS MATERIALIZED (
        |  SELECT tok, count(*) AS c FROM (
        |    SELECT unnest(${tokensSql(normalizeSql("text"))}) AS tok
        |    FROM documents) t
        |  WHERE length(tok) >= 2 GROUP BY tok),
-       |syms_0 AS (SELECT tok, c, string_split(tok, '') AS symbols FROM tc),
+       |syms_0 AS MATERIALIZED (SELECT tok, c, string_split(tok, '') AS symbols FROM tc),
        |$rounds""".stripMargin
   }
 
