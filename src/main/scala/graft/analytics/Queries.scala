@@ -170,14 +170,53 @@ object Queries {
       |FROM orders WHERE o_custkey <= 100
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
-  /** §2.15 exact percentiles (linear interpolation) per group. */
+  /** Exact interpolated percentiles per group WITHOUT buffering the
+    * group's values (round 13): Spark's `percentile` aggregate holds
+    * every (value → count) pair of a group in ONE task's hash map —
+    * 30 M lineitem rows over 3 return flags OOM'd the 8 GiB sf5
+    * Verify (invisible to every bench: `count()` over the aggregate
+    * prunes the percentile expressions away, the r9 count-over-agg
+    * trap). `l_extendedprice` is a 2-decimal grid, so the per-group
+    * integer-cent HISTOGRAM (map-side-combined groupBy, bounded by
+    * the grid — ~10⁷ bins max regardless of corpus size) carries the
+    * full distribution; a cumulative window over bins yields any
+    * order statistic, and `p·(n−1)` interpolation runs on exact
+    * integers (anomaly_mad / trimmed_mean's recipe, generalized).
+    * Each requested percentile is (alias, num, den): position
+    * h = (n−1)·num/den, value = v⌊h⌋₊₁ + frac·(v⌊h⌋₊₂ − v⌊h⌋₊₁). */
+  private[graft] def centPercentiles(rows: DataFrame, group: String,
+      valueCol: String, ps: Seq[(String, Int, Int)]): DataFrame = {
+    val hist = rows
+      .select(col(group), expr(s"CAST(round($valueCol * 100) AS BIGINT)").as("vc"))
+      .groupBy(group, "vc").agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(group).orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(group)
+    val cum = hist.withColumn("cum", sum("c").over(wc))
+      .withColumn("n", sum("c").over(wall))
+    val aggs = ps.flatMap { case (alias, num, den) =>
+      val k = expr(s"((n - 1) * $num) div $den")
+      Seq(min(when(col("cum") >= k + 1, col("vc"))).as(s"_lo_$alias"),
+        min(when(col("cum") >= k + 2, col("vc"))).as(s"_hi_$alias"),
+        max(expr(s"((n - 1) * $num) % $den")).as(s"_rem_$alias"))
+    }
+    val out = ps.map { case (alias, _, den) =>
+      val lo = col(s"_lo_$alias") / 100.0
+      val hi = coalesce(col(s"_hi_$alias"), col(s"_lo_$alias")) / 100.0
+      (lo + (hi - lo) * (col(s"_rem_$alias") / lit(den.toDouble))).as(alias)
+    }
+    cum.groupBy(group).agg(aggs.head, aggs.tail: _*)
+      .select(col(group) +: out: _*)
+  }
+
+  /** §2.15 exact percentiles (linear interpolation) per group — via
+    * the grid-bounded [[centPercentiles]] histogram, not the
+    * value-buffering `percentile` aggregate. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+    centPercentiles(Tables.lineitem(spark, dir), "l_returnflag",
+        "l_extendedprice", Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)))
+      .select(col("l_returnflag"), round(col("p25"), 4).as("p25"),
+        round(col("p50"), 4).as("p50"), round(col("p75"), 4).as("p75"))
       .orderBy("l_returnflag")
 
   val percentilesSql: String =
@@ -196,9 +235,10 @@ object Queries {
     * interpolated value falls strictly between two data points. */
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_returnflag", "l_extendedprice")
-    val bounds = li.groupBy("l_returnflag").agg(
-      expr("percentile(l_extendedprice, 0.05)").as("lo"),
-      expr("percentile(l_extendedprice, 0.95)").as("hi"))
+    // grid-bounded histogram percentiles (see centPercentiles) — the
+    // value-buffering `percentile` aggregate OOMs at lineitem scale
+    val bounds = centPercentiles(li, "l_returnflag", "l_extendedprice",
+      Seq(("lo", 1, 20), ("hi", 19, 20)))
     li.join(broadcast(bounds), "l_returnflag")
       .withColumn("w", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
       .groupBy("l_returnflag").agg(

@@ -30,6 +30,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("histogram percentiles = Spark's value-buffering percentile aggregate") {
+    // the r13 centPercentiles rewrite (grid-bounded cents histogram +
+    // exact-integer p·(n−1) interpolation) must reproduce the
+    // value-buffering `percentile` it replaced — which is the brute
+    // reference here — to within double-eps at every requested p,
+    // including the 4-dp-rounded values the oracle hashes
+    val li = Tables.lineitem(spark, sf).select("l_returnflag", "l_extendedprice")
+    val brute = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.05)").as("lo"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"),
+        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val hist = Queries.centPercentiles(li, "l_returnflag", "l_extendedprice",
+        Seq(("lo", 1, 20), ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+          ("hi", 19, 20)))
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(hist.keySet == brute.keySet)
+    for ((g, bs) <- brute; (b, h) <- bs.zip(hist(g))) {
+      assert(math.abs(b - h) < 1e-9, s"group $g: brute=$b hist=$h")
+      assert(math.rint(b * 1e4) == math.rint(h * 1e4),
+        s"group $g 4dp: brute=$b hist=$h")
+    }
+  }
+
   test("top_k returns exactly K per group") {
     val counts = Queries.topK(spark, sf)
       .groupBy("o_orderpriority").count().collect()
