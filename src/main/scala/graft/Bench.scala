@@ -43,6 +43,11 @@ object Bench {
     for ((fam, i) <- families.zipWithIndex) {
       val out = java.nio.file.Files.createTempFile(s"bench_fork_$i", ".json")
       val cmd = (Seq(javaBin, s"-Xmx$xmx") ++ opens ++ Seq(
+        // mirror java_run.sh: G1's default GCLocker retry budget (2)
+        // starves under 32 shuffle writers + LZ4 JNI criticals and
+        // throws spurious heap OOMs on a half-empty heap (killed the
+        // forked sf20 ann_graph build, r13)
+        "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", sys.props("java.class.path"), "graft.Bench")).toArray
       val pb = new ProcessBuilder(cmd: _*)

@@ -79,7 +79,11 @@ object GraftSession {
             dataDir: Option[String] = None,
             cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val parts = dataDir.map(shufflePartitionsFor(_, cores)).getOrElse(cores)
-    val advisory = advisoryBytesFor(Runtime.getRuntime.maxMemory(), cores)
+    // SPARK_GRAFT_ADVISORY overrides the heap rule (bytes) — the A/B
+    // knob for isolating the advisory's effect on small-SF sweeps
+    // (-D can't override: .config() below beats system properties)
+    val advisory = sys.env.get("SPARK_GRAFT_ADVISORY").map(_.toLong)
+      .getOrElse(advisoryBytesFor(Runtime.getRuntime.maxMemory(), cores))
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
