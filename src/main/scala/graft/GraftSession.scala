@@ -92,6 +92,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory.toString)
+      // SPARK_GRAFT_PFIRST=false makes AQE coalesce small shuffle
+      // reads to the ADVISORY size instead of stopping early to
+      // preserve parallelism — the A/B knob for the tiny-SF
+      // stage-overhead question; default = Spark's own default
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PFIRST", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       // Parquet naive timestamps (isAdjustedToUTC=false) must read as
       // TIMESTAMP, not TIMESTAMP_NTZ: the session TZ is pinned to UTC so

@@ -1172,20 +1172,28 @@ object Queries {
           (col("lo") + (col("hi") - col("lo")) * 0.5).as(out))
     }
 
+    // hist feeds the median, the deviation rebin, AND the outlier count
+    // — one materialization (lazy checkpoint) instead of three derivations
     val hist = e.groupBy("event_type", "value").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
     val med = wmedian(hist, "value", "med")
     val devHist = hist.join(broadcast(med), "event_type")
       .groupBy(col("event_type"), abs(col("value") - col("med")).as("dev"))
       .agg(sum("n").as("n"))
     val mad = wmedian(devHist, "dev", "mad")
-    e.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+    // outlier counting rebins the HISTOGRAM (r13): the histogram carries
+    // the full distribution, so Σ n over bins with |value − med| > τ is
+    // exactly the former per-row count — the identical IEEE comparison
+    // runs once per distinct (type, value) instead of once per row,
+    // deleting the third corpus scan + corpus-sized join from the plan
+    hist.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
       .groupBy("event_type")
       .agg(
         round(first("med"), 4).as("med_value"),
         round(first("mad"), 4).as("mad_value"),
         sum(when(abs(col("value") - col("med"))
-          > lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
-        count(lit(1)).as("n_rows"))
+          > lit(3.0) * lit(1.4826) * col("mad"), col("n")).otherwise(0L)).as("n_outliers"),
+        sum("n").as("n_rows"))
       .orderBy("event_type")
   }
 

@@ -978,6 +978,9 @@ object Stats {
           .as("r"))
       .groupBy("g", "n_fit", "beta", "alpha", "r")
       .agg(count(lit(1)).as("c"))
+      // bounded dollar-grid cells feed calibration AND evaluation —
+      // one materialization instead of re-running the residual scan
+      .localCheckpoint(eager = false)
     val wCum = Window.partitionBy("g").orderBy("r")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("g")

@@ -48,13 +48,11 @@ object Bitext {
   val MarginMin = 1.02
 
   /** (id, qe/e, qn/nrm) vectors of one language side. */
-  private def side(spark: SparkSession, dir: String, lang: String,
-      id: String, e: String, n: String): DataFrame =
+  private def side(spark: SparkSession, dir: String, v: DataFrame,
+      lang: String, id: String, e: String, n: String): DataFrame =
     Tables.documents(spark, dir).filter(col("lang") === lang)
       .select(col("doc_id").as(id))
-      .join(Ivf.vecsD(Tables.embeddings(spark, dir))
-          .withColumnRenamed("vec_id", id),
-        Seq(id))
+      .join(v.withColumnRenamed("vec_id", id), Seq(id))
       .select(col(id), col("e").as(e), col("nrm").as(n))
 
   /** Margin mining over an arbitrary (src_id, tgt_id, cos) candidate
@@ -89,10 +87,13 @@ object Bitext {
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()
     val k = SemDedup.kFor(n)
-    val cent = Ivf.trainCentroids(emb, k = k,
+    // one widening pass (lazy checkpoint) shared by the Lloyd-round
+    // jobs and both language sides
+    val v = Ivf.vecsD(emb).localCheckpoint(eager = false)
+    val cent = Ivf.trainCentroidsV(v, k = k,
       trainStride = SemDedup.strideFor(n, k))
-    val src = side(spark, dir, SrcLang, "q_id", "qe", "qn")
-    val tgt = side(spark, dir, TgtLang, "tgt_id", "e", "nrm")
+    val src = side(spark, dir, v, SrcLang, "q_id", "qe", "qn")
+    val tgt = side(spark, dir, v, TgtLang, "tgt_id", "e", "nrm")
     val probes = Ivf.probeFor(src, cent)
     val tgtLists = Ivf.assignNearest(tgt.withColumnRenamed("tgt_id", "vec_id"),
       cent).withColumnRenamed("vec_id", "tgt_id")
@@ -105,7 +106,11 @@ object Bitext {
   /** Best target per source doc by ratio margin, margin ≥ θ, among
     * IVF-blocked candidates. */
   def bitextMine(spark: SparkSession, dir: String): DataFrame =
-    mineFromScores(scoredCandidates(spark, dir))
+    // lazy localCheckpoint: mineFromScores reads the candidate table
+    // three times (both kNN averages + the margin join) — without the
+    // barrier the whole IVF chain (probe + assign + score) re-ran 3x
+    // (60 Exchanges / 24 parquet scans in the compiled plan)
+    mineFromScores(scoredCandidates(spark, dir).localCheckpoint(eager = false))
 
   val bitextMineSql: String = {
     // dynamic prefix: k/stride recomputed from count(*) in SQL — the

@@ -185,7 +185,10 @@ object GraphAnn {
     * so Spark and DuckDB pick the identical bucketing at every SF. */
   def knnGraph(embeddings: DataFrame, kg: Int = KG,
       rounds: Int = Rounds): DataFrame = {
-    val v = Ivf.vecsD(embeddings) // (vec_id, e, nrm)
+    // one widening pass (lazy checkpoint): every scoring round derives
+    // nbr- and node-side frames from v — without the barrier each of
+    // the ~6 references re-ran the parquet scan + float→double widening
+    val v = Ivf.vecsD(embeddings).localCheckpoint(eager = false) // (vec_id, e, nrm)
     val n = embeddings.count() // one metadata-cheap count for the block modulus
     val groups = math.max(n / InitGroup, 1L)
     // two init blockings, unioned:
@@ -342,7 +345,8 @@ object GraphAnn {
     * LSH alone lacks (single-probe LSH recall ≈0.43). Both entry arms
     * are keyed joins against broadcast nq-row query frames. */
   private[graft] def visitedSet(embeddings: DataFrame, nq: Int): DataFrame = {
-    val v = Ivf.vecsD(embeddings)
+    // one widening pass for the entry scan + every hop's scoring join
+    val v = Ivf.vecsD(embeddings).localCheckpoint(eager = false)
     val edges = persistedGraph(embeddings.sparkSession)
       .getOrElse(knnGraph(embeddings))
     // nq rows by construction; the limit also MARKS the bound so the

@@ -102,9 +102,17 @@ object Ivf {
     * bit-identical to full training. Init filters WITHIN the sample so
     * the seed vectors are sample members. */
   def trainCentroids(embeddings: DataFrame, iters: Int = Iters,
+      k: Int = K, trainStride: Long = 1): DataFrame =
+    trainCentroidsV(vecsD(embeddings), iters, k, trainStride)
+
+  /** [[trainCentroids]] over an already-built vecsD frame — callers
+    * that reference the widened vectors many times (every Lloyd round
+    * is a separate driver job) pass ONE lazily-checkpointed frame so
+    * the parquet scan + float→double widening + norm runs once per
+    * query instead of once per job. Bit-identical math. */
+  private[graft] def trainCentroidsV(v: DataFrame, iters: Int = Iters,
       k: Int = K, trainStride: Long = 1): DataFrame = {
-    val spark = embeddings.sparkSession
-    val v = vecsD(embeddings)
+    val spark = v.sparkSession
     val t = if (trainStride <= 1) v else v.filter(col("vec_id") % trainStride === 0)
     var cent = t.filter(col("vec_id") < k.toLong * trainStride)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
@@ -138,8 +146,9 @@ object Ivf {
   }
 
   def ivfTopK(embeddings: DataFrame, nq: Int = 5, k: Int = 10): DataFrame = {
-    val v = vecsD(embeddings)
-    val cent = trainCentroids(embeddings)
+    // one widening pass for the Lloyd-round jobs + assignment + probes
+    val v = vecsD(embeddings).localCheckpoint(eager = false)
+    val cent = trainCentroidsV(v)
     // final assignment: every vector into exactly one inverted list
     val assigned = assignNearest(v, cent)
     // probe lists: nprobe nearest centroids per query

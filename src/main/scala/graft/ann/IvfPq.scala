@@ -76,10 +76,15 @@ object IvfPq {
     * all subspaces share each Lloyd round's single scan + broadcast
     * join instead of M sequential trainings. Init = subvectors of the
     * first [[KSub]] vectors. Returns (m, code, ce, cc). */
-  def trainCodebook(v: DataFrame, iters: Int = PqIters): DataFrame = {
-    val spark = v.sparkSession
+  def trainCodebook(v: DataFrame, iters: Int = PqIters): DataFrame =
+    trainCodebookSv(subVecs(v), iters)
+
+  /** [[trainCodebook]] over an already-built subvector frame (shared
+    * with encoding by the caller). Bit-identical math. */
+  private[graft] def trainCodebookSv(sv: DataFrame,
+      iters: Int = PqIters): DataFrame = {
+    val spark = sv.sparkSession
     import spark.implicits._
-    val sv = subVecs(v)
     var cb = sv.filter(col("vec_id") < KSub)
       .select(col("m"), col("vec_id").as("code"), col("sub").as("ce"))
       .withColumn("cc", dotCol(col("ce"), col("ce")))
@@ -102,11 +107,15 @@ object IvfPq {
     * with ‖recon‖² = Σₘ ‖ce[m,codeₘ]‖². Both sums add their 4 terms in
     * fixed subspace order for cross-engine bit-parity. */
   def ivfPqTopK(embeddings: DataFrame, nq: Int = 5, k: Int = 10): DataFrame = {
-    val v = Ivf.vecsD(embeddings)
-    val cent = Ivf.trainCentroids(embeddings)
+    // one widening pass (lazy checkpoint) shared by the coarse Lloyd
+    // jobs, the PQ sub-Lloyd jobs, assignment, encoding, and queries;
+    // likewise one subvector explode for training + encoding
+    val v = Ivf.vecsD(embeddings).localCheckpoint(eager = false)
+    val cent = Ivf.trainCentroidsV(v)
     val assigned = Ivf.assignNearest(v, cent)
-    val cb = trainCodebook(v)
-    val codes = assignCodes(subVecs(v), cb).drop("sub")
+    val sv = subVecs(v).localCheckpoint(eager = false)
+    val cb = trainCodebookSv(sv)
+    val codes = assignCodes(sv, cb).drop("sub")
     val q = v.filter(col("vec_id") < nq)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
     val qs = q.select(col("q_id"), explode(array((0 until M).map(m =>

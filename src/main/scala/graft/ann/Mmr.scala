@@ -63,39 +63,55 @@ object Mmr {
       .select(col("q_id"), col("ca"), col("cb"),
         round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb"))
           * 1e6, 0).cast("long").as("sim_e6"))
-      .localCheckpoint(eager = false)
-    val cand = scored.select("q_id", "vec_id", "rel_e6")
-    var selected = cand
-      .select(col("q_id"), col("vec_id"), lit(0).as("rk"),
-        col("rel_e6"), lit(0L).as("ms_e6"), lit(0L).as("score_x10e6"))
-      .filter(lit(false))
-    for (r <- 1 to K) {
-      val remaining = cand.join(selected.select("q_id", "vec_id"),
-        Seq("q_id", "vec_id"), "left_anti")
-      val ms = remaining
-        .join(sims.join(selected.select(col("q_id"),
-            col("vec_id").as("cb")), Seq("q_id", "cb"))
-          .groupBy(col("q_id").as("mq"), col("ca"))
-          .agg(max("sim_e6").as("ms_raw")),
-          col("q_id") === col("mq") && col("vec_id") === col("ca"), "left")
-        .withColumn("ms_e6", coalesce(col("ms_raw"), lit(0L)))
-        .withColumn("score_x10e6",
-          lit(LamX10) * col("rel_e6") - lit(10L - LamX10) * col("ms_e6"))
-      val pick = ms
-        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
-          .orderBy(desc("score_x10e6"), asc("vec_id"))))
-        .filter(col("rn") === 1)
-        .select(col("q_id"), col("vec_id"), lit(r).as("rk"),
-          col("rel_e6"), col("ms_e6"), col("score_x10e6"))
-      selected = selected.unionByName(pick).localCheckpoint(eager = false)
+    // The K selection rounds operate on frames BOUNDED BY CONSTANTS at
+    // ANY corpus size — nq·CandK candidates and nq·CandK·(CandK−1)
+    // pairwise sims (only the candidate scan above is corpus-sized) —
+    // so the greedy runs as a driver loop over the collected pool (the
+    // audited bounded-frame collect class: centroids, bucket keys)
+    // instead of K unrolled distributed rounds, which cost ~40 tiny
+    // shuffle stages of pure scheduling overhead at every scale.
+    // Scores are exact Longs (7·rel_e6 − 3·ms_e6), so the driver argmax
+    // with the (score DESC, vec_id ASC) tie-break reproduces the
+    // windowed argmax bit-for-bit.
+    val candRows = cand_collect(scored)
+    val simMap = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).toMap // (q_id, ca) -> (cb -> sim_e6)
+      }
+    val picks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Long, Long, Long)]
+    candRows.groupBy(_._1).toSeq.foreach { case (q, cs) =>
+      val rel = cs.map(c => c._2 -> c._3).toMap
+      var selectedIds = List.empty[Long]
+      var remaining = cs.map(_._2).toSet
+      for (r <- 1 to K if remaining.nonEmpty) {
+        val scoredRound = remaining.toSeq.map { c =>
+          val simsOfC = simMap.getOrElse((q, c), Map.empty[Long, Long])
+          val ms = if (selectedIds.isEmpty) 0L
+            else selectedIds.map(s => simsOfC.getOrElse(s, 0L)).max
+          val score = LamX10 * rel(c) - (10L - LamX10) * ms
+          (c, ms, score)
+        }
+        val (c, ms, score) = scoredRound.minBy { case (c, _, s) => (-s, c) }
+        picks += ((q, c, r, rel(c), ms, score))
+        selectedIds ::= c
+        remaining -= c
+      }
     }
-    selected
+    import spark.implicits._
+    picks.toSeq.toDF("q_id", "vec_id", "rk", "rel_e6", "ms_e6", "score_x10e6")
       .select(col("q_id"), col("rk"), col("vec_id"),
         round(col("rel_e6").cast("double") / 1e6, 6).as("relevance"),
         round(col("ms_e6").cast("double") / 1e6, 6).as("max_sim_selected"),
         col("score_x10e6"))
       .orderBy("q_id", "rk")
   }
+
+  /** Collect the bounded (q_id, vec_id, rel_e6) candidate pool. */
+  private def cand_collect(scored: DataFrame): Seq[(Long, Long, Long)] =
+    scored.select("q_id", "vec_id", "rel_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
 
   def mmrDiversifySql(nq: Int = 5): String = {
     def roundSql(r: Int): String = {

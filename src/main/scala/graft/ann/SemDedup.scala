@@ -80,11 +80,13 @@ object SemDedup {
     * vec_id asc) among in-cluster members more central than this one;
     * null ⇒ this member is kept. */
   def semanticDedup(embeddings: DataFrame, minCos: Double = MinCos): DataFrame = {
-    val v = Ivf.vecsD(embeddings)
+    // one widening pass (lazy checkpoint) shared by the Lloyd-round
+    // jobs, the assignment, and both self-join sides
+    val v = Ivf.vecsD(embeddings).localCheckpoint(eager = false)
     // one metadata-cheap count (tiny-stat class) drives the K rule
     val n = embeddings.count()
     val k = kFor(n)
-    val cent = Ivf.trainCentroids(embeddings, k = k,
+    val cent = Ivf.trainCentroidsV(v, k = k,
       trainStride = strideFor(n, k))
     val wc = Ivf.assignNearest(v, cent)
       .join(broadcast(cent), "cid")

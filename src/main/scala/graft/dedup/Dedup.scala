@@ -522,10 +522,15 @@ object Dedup {
     * apply the identical rule. */
   def containmentPairs(docs: DataFrame,
       minScore: Double = ContainMinScore): DataFrame = {
+    // lazy localCheckpoint: grams feeds the posting explode AND both
+    // final gram-array joins — without the barrier the tokenize +
+    // shingle-hash pass (the query's dominant compute) re-ran 3x
+    // (12 parquet scans in the compiled plan)
     val grams = docs.select(col("doc_id"),
         array_distinct(graft.functions.native.shingle_hashes(
           graft.functions.native.token_poly_hashes(col("text")), 3)).as("g"))
       .filter(size(col("g")) > 0)
+      .localCheckpoint(eager = false)
     val posting = grams.select(col("doc_id"), explode(col("g")).as("shg"))
     // shuffle_hash pins: rareSh, rare, and cand are all DATA-PROPORTIONAL
     // (rare shingles and their candidate pairs grow with the corpus), but

@@ -40,11 +40,16 @@ object Graph {
 
   /** Undirected distinct user↔item click edges: ("u<id>"|"i<k>"). */
   private def edges(spark: SparkSession, dir: String): DataFrame = {
+    // lazy localCheckpoint: the adjacency build references uv four
+    // times (both union legs on both the deg and join sides) — the
+    // distinct's internal exchange is AQE-reusable but the json
+    // extraction + final agg re-ran per reference
     val uv = Tables.events(spark, dir)
       .filter(col("event_type") === "click")
       .select(concat(lit("u"), col("user_id")).as("u"),
         concat(lit("i"), get_json_object(col("props"), "$.k")).as("v"))
       .distinct()
+      .localCheckpoint(eager = false)
     uv.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(uv.select(col("v").as("src"), col("u").as("dst")))
   }
@@ -205,15 +210,26 @@ object Graph {
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").as("item"))
       .distinct()
+      // lazy localCheckpoint (the bfsDistances pattern): without the
+      // barriers this query's plan re-derived the events scan +
+      // distinct + projection self-join up to 128 times (pairs feeds
+      // deg twice and the orientation twice; oriented feeds both wedge
+      // legs and the closing-edge join) — 320 Exchanges / 128 parquet
+      // scans in the compiled plan, and Catalyst itself pays for the
+      // 4 800-line tree on every run. Each shared frame now
+      // materializes once inside the single action.
+      .localCheckpoint(eager = false)
     val pairs = c.join(c.select(col("user_id"), col("item").as("item2")), "user_id")
       .filter(col("item") < col("item2"))
       .groupBy(col("item").as("a"), col("item2").as("b"))
       .agg(count(lit(1)).as("supp"))
       .filter(col("supp") >= TriMinSupport)
       .select("a", "b")
+      .localCheckpoint(eager = false)
     val deg = pairs.select(col("a").as("node"))
       .unionAll(pairs.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
     // orient a—b from the (deg, id)-smaller endpoint; carry the
     // destination's (deg, id) for the wedge ordering below
     val withDeg = pairs
@@ -225,7 +241,7 @@ object Graph {
     val rev = withDeg.filter(col("db") < col("da") ||
         (col("da") === col("db") && col("b") < col("a")))
       .select(col("b").as("src"), col("a").as("dst"), col("da").as("dd"))
-    val oriented = fwd.unionAll(rev)
+    val oriented = fwd.unionAll(rev).localCheckpoint(eager = false)
     // wedges at pivot s: out-neighbors b <(deg,id)< c; the closing
     // edge, if present, is oriented b -> c by transitivity
     val e1 = oriented.select(col("src").as("s"), col("dst").as("b"),
@@ -398,17 +414,29 @@ object Graph {
     var prevCnt = n
     var stable = false
     var r = 0
+    var lastDeg: DataFrame = null
     while (r < rounds && !stable) {
-      val next = coreDeg(surv).filter(col("c") >= KcoreK)
+      val d = coreDeg(surv).localCheckpoint(true)
+      val next = d.filter(col("c") >= KcoreK)
         .select(col("src").as("node"))
-        .localCheckpoint(true)
       val cnt = next.count()
       stable = cnt == prevCnt
       prevCnt = cnt
       surv = next
+      lastDeg = d
       r += 1
     }
-    (surv, coreDeg(surv))
+    // On the stable exit the final coreDeg(surv) is provably the last
+    // round's (checkpointed) degree frame: stability means next ==
+    // prevSurv as a SET (monotone subset + equal count), so
+    // coreDeg(next) == coreDeg(prevSurv) == lastDeg, and every lastDeg
+    // row has c >= k (a sub-k row would have shrunk the count). Reusing
+    // it drops the whole second adj⋈surv⋈surv round from the plan; the
+    // rounds-exhausted exit still recomputes, where the sets differ.
+    val finalDeg =
+      if (stable && lastDeg != null) lastDeg.filter(col("c") >= KcoreK)
+      else coreDeg(surv)
+    (surv, finalDeg)
   }
 
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
