@@ -49,9 +49,13 @@ object Huber {
   /** §2.348 `huber_mean`: per nation — n, plain mean, the scale, the
     * two IRLS iterates, and how many rows iteration 2 downweights. */
   def huberMean(spark: SparkSession, dir: String): DataFrame = {
+    // c feeds the mean, the scale pass, and both IRLS iterations (4
+    // non-identical consumers) — one narrow materialization (lazy
+    // checkpoint) instead of 4 scan+project derivations
     val c = Tables.customer(spark, dir)
       .select(col("c_nationkey").as("nk"),
         expr(s"CAST(round(c_acctbal * 100) AS BIGINT) + $Shift").as("xs"))
+      .localCheckpoint(eager = false)
     // pass 1: shifted mean (exact HALF-UP cents)
     val m0 = c.groupBy("nk").agg(count(lit(1)).as("n"), sum("xs").as("sx"))
       .withColumn("m0s", expr("(2 * sx + n) div (2 * n)"))

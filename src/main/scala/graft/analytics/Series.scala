@@ -308,11 +308,16 @@ object Series {
     * (the §2.141 percentile convention). Output = the flagged days
     * only (anomaly-sized, not calendar-sized). */
   def anomalyStl(spark: SparkSession, dir: String): DataFrame = {
-    val f = stlFrame(spark, dir)
+    // the STL frame is calendar-bounded but its derivation scans the
+    // corpus — one materialization (lazy checkpoint) for its two
+    // consumers (median agg + deviation join), and again for dev
+    // (MAD agg + final filter); was 32 parquet scans compiled
+    val f = stlFrame(spark, dir).localCheckpoint(eager = false)
     val med = f.groupBy("event_type")
       .agg(expr("percentile(resid, 0.5)").as("med"))
     val dev = f.join(broadcast(med), "event_type")
       .withColumn("adev", abs(col("resid") - col("med")))
+      .localCheckpoint(eager = false)
     val mad = dev.groupBy("event_type")
       .agg(expr("percentile(adev, 0.5)").as("mad"))
     dev.join(broadcast(mad), "event_type")

@@ -613,6 +613,9 @@ object Layout {
         min("s").as("s_min"), max("s").as("s_max"),
         sum("m_narrow").as("mn"), sum("m_wide").as("mw"))
       .crossJoin(broadcast(maxes))
+      // bounded (3 layouts × shards) but derived from a corpus scan;
+      // two boxed() consumers — one materialization (r13)
+      .localCheckpoint(eager = false)
     def boxed(box: String, hiTenths: Int, m: Column): DataFrame =
       shards.select(col("layout"), lit(box).as("box"), col("n"),
         col("p_min"), col("p_max"), col("s_min"), col("s_max"),

@@ -38,6 +38,9 @@ object Overlap {
       .join(docs.select("doc_id", "source"), "doc_id")
       .select(col("source"), explode(col("sh")).as("g"))
       .distinct()
+      // ss feeds the per-source sizes AND the pair self-join (different
+      // downstream keys) — one tokenize+shingle+distinct pass (r13)
+      .localCheckpoint(eager = false)
     val sizes = ss.groupBy("source").agg(count(lit(1)).as("nv"))
     val pairs = ss.as("a").hint("shuffle_hash")
       .join(ss.as("b"), col("a.g") === col("b.g") &&

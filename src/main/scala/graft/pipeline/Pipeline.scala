@@ -243,15 +243,21 @@ object Pipeline {
   def corpusMixTopic(spark: SparkSession, dir: String): DataFrame = {
     import graft.ann.Ivf
     val emb = Tables.embeddings(spark, dir)
-    val cent = Ivf.trainCentroids(emb)
-    val assigned = Ivf.assignNearest(Ivf.vecsD(emb), cent)
+    // one widening pass shared by Lloyd jobs + assignment (r13)
+    val v = Ivf.vecsD(emb).localCheckpoint(eager = false)
+    val cent = Ivf.trainCentroidsV(v)
+    val assigned = Ivf.assignNearest(v, cent)
       .select(col("vec_id").as("doc_id"), col("cid"))
+    // per is K-row bounded but its derivation is a corpus-sized
+    // tokenize + join + agg, and it feeds total, capSum AND the final
+    // projection — one materialization instead of three (r13)
     val per = Tables.documents(spark, dir)
       .withColumn("n_tokens",
         size(graft.functions.native.token_poly_hashes(col("text"))).cast("long"))
       .join(assigned, "doc_id")
       .groupBy("cid")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("topic_tokens"))
+      .localCheckpoint(eager = false)
     val total = per.agg(sum("topic_tokens").as("total_tokens"))
     val capped = least(col("topic_tokens") * TopicCapDen,
       col("total_tokens") * TopicCapNum)
