@@ -47,41 +47,59 @@ object Huber {
   val Shift = 1000000L
 
   /** §2.348 `huber_mean`: per nation — n, plain mean, the scale, the
-    * two IRLS iterates, and how many rows iteration 2 downweights. */
+    * two IRLS iterates, and how many rows iteration 2 downweights.
+    *
+    * Round-14 shape (guide §2.3 "aggregate before you shuffle" — the
+    * centPercentiles/anomaly_mad histogram recipe): balances live on a
+    * 2-decimal grid, so ONE map-side-combined scan collapses the
+    * corpus to the (nation, cents) VALUE HISTOGRAM — bounded by the
+    * grid (≤ |nations|·~1.1 M bins at ANY corpus size) — and the mean,
+    * scale, and both IRLS passes run over the histogram: every sum
+    * Σ_rows f(x) is computed as Σ_bins cnt·f(v), the identical exact
+    * integers in a different association order (BIGINT/DECIMAL adds
+    * are associative — bit-identical results). The previous shape
+    * re-scanned the checkpointed corpus projection 4× (the r13 barrier
+    * fixed the SCANS but left 4 corpus-sized passes + exchanges); at
+    * 100 TB this is 1 columnar scan + one histogram-sized shuffle,
+    * then nation-grain arithmetic. */
   def huberMean(spark: SparkSession, dir: String): DataFrame = {
-    // c feeds the mean, the scale pass, and both IRLS iterations (4
-    // non-identical consumers) — one narrow materialization (lazy
-    // checkpoint) instead of 4 scan+project derivations
-    val c = Tables.customer(spark, dir)
+    // h: (nk, xs, cnt) — the one corpus pass; every downstream frame
+    // is histogram-sized (lazy checkpoint: 4 non-identical consumers)
+    val h = Tables.customer(spark, dir)
       .select(col("c_nationkey").as("nk"),
         expr(s"CAST(round(c_acctbal * 100) AS BIGINT) + $Shift").as("xs"))
+      .groupBy("nk", "xs").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(eager = false)
-    // pass 1: shifted mean (exact HALF-UP cents)
-    val m0 = c.groupBy("nk").agg(count(lit(1)).as("n"), sum("xs").as("sx"))
+    // pass 1: shifted mean (exact HALF-UP cents); n = Σcnt, Σxs = Σcnt·xs
+    val m0 = h.groupBy("nk")
+      .agg(sum("cnt").as("n"), sum(col("cnt") * col("xs")).as("sx"))
       .withColumn("m0s", expr("(2 * sx + n) div (2 * n)"))
       .select("nk", "n", "m0s")
     // pass 2: scale = mean absolute deviation from m0 (shift cancels
     // in the difference; |·| keeps the dividend non-negative)
-    val s0 = c.join(broadcast(m0), "nk")
+    val s0 = h.join(broadcast(m0), "nk")
       .groupBy(col("nk").as("nk2"))
-      .agg(sum(abs(col("xs") - col("m0s"))).as("sad"),
+      .agg(sum(col("cnt") * abs(col("xs") - col("m0s"))).as("sad"),
         max("n").as("n2"))
       .withColumn("s", expr("(2 * sad + n2) div (2 * n2)"))
       .select(col("nk2"), col("s"))
     def irls(frame: DataFrame, mCol: String, outM: String,
         outDw: String): DataFrame =
-      c.join(broadcast(frame), col("nk") === col("jk"))
+      h.join(broadcast(frame), col("nk") === col("jk"))
         .withColumn("d", abs(col("xs") - col(mCol)))
         // w_e6 = min(1, k·s/d) in HALF-UP e6 units; the inlier test is
         // the integer cross-compare 1000·d ≤ 1345·s (s = 0 ⇒ all d = 0
-        // rows are inliers at weight 1 — no division ever sees d = 0)
+        // rows are inliers at weight 1 — no division ever sees d = 0).
+        // w_e6 is a function of the BIN (d, s), so Σ_rows w·x =
+        // Σ_bins cnt·w·v exactly.
         .withColumn("w_e6", when(col("d") * 1000 <= col("s") * K1000,
           lit(1000000L)).otherwise(expr(
           s"(2 * s * $K1000 * 1000 + d) div (2 * d)")))
         .groupBy(col("nk").as("gk"))
-        .agg(sum(expr("CAST(w_e6 AS DECIMAL(38,0)) * xs")).as("swx"),
-          sum("w_e6").as("sw"),
-          sum(when(col("w_e6") < 1000000L, 1L).otherwise(0L)).as(outDw))
+        .agg(sum(expr("CAST(w_e6 AS DECIMAL(38,0)) * xs * cnt")).as("swx"),
+          sum(expr("CAST(w_e6 AS DECIMAL(38,0)) * cnt")).as("sw"),
+          sum(when(col("w_e6") < 1000000L, col("cnt")).otherwise(0L))
+            .as(outDw))
         .withColumn(outM, expr(
           "CAST((2 * swx + sw) div (CAST(2 AS DECIMAL(38,0)) * sw) AS BIGINT)"))
         .select(col("gk"), col(outM), col(outDw))

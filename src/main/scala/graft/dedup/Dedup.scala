@@ -275,6 +275,12 @@ object Dedup {
     * are distinct'd on (id_a, id_b) BEFORE re-joining the gram arrays,
     * so the wide array payload is never shuffled through the dedup. */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2): DataFrame = {
+    // NOT sorted/merge-kernel here (unlike containmentPairs, r14): the
+    // banded-LSH candidate set is small at the 0.2 threshold, so the
+    // per-pair intersect is cold while the per-doc sort_array would be
+    // paid on EVERY doc — measured 0.8 → 1.1 s at sf0.1. The kernel
+    // only pays where candidate pairs ≫ docs (containment's rare-
+    // shingle index).
     val grams = docs.select(col("doc_id"),
         array_distinct(graft.functions.native.shingle_hashes(
           graft.functions.native.token_poly_hashes(col("text")), 3)).as("g"))
@@ -525,10 +531,14 @@ object Dedup {
     // lazy localCheckpoint: grams feeds the posting explode AND both
     // final gram-array joins — without the barrier the tokenize +
     // shingle-hash pass (the query's dominant compute) re-ran 3x
-    // (12 parquet scans in the compiled plan)
+    // (12 parquet scans in the compiled plan). sort_array: the pair
+    // verifier below intersects via the round-14 sorted-merge kernel
+    // (one O(m log m) sort per DOC here instead of a hash set per
+    // PAIR there); order feeds nothing else (posting explodes to set
+    // semantics, size() is order-blind).
     val grams = docs.select(col("doc_id"),
-        array_distinct(graft.functions.native.shingle_hashes(
-          graft.functions.native.token_poly_hashes(col("text")), 3)).as("g"))
+        sort_array(array_distinct(graft.functions.native.shingle_hashes(
+          graft.functions.native.token_poly_hashes(col("text")), 3))).as("g"))
       .filter(size(col("g")) > 0)
       .localCheckpoint(eager = false)
     val posting = grams.select(col("doc_id"), explode(col("g")).as("shg"))
@@ -549,8 +559,11 @@ object Dedup {
       .join(grams.select(col("doc_id").as("id_a"), col("g").as("ga")), "id_a")
       .hint("shuffle_hash")
       .join(grams.select(col("doc_id").as("id_b"), col("g").as("gb")), "id_b")
+      // sorted-merge intersection count (arrays sorted+distinct at
+      // construction above): same integer as
+      // size(array_intersect(ga, gb)), no per-pair hash set
       .withColumn("n_common",
-        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+        graft.functions.native.sorted_intersect_count(col("ga"), col("gb")))
       .withColumn("containment", round(col("n_common") /
         least(size(col("ga")), size(col("gb"))).cast("double"), 6))
       .filter(col("containment") >= minScore)

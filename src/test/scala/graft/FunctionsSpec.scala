@@ -29,6 +29,33 @@ class FunctionsSpec extends AnyFunSuite {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
   }
 
+  test("SortedIntersectCount equals size(array_intersect) on sorted distinct arrays") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(4L), Seq(4L)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-5L, 0L, 7L), Seq(-5L, 7L, 8L))
+    ).toDF("a", "b")
+    val fast = df.select(native.sorted_intersect_count(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    val ref = df.select(size(array_intersect(col("a"), col("b"))).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(fast.toSeq == ref.toSeq)
+    // randomized cross-check (sorted distinct inputs, the caller contract)
+    val rnd = new scala.util.Random(42)
+    val rand = (1 to 50).map { _ =>
+      def arr = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+      (arr, arr.map(_ => rnd.nextInt(60).toLong).distinct.sorted)
+    }.toDF("a", "b")
+    val f2 = rand.select(native.sorted_intersect_count(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    val r2 = rand.select(size(array_intersect(col("a"), col("b"))).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(f2.toSeq == r2.toSeq)
+  }
+
   test("MinHashSignature equals per-permutation array_min") {
     import graft.dedup.Dedup
     val df = Seq("one two three four five six seven").toDF("text")
