@@ -1027,10 +1027,17 @@ object Queries {
         col("l_shipdate").cast("timestamp").cast("long").as("t0"),
         (col("l_shipdate").cast("timestamp").cast("long")
           + col("l_quantity").cast("long") * 86400L).as("t1"))
-    val events = li.select(col("l_suppkey"), col("id"), col("t0").as("val"),
-        lit(0L).as("is_end"))
-      .unionByName(li.select(col("l_suppkey"), col("id"),
-        col("t1").as("val"), lit(1L).as("is_end")))
+    // ONE lineitem scan emits both sweep events per interval via a
+    // 2-element inline explode (r14, guide §2.3/§6): the previous
+    // self-union scanned the corpus twice — at 100 TB that is a whole
+    // duplicate columnar scan for rows the generator can produce in
+    // place. Same (suppkey, id, val, is_end) rows, same downstream.
+    val events = li.select(col("l_suppkey"), col("id"),
+        explode(array(
+          struct(col("t0").as("val"), lit(0L).as("is_end")),
+          struct(col("t1").as("val"), lit(1L).as("is_end")))).as("ev"))
+      .select(col("l_suppkey"), col("id"),
+        col("ev.val").as("val"), col("ev.is_end").as("is_end"))
     val wAll = Window.partitionBy("l_suppkey").orderBy("val", "is_end")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wId = Window.partitionBy("l_suppkey", "id").orderBy("val", "is_end")

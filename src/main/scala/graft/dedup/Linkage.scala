@@ -108,17 +108,29 @@ object Linkage {
     // frames are corpus-sized but stats-derived from narrow scans, so
     // the planner would broadcast one side (OOM at scale) and run the
     // probe at scan parallelism.
+    //
+    // r14 (guide §2.3 project-before-the-exchange): the agreement
+    // FLAGS are pure per-pair functions of the joined fields, so they
+    // are computed INSIDE the join stage and only (id_a, id_b, five
+    // 0/1 longs) crosses the dedup exchange — the previous shape
+    // shipped both names + all fields through dropDuplicates (22 MB
+    // vs 9 MB shuffle at sf0.1, stage-profiled). Duplicate bkey hits
+    // of one pair carry identical flags, so which row survives the
+    // dedup cannot change the result.
     ck.alias("a")
       .join(dk.hint("shuffle_hash").alias("b"), Seq("bkey"))
+      .withColumn("dist",
+        graft.functions.native.bounded_lev1(col("a.name"), col("b.name")))
+      .filter(col("dist") >= 0)
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.name").as("name_a"), col("b.name").as("name_b"),
-        col("a.nation").as("nation_a"), col("b.nation").as("nation_b"),
-        col("a.seg").as("seg_a"), col("b.seg").as("seg_b"),
-        col("a.band").as("band_a"), col("b.band").as("band_b"))
-      .withColumn("dist",
-        graft.functions.native.bounded_lev1(col("name_a"), col("name_b")))
-      .filter(col("dist") >= 0)
+        when(col("dist") === 0, 1L).otherwise(0L).as("name_ex"),
+        when(col("a.nation") === col("b.nation"), 1L).otherwise(0L)
+          .as("nat_ag"),
+        when(col("a.seg") === col("b.seg"), 1L).otherwise(0L).as("seg_ag"),
+        when(col("a.band") === col("b.band"), 1L).otherwise(0L)
+          .as("band_ag"),
+        when(col("a.id") === col("b.id"), 1L).otherwise(0L).as("is_match"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -162,14 +174,6 @@ object Linkage {
     * or x/0 under ANSI mode. */
   def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
     val pats = candidates(spark, dir)
-      .select(
-        when(col("dist") === 0, 1L).otherwise(0L).as("name_ex"),
-        when(col("nation_a") === col("nation_b"), 1L).otherwise(0L)
-          .as("nat_ag"),
-        when(col("seg_a") === col("seg_b"), 1L).otherwise(0L).as("seg_ag"),
-        when(col("band_a") === col("band_b"), 1L).otherwise(0L)
-          .as("band_ag"),
-        when(col("id_a") === col("id_b"), 1L).otherwise(0L).as("is_match"))
       .groupBy("name_ex", "nat_ag", "seg_ag", "band_ag")
       .agg(count(lit(1)).as("n_pairs"), sum("is_match").as("n_match"))
     val w = Window.partitionBy(lit(1))
